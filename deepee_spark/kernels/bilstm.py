@@ -1,0 +1,69 @@
+"""M2-analogue argument-role kernel: BiLSTM encoder + bilinear role scorer.
+
+North-star framing: BiLSTM-CRF-style role labeling; the reference's
+closest decode is per-token argmax (EEGCN main.py:93-100) and
+trigger-x-entity pair classification (JMEE ee.py:150-176). We encode the
+sentence with a (simplified, gateless) bidirectional recurrent layer
+h_t = tanh(W x_t + U h_{t-1} + b), build a per-position pair feature from
+[h_fwd; h_bwd], and score roles with a bilinear form against the event
+type: logits[r] = onehot(ev)^T A[r] f(h_arg). Argmax decode (== Viterbi
+under uniform transitions). All batched NumPy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .weights import HIDDEN, argument_weights, embedding_table
+
+
+def encode(ids: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """ids (B, L) -> bidirectional states (B, L, 2*HIDDEN)."""
+    emb = embedding_table()
+    w = argument_weights()
+    B, L = ids.shape
+    x = emb[ids]  # (B, L, D)
+    proj = x @ w["w_ih"] + w["b_h"]  # (B, L, H)
+
+    fwd = np.zeros((B, L, HIDDEN), dtype=np.float32)
+    h = np.zeros((B, HIDDEN), dtype=np.float32)
+    for t in range(L):
+        h = np.tanh(proj[:, t] + h @ w["u_hh"])
+        fwd[:, t] = h
+    bwd = np.zeros((B, L, HIDDEN), dtype=np.float32)
+    h = np.zeros((B, HIDDEN), dtype=np.float32)
+    for t in range(L - 1, -1, -1):
+        h = np.tanh(proj[:, t] + h @ w["u_hh"])
+        bwd[:, t] = h
+    valid = (np.arange(L)[None, :] < lengths[:, None])[:, :, None]
+    return np.where(valid, np.concatenate([fwd, bwd], axis=2), 0.0)
+
+
+def score_roles(
+    ids: np.ndarray,
+    lengths: np.ndarray,
+    event_ids: np.ndarray,
+    arg_pos: np.ndarray,
+) -> np.ndarray:
+    """Per (sentence row, its arg candidate): role logits (B, R).
+
+    ids (B,L), event_ids (B,), arg_pos (B,) -> logits (B, NUM_ROLE_CLASSES).
+    """
+    w = argument_weights()
+    states = encode(ids, lengths)  # (B, L, 2H)
+    b = np.arange(ids.shape[0])
+    h_arg = states[b, arg_pos]  # (B, 2H)
+    feat = h_arg @ w["w_feat"]  # (B, N_ENT)
+    # bilinear: logits[b, r] = A[r, ev_b, :] . feat[b, :]
+    a_ev = w["a"][:, event_ids, :]  # (R, B, N_ENT)
+    return np.einsum("rbe,be->br", a_ev, feat).astype(np.float32)
+
+
+def decode_roles(ids, lengths, event_ids, arg_pos):
+    """-> (role_ids (B,), scores (B,)) via softmax-argmax."""
+    logits = score_roles(ids, lengths, event_ids, arg_pos)
+    logits = logits - logits.max(axis=1, keepdims=True)
+    np.exp(logits, out=logits)
+    probs = logits / logits.sum(axis=1, keepdims=True)
+    role = probs.argmax(axis=1)
+    return role, probs[np.arange(len(role)), role]

@@ -1,0 +1,95 @@
+"""Iterative connected components: alternating large-star / small-star.
+
+The canonicalization stage (SURVEY.md §7.9) needs connected components
+over mention-coreference edges. We implement the two-phase star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14
+— public), which converges in O(log d) rounds vs O(d) for naive label
+propagation; at 10^12-doc scale alias graphs are shallow but celebrity
+hubs create huge stars, which this algorithm handles by always rewiring
+to the component minimum.
+
+Edges are canonical (hi > lo) bigint pairs. Each round:
+  large-star: for every node u, connect all strictly-larger neighbors to
+              m = min(N(u) ∪ {u})
+  small-star: for every hub hi, connect all its lo-neighbors (and itself)
+              to m = min of them
+Fixpoint when the edge multiset stops changing (count + xor-hash compare).
+localCheckpoint each round cuts lineage (SURVEY.md §4.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_ITER = 20
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """-> distinct (hi, lo) with hi > lo; self-loops dropped."""
+    return (
+        edges.select(
+            F.greatest("src", "dst").alias("hi"), F.least("src", "dst").alias("lo")
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+        e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    big = sym.filter(F.col("v") > F.col("u"))
+    return (
+        big.join(mins, "u")
+        .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    mins = e.groupBy("hi").agg(F.min("lo").alias("m"))
+    nbrs = e.join(mins, "hi").select(
+        F.col("lo").alias("v"), F.col("m")
+    ).unionByName(mins.select(F.col("hi").alias("v"), F.col("m")))
+    return (
+        nbrs.filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+        .distinct()
+    )
+
+
+def _signature(e: DataFrame) -> tuple[int, int]:
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("hi", "lo") % F.lit(1_000_003)), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(edges: DataFrame, max_iter: int = MAX_ITER) -> DataFrame:
+    """edges(src bigint, dst bigint) -> (node bigint, component bigint).
+
+    component = min node id of the connected component. Singleton nodes
+    (no edges) are the caller's concern — union them with component=node.
+    """
+    e = _canon(edges).localCheckpoint()
+    sig = _signature(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        new_sig = _signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    members = e.select(F.col("hi").alias("node"), F.col("lo").alias("component"))
+    roots = e.select(F.col("lo").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return members.unionByName(roots).groupBy("node").agg(
+        F.min("component").alias("component")
+    )

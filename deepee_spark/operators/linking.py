@@ -1,0 +1,180 @@
+"""Entity linking: alias-dictionary scoring with MinHash/LSH-blocked
+fuzzy fallback (SURVEY.md §7.8; J12 lineage — the reference's missing
+``mid_vocabulary`` Freebase-mid lookup, DMCNN tensor_argument.py:21,28-35,
+generalized to a web-scale alias dictionary).
+
+Two paths, both DataFrame-native (no Python UDFs):
+  1. exact: SC6-normalized surface == alias, broadcast hash join
+  2. fuzzy (unmatched mentions only): character-3-gram MinHash signatures,
+     banded LSH join (B bands of R rows) to block candidate pairs, then
+     exact n-gram Jaccard verification and best-candidate selection with a
+     deterministic tie-break (jaccard desc, prior desc, entity_id asc).
+
+MinHash is computed with xxhash64(shingle, seed_i) — element-wise min per
+seed via groupBy, entirely in expressions. At corpus scale both sides of
+the LSH join are shuffled on the band key; mention-side skew is bounded
+because signatures of identical surfaces collide into the same buckets —
+we dedupe surfaces *before* the fuzzy join and re-expand after (surface-
+level memoization, the classic web-scale trick).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = N_HASHES // BANDS
+MIN_JACCARD = 0.5
+
+
+def normalize_surface(col):
+    """SC6: lower + digit-normalize (EEGCN data_utils.py:117-120)."""
+    return F.regexp_replace(F.lower(col), "[0-9]", "0")
+
+
+def char_ngrams(col, n: int = 3):
+    """Distinct character n-grams of a string column (array<string>)."""
+    padded = F.concat(F.lit("^"), col, F.lit("$"))
+    return F.array_distinct(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(padded) - n + 1, F.lit(1))),
+                lambda i: padded.substr(i, F.lit(n)),
+            ),
+            lambda g: F.length(g) == n,
+        )
+    )
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """-> (id_col, sig array<bigint> of N_HASHES mins)."""
+    grams = df.select(
+        id_col, F.explode(char_ngrams(F.col(text_col))).alias("gram")
+    )
+    hashed = grams.select(
+        id_col,
+        *[
+            F.xxhash64(F.col("gram"), F.lit(i)).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ],
+    )
+    agg = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(N_HASHES)]
+    )
+    return agg.select(
+        id_col, F.array(*[f"h{i}" for i in range(N_HASHES)]).alias("sig")
+    )
+
+
+def lsh_bands(sig_df: DataFrame, id_col: str) -> DataFrame:
+    """Explode a signature into (id, band, band_key) rows."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.element_at("sig", b * ROWS_PER_BAND + r + 1) for r in range(ROWS_PER_BAND)]
+                ).alias("band_key"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    return sig_df.select(id_col, F.explode(bands).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+def link_mentions(
+    mentions: DataFrame,
+    aliases: DataFrame,
+    fuzzy: bool = True,
+) -> DataFrame:
+    """mentions(mention_id, surface) x aliases(alias, entity_id, prior)
+    -> (mention_id, surface, entity_id, link_score, link_method).
+
+    Unlinkable mentions are dropped (NIL) — callers union them back if
+    they materialize NIL nodes.
+    """
+    m = mentions.withColumn("norm", normalize_surface(F.col("surface")))
+    a = aliases.withColumn("norm", normalize_surface(F.col("alias")))
+    # one best alias row per normalized alias string
+    a_best = (
+        a.groupBy("norm")
+        .agg(
+            F.max_by(
+                F.struct("entity_id", "prior"), F.struct("prior", "entity_id")
+            ).alias("best")
+        )
+        .select("norm", F.col("best.entity_id"), F.col("best.prior"))
+    )
+
+    exact = m.join(F.broadcast(a_best), "norm").select(
+        "mention_id",
+        "surface",
+        "entity_id",
+        F.col("prior").alias("link_score"),
+        F.lit("exact").alias("link_method"),
+    )
+    if not fuzzy:
+        return exact
+
+    unmatched = m.join(F.broadcast(a_best), "norm", "left_anti")
+    # surface-level memoization: fuzzy-link each distinct surface once
+    surf = unmatched.select(F.col("norm").alias("m_norm")).distinct()
+    if surf.isEmpty():
+        return exact
+
+    m_sig = minhash_signature(surf, "m_norm", "m_norm")
+    a_sig = minhash_signature(
+        a.select("norm").distinct().withColumnRenamed("norm", "a_norm"),
+        "a_norm",
+        "a_norm",
+    )
+    cand = (
+        lsh_bands(m_sig, "m_norm")
+        .join(lsh_bands(a_sig, "a_norm"), ["band", "band_key"])
+        .select("m_norm", "a_norm")
+        .distinct()
+    )
+    # verify with exact n-gram jaccard
+    verified = (
+        cand.withColumn("m_g", char_ngrams(F.col("m_norm")))
+        .withColumn("a_g", char_ngrams(F.col("a_norm")))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("m_g", "a_g"))
+            / F.size(F.array_union("m_g", "a_g")),
+        )
+        .filter(F.col("jaccard") >= MIN_JACCARD)
+        .join(a_best.withColumnRenamed("norm", "a_norm"), "a_norm")
+    )
+    best = (
+        verified.groupBy("m_norm")
+        .agg(
+            F.max_by(
+                F.struct("entity_id", "jaccard", "prior"),
+                F.struct(
+                    F.col("jaccard"),
+                    F.col("prior"),
+                    F.col("entity_id"),  # deterministic tie-break
+                ),
+            ).alias("best")
+        )
+        .select(
+            "m_norm",
+            F.col("best.entity_id"),
+            (F.col("best.jaccard") * F.col("best.prior")).alias("link_score"),
+        )
+    )
+    fuzzy_links = unmatched.join(
+        best, unmatched["norm"] == best["m_norm"]
+    ).select(
+        "mention_id",
+        "surface",
+        "entity_id",
+        "link_score",
+        F.lit("fuzzy").alias("link_method"),
+    )
+    return exact.unionByName(fuzzy_links)

@@ -1,0 +1,340 @@
+"""The KG-construction stage DAG (SURVEY.md §7):
+
+    documents -> extracted -> sentences -> triggers -> arguments
+              -> mentions -> linked -> canonical -> triples (+nodes/edges)
+
+Scale design (the part the reference, a single-GPU gallery, never had):
+  * documents are repartitioned once by xxhash64(url) before the heavy
+    kernel stages; every later stage inherits that uniform distribution —
+    trigger->argument is shuffle-free because argument candidates ride on
+    the trigger row (the reference's within-sentence trigger x entity
+    cross-product, JMEE ee.py:150-172, realized as an explode, SURVEY J6).
+  * the html binary column dies at `extracted`; later scans never touch it
+    (column pruning verified in tests via ReadSchema).
+  * linking joins are broadcast (alias dict is a dimension table);
+    mention-surface memoization bounds the fuzzy LSH join; AQE +
+    salted_join handle head-entity skew in canonicalization.
+  * every stage is an atomic snapshot with lineage columns + observed
+    counters; `run(resume=True)` skips stages whose latest snapshot
+    matches the input fingerprint (QAEE's materialized-intermediate
+    pattern — script_args_qa.sh reuses trigger_predictions.json — made
+    systematic).
+
+In production these tables are Iceberg with `days(warc_ts)` /
+`bucket(url)` partition transforms; the sandbox catalog emulates the
+commit semantics on parquet (sources/tables.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..extract import documents_stage
+from ..functions.featurize import featurize_sentences
+from ..kernels.bilstm import decode_roles
+from ..kernels.dmcnn import decode_triggers
+from ..ontology import (
+    ENTITY_GAZETTEER,
+    ID_TO_EVENT_TYPE,
+    ID_TO_ROLE,
+)
+from ..operators.components import connected_components
+from ..operators.linking import link_mentions, normalize_surface
+from ..segment import CUTOFF, sentences_stage
+from ..sources.tables import StageCatalog
+
+STAGES = [
+    "documents",
+    "extracted",
+    "sentences",
+    "triggers",
+    "arguments",
+    "linked",
+    "canonical",
+    "triples",
+]
+
+_TRIGGER_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("sent_id", T.IntegerType()),
+        T.StructField("trigger_pos", T.IntegerType()),
+        T.StructField("trigger", T.StringType()),
+        T.StructField("event_type_id", T.IntegerType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("score", T.FloatType()),
+        T.StructField("token_ids", T.ArrayType(T.IntegerType())),
+        T.StructField(
+            "mentions",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("pos", T.IntegerType()),
+                        T.StructField("surface", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+_ARG_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("sent_id", T.IntegerType()),
+        T.StructField("trigger_pos", T.IntegerType()),
+        T.StructField("trigger", T.StringType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("arg_pos", T.IntegerType()),
+        T.StructField("surface", T.StringType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("role_score", T.FloatType()),
+    ]
+)
+
+
+def _pad_matrix(seqs: pd.Series, length: int = CUTOFF) -> tuple[np.ndarray, np.ndarray]:
+    n = len(seqs)
+    ids = np.zeros((n, length), dtype=np.int64)
+    lengths = np.zeros(n, dtype=np.int64)
+    for i, s in enumerate(seqs):
+        arr = np.asarray(s[:length], dtype=np.int64)
+        ids[i, : len(arr)] = arr
+        lengths[i] = len(arr)
+    return ids, lengths
+
+
+def triggers_from_sentences(featurized: DataFrame) -> DataFrame:
+    """M1 kernel over featurized sentences -> trigger rows (argmax != O)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, lengths = _pad_matrix(pdf["token_ids"])
+            b, t, cls, score = decode_triggers(ids, lengths)
+            if len(b) == 0:
+                continue
+            base = pdf.iloc[b].reset_index(drop=True)
+            toks = [base["tokens"].iloc[i][int(t[i])] for i in range(len(b))]
+            yield pd.DataFrame(
+                {
+                    "url": base["url"],
+                    "warc_ts": base["warc_ts"],
+                    "sent_id": base["sent_id"].astype("int32"),
+                    "trigger_pos": t.astype("int32"),
+                    "trigger": toks,
+                    "event_type_id": cls.astype("int32"),
+                    "event_type": [ID_TO_EVENT_TYPE[int(c)] for c in cls],
+                    "score": score.astype("float32"),
+                    "token_ids": base["token_ids"],
+                    "mentions": base["mentions"],
+                }
+            )
+
+    return featurized.mapInPandas(run, schema=_TRIGGER_SCHEMA)
+
+
+def arguments_from_triggers(triggers: DataFrame) -> DataFrame:
+    """M2-analogue kernel: explode each trigger's candidate mentions (the
+    within-row cross-product, no shuffle) and score roles in batch."""
+    pairs = triggers.select(
+        "url",
+        "warc_ts",
+        "sent_id",
+        "trigger_pos",
+        "trigger",
+        "event_type",
+        "event_type_id",
+        "token_ids",
+        F.explode("mentions").alias("m"),
+    ).select(
+        "url",
+        "warc_ts",
+        "sent_id",
+        "trigger_pos",
+        "trigger",
+        "event_type",
+        "event_type_id",
+        "token_ids",
+        F.col("m.pos").alias("arg_pos"),
+        F.col("m.surface").alias("surface"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, lengths = _pad_matrix(pdf["token_ids"])
+            ev = pdf["event_type_id"].to_numpy(dtype=np.int64)
+            ap = pdf["arg_pos"].to_numpy(dtype=np.int64)
+            role_ids, scores = decode_roles(ids, lengths, ev, ap)
+            out = pdf[
+                [
+                    "url",
+                    "warc_ts",
+                    "sent_id",
+                    "trigger_pos",
+                    "trigger",
+                    "event_type",
+                    "arg_pos",
+                    "surface",
+                ]
+            ].copy()
+            out["role"] = [ID_TO_ROLE[int(r)] for r in role_ids]
+            out["role_score"] = scores.astype("float32")
+            yield out
+
+    return pairs.mapInPandas(run, schema=_ARG_SCHEMA)
+
+
+def alias_df(spark: SparkSession) -> DataFrame:
+    """Alias dimension table from the ontology gazetteer (J12 lineage)."""
+    rows = [
+        (alias, eid, 1.0) for alias, (_et, eid) in sorted(ENTITY_GAZETTEER.items())
+    ]
+    return spark.createDataFrame(rows, ["alias", "entity_id", "prior"])
+
+
+def mentions_from_arguments(arguments: DataFrame) -> DataFrame:
+    return arguments.select(
+        F.xxhash64("url", "sent_id", "arg_pos").alias("mention_id"),
+        "url",
+        "sent_id",
+        "arg_pos",
+        "surface",
+    ).distinct()
+
+
+def canonicalize(linked: DataFrame) -> DataFrame:
+    """Coreference edges: normalized-surface node <-> linked-entity node;
+    connected components collapse alias clusters; canonical id = the
+    lexicographically-min entity_id in the component (deterministic)."""
+    base = linked.select(
+        normalize_surface(F.col("surface")).alias("norm"), "entity_id"
+    ).distinct()
+    edges = base.select(
+        F.xxhash64(F.concat(F.lit("s:"), F.col("norm"))).alias("src"),
+        F.xxhash64(F.concat(F.lit("e:"), F.col("entity_id"))).alias("dst"),
+    )
+    comp = connected_components(edges)
+    ent_nodes = base.select("entity_id").distinct().withColumn(
+        "node", F.xxhash64(F.concat(F.lit("e:"), F.col("entity_id")))
+    )
+    rep = (
+        ent_nodes.join(comp, "node")
+        .groupBy("component")
+        .agg(F.min("entity_id").alias("canonical_id"))
+    )
+    return (
+        ent_nodes.join(comp, "node")
+        .join(rep, "component")
+        .select("entity_id", "canonical_id")
+    )
+
+
+def triples_from(arguments: DataFrame, linked: DataFrame, canonical: DataFrame) -> DataFrame:
+    """Final graph materialization: (url, subj, pred, obj, confidence).
+
+    subj = event-instance node 'EventType#url#sent_id' (one event per
+    sentence in the synthetic corpus; at web scale the trigger_pos joins
+    the id). Production partitioning: bucket(subj) + days(warc_ts).
+    """
+    m = mentions_from_arguments(arguments)
+    m_linked = m.join(
+        linked.select("mention_id", "entity_id"), "mention_id"
+    ).join(F.broadcast(canonical), "entity_id")
+    args_obj = arguments.join(
+        m_linked.select("url", "sent_id", "arg_pos", "canonical_id"),
+        ["url", "sent_id", "arg_pos"],
+    )
+    return args_obj.select(
+        "url",
+        F.concat_ws(
+            "#", F.col("event_type"), F.col("url"), F.col("sent_id").cast("string")
+        ).alias("subj"),
+        F.concat_ws(":", "event_type", "role").alias("pred"),
+        F.col("canonical_id").alias("obj"),
+        F.col("role_score").alias("confidence"),
+    ).groupBy("url", "subj", "pred", "obj").agg(
+        F.max("confidence").alias("confidence")
+    )
+
+
+class Pipeline:
+    """Runs the DAG against a documents DataFrame, checkpointing each
+    stage through a StageCatalog. ``resume=True`` skips current stages."""
+
+    def __init__(self, spark: SparkSession, catalog: StageCatalog, shuffle_parts: int | None = None):
+        self.spark = spark
+        self.catalog = catalog
+        self.shuffle_parts = shuffle_parts
+        self.ran: list[str] = []
+        self.skipped: list[str] = []
+
+    def _stage(self, name: str, fingerprint: str, build, resume: bool,
+               partition_by: list[str] | None = None) -> DataFrame:
+        if resume and self.catalog.is_current(name, fingerprint):
+            self.skipped.append(name)
+        else:
+            self.catalog.write(build(), name, fingerprint, partition_by)
+            self.ran.append(name)
+        return self.catalog.read(self.spark, name)
+
+    def run(self, documents: DataFrame, input_fingerprint: str, resume: bool = True) -> DataFrame:
+        fp = lambda s: f"{input_fingerprint}/{s}/v1"  # noqa: E731
+        cat, spark = self.catalog, self.spark
+
+        docs = self._stage("documents", fp("documents"), lambda: documents, resume)
+        n_parts = self.shuffle_parts or spark.sparkContext.defaultParallelism
+        extracted = self._stage(
+            "extracted",
+            fp("extracted"),
+            lambda: documents_stage(
+                docs.repartition(n_parts, F.xxhash64("url"))
+            ),
+            resume,
+        )
+        sentences = self._stage(
+            "sentences",
+            fp("sentences"),
+            lambda: featurize_sentences(sentences_stage(extracted)),
+            resume,
+        )
+        triggers = self._stage(
+            "triggers",
+            fp("triggers"),
+            lambda: triggers_from_sentences(sentences),
+            resume,
+        )
+        arguments = self._stage(
+            "arguments",
+            fp("arguments"),
+            lambda: arguments_from_triggers(triggers),
+            resume,
+        )
+        aliases = alias_df(spark)
+        linked = self._stage(
+            "linked",
+            fp("linked"),
+            lambda: link_mentions(mentions_from_arguments(arguments), aliases),
+            resume,
+        )
+        canonical = self._stage(
+            "canonical", fp("canonical"), lambda: canonicalize(linked), resume
+        )
+        triples = self._stage(
+            "triples",
+            fp("triples"),
+            lambda: triples_from(arguments, linked, canonical),
+            resume,
+        )
+        return triples

@@ -1,0 +1,61 @@
+"""SparkSession factory.
+
+Single place where scale-relevant knobs live. On a real cluster the same
+builder is driven by spark-submit conf; in the sandbox we run local[N].
+
+Design notes for 100 TB / 1000-executor scale:
+  * AQE on: runtime coalescing of small shuffle partitions and skew-join
+    splitting are the backstop for the skewed head-entity joins
+    (SURVEY.md §4.2-4.3).
+  * Arrow batch size capped so fixed-width feature arrays
+    (SenLen<=80 ints per row, SURVEY.md §7 "kernel memory") stay well
+    under executor memory per batch.
+  * shuffle.partitions defaults to the local core count in tests; on a
+    cluster it is set to ~2-3x total cores via submit conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ARROW_BATCH_ROWS = 4096
+
+
+def get_spark(
+    app_name: str = "deepee_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(ARROW_BATCH_ROWS),
+        )
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
