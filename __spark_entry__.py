@@ -1,38 +1,1256 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship event-extraction query (real DMCNN-style
+NumPy kernel over the documents table). ``queries()`` / ``oracle_sql()``
+cover the SURVEY.md §2 operator inventory pairwise against DuckDB.
+
+Cross-engine determinism rules used throughout (so value-hashes match):
+  * money/measures aggregated as integer cents/e4 units (BIGINT), never
+    float sums (double addition is order-sensitive under parallel agg)
+  * DuckDB ``sum(BIGINT)`` returns HUGEINT -> always CAST to BIGINT;
+    Spark side casts to long
+  * float outputs only from deterministic scalar arithmetic on exact
+    inputs (int divisions, ordered left-folds over arrays), then round()
+  * every top-k / argmax has a total-order tie-break on a unique key
+  * shared string hash: left fold (acc*31 + ascii(char)) % 1_000_000_007
+    — identical ordered fold in both dialects
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
+from deepee_spark.ontology import ROLE_RULE, TRIGGER_LEXICON
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+MOD = 1_000_000_007
+
+EN_STOP = ["the", "a", "of", "and", "in", "to"]
+
+# MinHash parameters (shared literals in both dialects)
+MINHASH_K = 8
+_MH = [((1103515245 * k + 12345) % MOD, (12345 * k + 1103515245) % MOD) for k in range(MINHASH_K)]
+
+SIMHASH_BITS = 16
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _lexicon_values() -> str:
+    rows = ", ".join(f"('{w}', '{t}')" for w, t in sorted(TRIGGER_LEXICON.items()))
+    return f"(VALUES {rows}) AS lex(word, lex_event_type)"
+
+
+def _role_rule_values() -> str:
+    rows = ", ".join(
+        f"('{ev}', '{et}', '{r}')" for (ev, et), r in sorted(ROLE_RULE.items())
+    )
+    return f"(VALUES {rows}) AS rr(event_type, entity_type, role)"
+
+
+def _stop_array_sql() -> str:
+    return "[" + ", ".join(f"'{w}'" for w in EN_STOP) + "]"
+
+
+# ---------------------------------------------------------------------------
+# shared column helpers (Spark side)
+# ---------------------------------------------------------------------------
+
+def _tokens(col="text"):
+    return F.filter(F.split(F.col(col), " "), lambda t: t != "")
+
+
+def _str_hash(col):
+    """Ordered left-fold rolling hash, identical to the DuckDB fold."""
+    return F.aggregate(
+        F.transform(F.split(col, ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % F.lit(MOD),
+    )
+
+
+def _dot(a, b, dim=64):
+    """Ordered-fold dot product over double-cast arrays (bit-deterministic)."""
+    prods = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double"),
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+_DOT_SQL = (
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (x, y) -> x + y)"
+)
+
+_HASH_SQL = (
+    "list_reduce(list_prepend(0::BIGINT, list_transform(string_split({col}, ''), "
+    "c -> ascii(c)::BIGINT)), (a, b) -> (a * 31 + b) % 1000000007)"
+)
+
+_TOKENS_SQL = "list_filter(string_split(text, ' '), t -> t != '')"
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: DMCNN-kernel event extraction over the sf0.001 documents
+    table -> event-type counts (SURVEY.md §7.2)."""
+    return _ee_trigger_counts(spark, SF_DEFAULT)
 
+
+def _ee_trigger_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real kernel path: tokenize -> vocab-id featurization (J1) ->
+    mapInPandas DMCNN trigger scorer -> argmax!=O -> counts."""
+    import numpy as np
+    import pandas as pd
+
+    from deepee_spark.functions.featurize import token_ids
+    from deepee_spark.kernels.dmcnn import decode_triggers
+    from deepee_spark.ontology import ID_TO_EVENT_TYPE
+    from deepee_spark.plans.pipeline import _pad_matrix
+
+    docs = _t(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id", F.slice(_tokens(), 1, 50).alias("tokens")
+    ).filter(F.size("tokens") >= 5)
+    feat = feat.withColumn("token_ids", token_ids(F.col("tokens")))
+
+    schema = T.StructType([T.StructField("event_type", T.StringType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, lengths = _pad_matrix(pdf["token_ids"])
+            _b, _t_, cls, _s = decode_triggers(ids, lengths)
+            yield pd.DataFrame(
+                {"event_type": [ID_TO_EVENT_TYPE[int(c)] for c in cls]}
+            )
+
+    hits = feat.mapInPandas(run, schema=schema)
+    return hits.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational core (TPC-H-flavored Catalyst checks)
+# ---------------------------------------------------------------------------
+
+def _q1(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-01")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc100 = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(cents).alias("sum_base_cents"),
+            F.sum(cents * (100 - disc100)).alias("revenue_e4"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+       COUNT(*) AS n_rows
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q5(spark, sf):
+    li, o = _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
+    c, s = _t(spark, sf, "customer"), _t(spark, sf, "supplier")
+    n, r = _t(spark, sf, "nation"), _t(spark, sf, "region")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc100 = F.round(F.col("l_discount") * 100).cast("long")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return j.groupBy("r_name", "n_name").agg(
+        F.sum(cents * (100 - disc100)).alias("revenue_e4"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+_Q5_SQL = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+       COUNT(*) AS n_rows
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def _q_top_orders(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc100 = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(cents * (100 - disc100)).alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q_TOP_ORDERS_SQL = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4
+FROM lineitem GROUP BY l_orderkey
+ORDER BY revenue_e4 DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# aggregations A*
+# ---------------------------------------------------------------------------
+
+def _a1_vocab(spark, sf):
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf, "documents")
+    counts = (
+        docs.select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = W.orderBy(F.desc("cnt"), F.asc("token"))  # exact A1 tie-break
+    return counts.withColumn("id", F.row_number().over(w).cast("long"))
+
+
+_A1_SQL = f"""
+WITH tok AS (SELECT unnest({_TOKENS_SQL}) AS token FROM documents),
+cnts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token)
+SELECT token, CAST(cnt AS BIGINT) AS cnt,
+       CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS BIGINT) AS id
+FROM cnts
+"""
+
+
+def _a2_bag_argmax(spark, sf):
+    ev = _t(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.withColumn("value_cents", cents)
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("event_id").alias("top_event_id"),
+                    F.col("event_type").alias("top_event_type"),
+                    F.col("value_cents").alias("top_value_cents"),
+                ),
+                F.struct(F.col("value_cents"), F.col("event_id")),
+            ).alias("b")
+        )
+        .select("user_id", "b.top_event_id", "b.top_event_type", "b.top_value_cents")
+    )
+
+
+_A2_SQL = """
+SELECT user_id, event_id AS top_event_id, event_type AS top_event_type,
+       CAST(ROUND(value*100) AS BIGINT) AS top_value_cents
+FROM events
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY user_id
+  ORDER BY CAST(ROUND(value*100) AS BIGINT) DESC, event_id DESC) = 1
+"""
+
+
+def _a3_prf(spark, sf):
+    ev = _t(spark, sf, "events")
+    agg = ev.agg(
+        F.sum(F.when(F.col("value") > 150, 1).otherwise(0)).cast("long").alias("n_pred"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).cast("long").alias("n_gold"),
+        F.sum(
+            F.when((F.col("value") > 150) & (F.col("event_type") == "purchase"), 1).otherwise(0)
+        ).cast("long").alias("n_correct"),
+    )
+    return agg.select(
+        "n_pred",
+        "n_gold",
+        "n_correct",
+        F.round(F.col("n_correct") / F.col("n_pred"), 6).alias("precision"),
+        F.round(F.col("n_correct") / F.col("n_gold"), 6).alias("recall"),
+        F.round(
+            2 * F.col("n_correct") / (F.col("n_pred") + F.col("n_gold")), 6
+        ).alias("f1"),
+    )
+
+
+_A3_SQL = """
+WITH c AS (
+  SELECT CAST(SUM(CASE WHEN value > 150 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_gold,
+         CAST(SUM(CASE WHEN value > 150 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+  FROM events)
+SELECT n_pred, n_gold, n_correct,
+       ROUND(n_correct / CAST(n_pred AS DOUBLE), 6) AS precision,
+       ROUND(n_correct / CAST(n_gold AS DOUBLE), 6) AS recall,
+       ROUND(2 * n_correct / CAST(n_pred + n_gold AS DOUBLE), 6) AS f1
+FROM c
+"""
+
+
+def _a7_weight(spark, sf):
+    docs = _t(spark, sf, "documents")
+    lex = F.array(*[F.lit(w) for w in sorted(TRIGGER_LEXICON)])
+    return docs.select(
+        "doc_id",
+        F.when(F.size(F.array_intersect(_tokens(), lex)) > 0, F.lit(5.0))
+        .otherwise(F.lit(1.0))
+        .alias("weight"),
+    )
+
+
+_A7_SQL = f"""
+SELECT doc_id,
+       CASE WHEN len(list_intersect({_TOKENS_SQL},
+            [{', '.join(repr(w) for w in sorted(TRIGGER_LEXICON))}])) > 0
+            THEN 5.0::DOUBLE ELSE 1.0::DOUBLE END AS weight
+FROM documents
+"""
+
+
+def _a8_maxlen(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.agg(
+        (F.max(F.size(_tokens())) + 12).cast("long").alias("max_len_plus_query")
+    )
+
+
+_A8_SQL = f"""
+SELECT CAST(MAX(len({_TOKENS_SQL})) + 12 AS BIGINT) AS max_len_plus_query
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# windows W*
+# ---------------------------------------------------------------------------
+
+def _w1_pr_curve(spark, sf):
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf, "events").select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("score_cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("gold"),
+    )
+    total_gold = ev.agg(F.sum("gold").cast("long").alias("tg"))
+    w = W.orderBy(F.desc("score_cents"), F.asc("event_id")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    curve = ev.withColumn("cum_correct", F.sum("gold").over(w).cast("long")).withColumn(
+        "rank",
+        F.row_number()
+        .over(W.orderBy(F.desc("score_cents"), F.asc("event_id")))
+        .cast("long"),
+    )
+    return (
+        curve.crossJoin(total_gold)
+        .filter(F.col("rank") % 100 == 0)
+        .select(
+            "rank",
+            "cum_correct",
+            F.round(F.col("cum_correct") / F.col("rank"), 6).alias("precision"),
+            F.round(F.col("cum_correct") / F.col("tg"), 6).alias("recall"),
+        )
+    )
+
+
+_W1_SQL = """
+WITH scored AS (
+  SELECT event_id, CAST(ROUND(value*100) AS BIGINT) AS score_cents,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS gold
+  FROM events),
+curve AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_cents DESC, event_id ASC) AS BIGINT) AS rank,
+         CAST(SUM(gold) OVER (ORDER BY score_cents DESC, event_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_correct
+  FROM scored),
+tg AS (SELECT CAST(SUM(gold) AS BIGINT) AS tg FROM scored)
+SELECT rank, cum_correct,
+       ROUND(cum_correct / CAST(rank AS DOUBLE), 6) AS precision,
+       ROUND(cum_correct / CAST(tg AS DOUBLE), 6) AS recall
+FROM curve, tg WHERE rank % 100 = 0
+"""
+
+
+def _w3_topk(spark, sf):
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf, "events")
+    w = W.partitionBy("event_type").orderBy(
+        F.desc(F.round(F.col("value") * 100).cast("long")), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "event_type",
+            "rank",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        )
+    )
+
+
+_W3_SQL = """
+SELECT event_type,
+       CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY CAST(ROUND(value*100) AS BIGINT) DESC, event_id ASC) AS BIGINT) AS rank,
+       event_id, CAST(ROUND(value*100) AS BIGINT) AS value_cents
+FROM events
+QUALIFY rank <= 5
+"""
+
+
+def _w4_fold(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.withColumn("fold", F.pmod(F.col("event_id"), F.lit(10)).cast("long"))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+    )
+
+
+_W4_SQL = """
+SELECT CAST(event_id % 10 AS BIGINT) AS fold, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY 1
+"""
+
+
+def _w5_thresh_sweep(spark, sf):
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf, "events").select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("score_cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("gold"),
+    )
+    tg = ev.agg(F.sum("gold").cast("long").alias("tg"))
+    w = W.orderBy(F.desc("score_cents"), F.asc("event_id"))
+    cum = (
+        ev.withColumn("n_pred", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "correct",
+            F.sum("gold")
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("long"),
+        )
+        .crossJoin(tg)
+        .withColumn(
+            "f1",
+            F.round(2 * F.col("correct") / (F.col("n_pred") + F.col("tg")), 6),
+        )
+    )
+    best = W.orderBy(F.desc("f1"), F.desc("score_cents"), F.asc("event_id"))
+    return (
+        cum.withColumn("rn", F.row_number().over(best))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("score_cents").alias("best_threshold_cents"),
+            F.col("f1").alias("best_f1"),
+        )
+    )
+
+
+_W5_SQL = """
+WITH scored AS (
+  SELECT event_id, CAST(ROUND(value*100) AS BIGINT) AS score_cents,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS gold
+  FROM events),
+tg AS (SELECT CAST(SUM(gold) AS BIGINT) AS tg FROM scored),
+cum AS (
+  SELECT score_cents, event_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY score_cents DESC, event_id ASC) AS BIGINT) AS n_pred,
+         CAST(SUM(gold) OVER (ORDER BY score_cents DESC, event_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS correct
+  FROM scored)
+SELECT score_cents AS best_threshold_cents,
+       ROUND(2 * correct / CAST(n_pred + tg AS DOUBLE), 6) AS best_f1
+FROM cum, tg
+ORDER BY best_f1 DESC, score_cents DESC, event_id ASC LIMIT 1
+"""
+
+
+def _j11_transitions(spark, sf):
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+_J11_SQL = """
+WITH t AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events)
+SELECT event_type, next_type, COUNT(*) AS n
+FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# joins J*
+# ---------------------------------------------------------------------------
+
+def _j1_vocab_lookup(spark, sf):
+    vocab = _a1_vocab(spark, sf).filter(F.col("id") <= 20)
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("token"))
+    joined = toks.join(F.broadcast(vocab.select("token", "id")), "token", "left")
+    return (
+        joined.withColumn("tid", F.coalesce(F.col("id"), F.lit(0)).cast("long"))
+        .groupBy("doc_id", "token", "tid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+_J1_SQL = f"""
+WITH tok_all AS (SELECT unnest({_TOKENS_SQL}) AS token FROM documents),
+cnts AS (SELECT token, COUNT(*) AS cnt FROM tok_all GROUP BY token),
+vocab AS (
+  SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS BIGINT) AS id
+  FROM cnts QUALIFY id <= 20),
+doc_tok AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS token
+  FROM documents WHERE doc_id < 50)
+SELECT d.doc_id, d.token, CAST(COALESCE(v.id, 0) AS BIGINT) AS tid, COUNT(*) AS n
+FROM doc_tok d LEFT JOIN vocab v ON d.token = v.token
+GROUP BY 1, 2, 3
+"""
+
+
+def _j9_interval(spark, sf):
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    )
+    return j.groupBy("o_orderpriority").agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+_J9_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+"""
+
+
+def _j10_intersection(spark, sf):
+    ev = _t(spark, sf, "events")
+    k = F.pmod(F.get_json_object("props", "$.k").cast("long"), F.lit(10))
+    pred = ev.filter(F.col("event_type") == "click").select(
+        "user_id", k.alias("bucket")
+    ).distinct()
+    gold = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", k.alias("bucket")
+    ).distinct()
+    return pred.join(gold, ["user_id", "bucket"]).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+
+
+_J10_SQL = """
+WITH pred AS (
+  SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS bucket
+  FROM events WHERE event_type = 'click'),
+gold AS (
+  SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS bucket
+  FROM events WHERE event_type = 'purchase')
+SELECT p.bucket, COUNT(*) AS n_common
+FROM pred p JOIN gold g ON p.user_id = g.user_id AND p.bucket = g.bucket
+GROUP BY 1
+"""
+
+
+def _j5_template_fanout(spark, sf):
+    lex = spark.createDataFrame(
+        sorted(TRIGGER_LEXICON.items()), ["word", "event_type"]
+    )
+    rr = spark.createDataFrame(
+        [(ev, et, r) for (ev, et), r in sorted(ROLE_RULE.items())],
+        ["event_type", "entity_type", "role"],
+    )
+    j = lex.join(rr, "event_type")
+    return j.select(
+        "word",
+        "event_type",
+        "entity_type",
+        "role",
+        F.concat(
+            F.lit("What is the "),
+            F.col("role"),
+            F.lit(" of the "),
+            F.col("event_type"),
+            F.lit(" triggered by ["),
+            F.col("word"),
+            F.lit("]?"),
+        ).alias("question"),
+    )
+
+
+_J5_SQL = f"""
+SELECT word, lex_event_type AS event_type, entity_type, role,
+       'What is the ' || role || ' of the ' || lex_event_type ||
+       ' triggered by [' || word || ']?' AS question
+FROM {_lexicon_values()}
+JOIN {_role_rule_values()} ON lex_event_type = rr.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# set ops / filters U*, F*
+# ---------------------------------------------------------------------------
+
+def _u1_union(spark, sf):
+    ev = _t(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    pos = ev.filter(F.col("event_type") == "purchase").select(
+        F.lit("pos").alias("part"), cents.alias("value_cents")
+    )
+    neg = ev.filter(F.col("event_type") == "click").select(
+        F.lit("neg").alias("part"), cents.alias("value_cents")
+    )
+    return pos.unionByName(neg).groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("value_cents").alias("sum_cents"),
+    )
+
+
+_U1_SQL = """
+WITH u AS (
+  SELECT 'pos' AS part, CAST(ROUND(value*100) AS BIGINT) AS value_cents
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT 'neg' AS part, CAST(ROUND(value*100) AS BIGINT) AS value_cents
+  FROM events WHERE event_type = 'click')
+SELECT part, COUNT(*) AS n, CAST(SUM(value_cents) AS BIGINT) AS sum_cents
+FROM u GROUP BY part
+"""
+
+
+def _u2_transfer(spark, sf):
+    o = _t(spark, sf, "orders")
+    conf = o.filter(F.col("o_totalprice") > 300)
+    qualified = o.filter(
+        (F.col("o_totalprice") <= 300)
+        & (F.col("o_totalprice") > 200)
+        & (F.col("o_orderstatus") == "F")
+    )
+    new_conf = conf.unionByName(qualified)
+    new_unconf = o.join(new_conf.select("o_orderkey"), "o_orderkey", "left_anti")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    a = new_conf.select(F.lit("conf").alias("part"), cents.alias("c"))
+    b = new_unconf.select(F.lit("unconf").alias("part"), cents.alias("c"))
+    return a.unionByName(b).groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("c").alias("sum_cents")
+    )
+
+
+_U2_SQL = """
+WITH new_conf AS (
+  SELECT * FROM orders WHERE o_totalprice > 300
+  UNION ALL
+  SELECT * FROM orders
+  WHERE o_totalprice <= 300 AND o_totalprice > 200 AND o_orderstatus = 'F'),
+new_unconf AS (
+  SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM new_conf)),
+u AS (
+  SELECT 'conf' AS part, CAST(ROUND(o_totalprice*100) AS BIGINT) AS c FROM new_conf
+  UNION ALL
+  SELECT 'unconf' AS part, CAST(ROUND(o_totalprice*100) AS BIGINT) AS c FROM new_unconf)
+SELECT part, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS sum_cents FROM u GROUP BY part
+"""
+
+
+def _u3_intersect(spark, sf):
+    ev = _t(spark, sf, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return a.intersect(b)
+
+
+_U3_SQL = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+def _f4_negative_cap(spark, sf):
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf, "events")
+    pos_cnt = ev.filter(F.col("event_type") == "purchase").agg(
+        F.count(F.lit(1)).cast("long").alias("p")
+    )
+    w = W.orderBy("ts", "event_id")
+    negs = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .crossJoin(pos_cnt)
+        .filter(F.col("rn") <= F.col("p"))  # reference uses 15x; m=1 bites here
+    )
+    return negs.select("event_id")
+
+
+_F4_SQL = """
+WITH p AS (SELECT CAST(COUNT(*) AS BIGINT) AS p FROM events WHERE event_type = 'purchase'),
+negs AS (
+  SELECT event_id, CAST(ROW_NUMBER() OVER (ORDER BY ts, event_id) AS BIGINT) AS rn
+  FROM events WHERE event_type = 'click')
+SELECT event_id FROM negs, p WHERE rn <= p.p
+"""
+
+
+# ---------------------------------------------------------------------------
+# scalar / array SC*
+# ---------------------------------------------------------------------------
+
+def _sc6_digit_norm(spark, sf):
+    c = _t(spark, sf, "customer")
+    return (
+        c.select(
+            F.regexp_replace(F.lower("c_name"), "[0-9]", "0").alias("norm_name")
+        )
+        .groupBy("norm_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+_SC6_SQL = """
+SELECT regexp_replace(lower(c_name), '[0-9]', '0', 'g') AS norm_name, COUNT(*) AS n
+FROM customer GROUP BY 1
+"""
+
+
+def _sc9_pad(spark, sf):
+    docs = _t(spark, sf, "documents")
+    padded = F.slice(
+        F.concat(_tokens(), F.array_repeat(F.lit("<PAD>"), 20)), 1, 20
+    )
+    return docs.select(
+        "doc_id",
+        F.size(padded).cast("long").alias("padded_len"),
+        F.element_at(padded, 1).alias("first_tok"),
+        F.element_at(padded, 20).alias("tok_20"),
+    )
+
+
+_SC9_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_slice(list_concat({_TOKENS_SQL},
+             list_transform(range(20), x -> '<PAD>')), 1, 20) AS padded
+  FROM documents)
+SELECT doc_id, CAST(len(padded) AS BIGINT) AS padded_len,
+       padded[1] AS first_tok, padded[20] AS tok_20
+FROM t
+"""
+
+
+def _sc10_relpos(spark, sf):
+    docs = _t(spark, sf, "documents")
+    n = F.least(F.size(_tokens()), F.lit(20))
+    anchor = F.pmod(F.col("doc_id"), F.lit(10))
+    rel = F.transform(
+        F.sequence(F.lit(0), n - 1), lambda i: i - anchor + F.lit(79)
+    )
+    return docs.select(
+        "doc_id",
+        F.aggregate(rel, F.lit(0).cast("long"), lambda a, x: a + x).alias("rel_sum"),
+        F.element_at(rel, 1).cast("long").alias("rel_first"),
+    )
+
+
+_SC10_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(range(0, least(len({_TOKENS_SQL}), 20)),
+                        i -> i - (doc_id % 10) + 79) AS rel
+  FROM documents)
+SELECT doc_id,
+       CAST(list_reduce(list_prepend(0, rel), (a, x) -> a + x) AS BIGINT) AS rel_sum,
+       CAST(rel[1] AS BIGINT) AS rel_first
+FROM t
+"""
+
+
+def _sc12_lexwin(spark, sf):
+    docs = _t(spark, sf, "documents")
+    toks = _tokens()
+    n = F.size(toks)
+    anchor = F.pmod(F.col("doc_id"), n).cast("int")  # 0-based anchor
+
+    def at(one_based):
+        return F.when(
+            (one_based >= 1) & (one_based <= n), F.element_at(toks, one_based)
+        ).otherwise(F.lit("<PAD>"))
+
+    return docs.select(
+        "doc_id",
+        at(anchor).alias("prev_tok"),
+        at(anchor + 1).alias("center_tok"),
+        at(anchor + 2).alias("next_tok"),
+    )
+
+
+_SC12_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks,
+         CAST(doc_id % len({_TOKENS_SQL}) AS BIGINT) AS anchor
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN anchor >= 1 AND anchor <= len(toks) THEN toks[anchor] ELSE '<PAD>' END AS prev_tok,
+       CASE WHEN anchor+1 >= 1 AND anchor+1 <= len(toks) THEN toks[anchor+1] ELSE '<PAD>' END AS center_tok,
+       CASE WHEN anchor+2 >= 1 AND anchor+2 <= len(toks) THEN toks[anchor+2] ELSE '<PAD>' END AS next_tok
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline ops: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+def _dedup_exact(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_md5"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+        )
+    )
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_md5, COUNT(*) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+def _minhash_sig(spark, sf):
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(_tokens())).alias("token")
+    )
+    h = _str_hash(F.col("token"))
+    hashed = toks.select(
+        "doc_id",
+        *[
+            ((F.lit(a) * h + F.lit(b)) % F.lit(MOD)).alias(f"m{k}")
+            for k, (a, b) in enumerate(_MH)
+        ],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"m{k}").alias(f"sig{k}") for k in range(MINHASH_K)]
+    )
+
+
+_MINHASH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS token FROM documents),
+hashed AS (
+  SELECT doc_id, {_HASH_SQL.format(col='token')} AS h FROM tok)
+SELECT doc_id,
+{', '.join(f'       CAST(MIN(({a}::BIGINT * h + {b}) % 1000000007) AS BIGINT) AS sig{k}' for k, (a, b) in enumerate(_MH))}
+FROM hashed GROUP BY doc_id
+"""
+
+
+def _simhash(spark, sf):
+    docs = _t(spark, sf, "documents")
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("token"))
+    h = _str_hash(F.col("token"))
+    bits = toks.select(
+        "doc_id",
+        *[
+            (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{j}")
+            for j in range(SIMHASH_BITS)
+        ],
+    )
+    agg = bits.groupBy("doc_id").agg(
+        *[F.sum(f"b{j}").alias(f"s{j}") for j in range(SIMHASH_BITS)]
+    )
+    sim = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+_SIMHASH_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents),
+hashed AS (SELECT doc_id, {_HASH_SQL.format(col='token')} AS h FROM tok),
+agg AS (
+  SELECT doc_id,
+{', '.join(f'         SUM(((h >> {j}) & 1) * 2 - 1) AS s{j}' for j in range(SIMHASH_BITS))}
+  FROM hashed GROUP BY doc_id)
+SELECT doc_id,
+       CAST({' + '.join(f'(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)' for j in range(SIMHASH_BITS))} AS BIGINT) AS simhash
+FROM agg
+"""
+
+
+def _ngram_jaccard(spark, sf):
+    docs = _t(spark, sf, "documents")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(_tokens()) - 2, F.lit(1))),
+            lambda i: F.concat_ws(
+                "_",
+                F.element_at(_tokens(), i),
+                F.element_at(_tokens(), i + 1),
+                F.element_at(_tokens(), i + 2),
+            ),
+        )
+    )
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / 100).cast("long").alias("bucket"),
+        sh.alias("shingles"),
+    ).filter(F.size(F.col("shingles")) >= 3)
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    jac = F.size(
+        F.array_intersect(F.col("a.shingles"), F.col("b.shingles"))
+    ) / F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(jac, 6).alias("jaccard"),
+    ).filter(F.col("jaccard") >= 0.03)
+
+
+_NGRAM_JACCARD_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, CAST(FLOOR(n_chars / 100) AS BIGINT) AS bucket,
+         list_distinct(list_transform(
+           range(1, greatest(len({_TOKENS_SQL}) - 2, 1) + 1),
+           i -> {_TOKENS_SQL}[i] || '_' || {_TOKENS_SQL}[i+1] || '_' || {_TOKENS_SQL}[i+2]
+         )) AS shingles
+  FROM documents),
+f AS (SELECT * FROM d WHERE len(shingles) >= 3)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(len(list_intersect(a.shingles, b.shingles)) /
+             CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE), 6) AS jaccard
+FROM f a JOIN f b
+  ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE ROUND(len(list_intersect(a.shingles, b.shingles)) /
+      CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE), 6) >= 0.03
+"""
+
+
+def _ann_cosine_topk(spark, sf):
+    from pyspark.sql import Window as W
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    pairs = q.crossJoin(c).filter(F.col("q_id") != F.col("c_id"))
+    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+        * F.sqrt(_dot(F.col("c_emb"), F.col("c_emb")))
+    )
+    scored = pairs.select("q_id", "c_id", F.round(cos, 6).alias("cosine"))
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "rank", "c_id", "cosine")
+    )
+
+
+_ANN_SQL = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+scored AS (
+  SELECT q_id, c_id,
+         ROUND({_DOT_SQL.format(a='q_emb', b='c_emb')} /
+               (sqrt({_DOT_SQL.format(a='q_emb', b='q_emb')}) *
+                sqrt({_DOT_SQL.format(a='c_emb', b='c_emb')})), 6) AS cosine
+  FROM q, c WHERE q_id != c_id)
+SELECT q_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS BIGINT) AS rank,
+       c_id, cosine
+FROM scored QUALIFY rank <= 3
+"""
+
+
+def _lsh_hyperplane(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    planes = 8
+
+    def rvec(p):
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda j: (
+                (F.lit(p) * 73856093 + j * 19349663) % F.lit(2000) - 1000
+            ).cast("double")
+            / 1000.0,
+        )
+
+    bucket = None
+    for p in range(planes):
+        d = _dot(F.col("embedding"), rvec(p))
+        bit = F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return (
+        emb.select(bucket.cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+_LSH_PLANE_TERM = (
+    "(CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), "
+    "j -> embedding[j]::DOUBLE * ((({p} * 73856093 + j * 19349663) % 2000 - 1000)::DOUBLE / 1000.0)"
+    ")), (x, y) -> x + y) > 0 THEN {bit} ELSE 0 END)"
+)
+_LSH_SQL = f"""
+WITH b AS (
+  SELECT CAST({' + '.join(_LSH_PLANE_TERM.format(p=p, bit=1 << p) for p in range(8))} AS BIGINT) AS bucket
+  FROM embeddings)
+SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket
+"""
+
+
+def _lang_id(spark, sf):
+    docs = _t(spark, sf, "documents")
+    stop = F.array(*[F.lit(w) for w in EN_STOP])
+    toks = _tokens()
+    ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))) / F.size(toks)
+    pred = F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("other"))
+    return docs.select("lang", pred.alias("pred_lang")).groupBy(
+        "lang", "pred_lang"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+_LANG_SQL = f"""
+WITH t AS (
+  SELECT lang,
+         CASE WHEN len(list_filter({_TOKENS_SQL},
+                  x -> list_contains({_stop_array_sql()}, x))) /
+              CAST(len({_TOKENS_SQL}) AS DOUBLE) >= 0.05
+              THEN 'en' ELSE 'other' END AS pred_lang
+  FROM documents)
+SELECT lang, pred_lang, COUNT(*) AS n FROM t GROUP BY 1, 2
+"""
+
+
+def _quality_score(spark, sf):
+    docs = _t(spark, sf, "documents")
+    toks = _tokens()
+    n = F.size(toks)
+    stop = F.array(*[F.lit(w) for w in EN_STOP])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    total_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    mean_len = F.round(total_chars / n, 6)
+    stop_ratio = F.round(n_stop / n, 6)
+    score = F.round(
+        0.01 * n.cast("double") + 0.1 * (total_chars / n) - 0.5 * (n_stop / n), 6
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        mean_len.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality"),
+    )
+
+
+_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+m AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(list_reduce(list_prepend(0::BIGINT, list_transform(toks, x -> length(x)::BIGINT)),
+              (a, b) -> a + b) AS BIGINT) AS total_chars,
+         CAST(len(list_filter(toks, x -> list_contains({_stop_array_sql()}, x))) AS BIGINT) AS n_stop
+  FROM t)
+SELECT doc_id, n_tokens,
+       ROUND(total_chars / CAST(n_tokens AS DOUBLE), 6) AS mean_token_len,
+       ROUND(n_stop / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
+       ROUND(0.01 * n_tokens + 0.1 * (total_chars / CAST(n_tokens AS DOUBLE))
+             - 0.5 * (n_stop / CAST(n_tokens AS DOUBLE)), 6) AS quality
+FROM m
+"""
+
+
+def _token_counts(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_tokens()).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+"), 0))
+        .cast("long")
+        .alias("re_tokens"),
+    )
+
+
+_TOKEN_COUNTS_SQL = f"""
+SELECT doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens
+FROM documents
+"""
+
+
+def _doc_fingerprint(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", _str_hash(F.col("text")).alias("fingerprint"))
+
+
+_FINGERPRINT_SQL = f"""
+SELECT doc_id, {_HASH_SQL.format(col='text')} AS fingerprint FROM documents
+"""
+
+
+_EE_TRIGGER_SQL = f"""
+WITH tok AS (
+  SELECT unnest(list_slice({_TOKENS_SQL}, 1, 50)) AS token
+  FROM documents WHERE len(list_slice({_TOKENS_SQL}, 1, 50)) >= 5)
+SELECT lex_event_type AS event_type, COUNT(*) AS n
+FROM tok JOIN {_lexicon_values()} ON token = word
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _q1,
+        "q5_nation_revenue": _q5,
+        "q_top_orders": _q_top_orders,
+        "a1_vocab_build": _a1_vocab,
+        "a2_bag_argmax": _a2_bag_argmax,
+        "a3_prf_counters": _a3_prf,
+        "a7_sample_weight": _a7_weight,
+        "a8_max_length": _a8_maxlen,
+        "w1_pr_curve": _w1_pr_curve,
+        "w3_topk_per_type": _w3_topk,
+        "w4_fold_slice": _w4_fold,
+        "w5_threshold_sweep": _w5_thresh_sweep,
+        "j1_vocab_lookup": _j1_vocab_lookup,
+        "j5_template_fanout": _j5_template_fanout,
+        "j9_interval_join": _j9_interval,
+        "j10_eval_intersection": _j10_intersection,
+        "j11_event_transitions": _j11_transitions,
+        "u1_union_posneg": _u1_union,
+        "u2_confidence_transfer": _u2_transfer,
+        "u3_intersect_users": _u3_intersect,
+        "f4_negative_cap": _f4_negative_cap,
+        "sc6_digit_normalize": _sc6_digit_norm,
+        "sc9_pad_truncate": _sc9_pad,
+        "sc10_relative_positions": _sc10_relpos,
+        "sc12_lexical_window": _sc12_lexwin,
+        "dedup_exact": _dedup_exact,
+        "dedup_minhash_signatures": _minhash_sig,
+        "dedup_simhash": _simhash,
+        "dedup_ngram_jaccard": _ngram_jaccard,
+        "ann_cosine_topk": _ann_cosine_topk,
+        "lsh_hyperplane_buckets": _lsh_hyperplane,
+        "text_lang_id": _lang_id,
+        "text_quality_score": _quality_score,
+        "text_token_counts": _token_counts,
+        "text_doc_fingerprint": _doc_fingerprint,
+        "ee_trigger_counts": _ee_trigger_counts,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _Q1_SQL,
+        "q5_nation_revenue": _Q5_SQL,
+        "q_top_orders": _Q_TOP_ORDERS_SQL,
+        "a1_vocab_build": _A1_SQL,
+        "a2_bag_argmax": _A2_SQL,
+        "a3_prf_counters": _A3_SQL,
+        "a7_sample_weight": _A7_SQL,
+        "a8_max_length": _A8_SQL,
+        "w1_pr_curve": _W1_SQL,
+        "w3_topk_per_type": _W3_SQL,
+        "w4_fold_slice": _W4_SQL,
+        "w5_threshold_sweep": _W5_SQL,
+        "j1_vocab_lookup": _J1_SQL,
+        "j5_template_fanout": _J5_SQL,
+        "j9_interval_join": _J9_SQL,
+        "j10_eval_intersection": _J10_SQL,
+        "j11_event_transitions": _J11_SQL,
+        "u1_union_posneg": _U1_SQL,
+        "u2_confidence_transfer": _U2_SQL,
+        "u3_intersect_users": _U3_SQL,
+        "f4_negative_cap": _F4_SQL,
+        "sc6_digit_normalize": _SC6_SQL,
+        "sc9_pad_truncate": _SC9_SQL,
+        "sc10_relative_positions": _SC10_SQL,
+        "sc12_lexical_window": _SC12_SQL,
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "dedup_minhash_signatures": _MINHASH_SQL,
+        "dedup_simhash": _SIMHASH_SQL,
+        "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "ann_cosine_topk": _ANN_SQL,
+        "lsh_hyperplane_buckets": _LSH_SQL,
+        "text_lang_id": _LANG_SQL,
+        "text_quality_score": _QUALITY_SQL,
+        "text_token_counts": _TOKEN_COUNTS_SQL,
+        "text_doc_fingerprint": _FINGERPRINT_SQL,
+        "ee_trigger_counts": _EE_TRIGGER_SQL,
+    }

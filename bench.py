@@ -1,0 +1,92 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] plus the KG pipeline
+documents->triples DAG on a generated corpus, and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "docs_per_sec": ..., "triples_per_sec": ...}
+
+Set BENCH_PIPELINE_DOCS to scale the pipeline corpus (default 4000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("BENCH_PIPELINE_DOCS", "4000"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entry
+    from deepee_spark.corpus import corpus_df
+    from deepee_spark.plans.pipeline import Pipeline
+    from deepee_spark.session import get_spark
+    from deepee_spark.sources.tables import StageCatalog
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    headline = [
+        "q1_pricing_summary",
+        "q5_nation_revenue",
+        "a1_vocab_build",
+        "a2_bag_argmax",
+        "w1_pr_curve",
+        "j9_interval_join",
+        "dedup_minhash_signatures",
+        "dedup_ngram_jaccard",
+        "ann_cosine_topk",
+        "text_quality_score",
+        "ee_trigger_counts",
+    ]
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+
+    # warm the JVM + parquet footers once (median-of-3 steady-state would
+    # triple wall time; warm-run single shot is the driver's protocol)
+    qs["q1_pricing_summary"](spark, sf_dir).count()
+
+    for name in headline:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    # KG pipeline: documents -> triples including stage checkpoints
+    docs = corpus_df(spark, n_docs)
+    with tempfile.TemporaryDirectory() as root:
+        cat = StageCatalog(root)
+        t0 = time.time()
+        triples = Pipeline(spark, cat).run(docs, f"bench:{n_docs}", resume=False)
+        n_triples = triples.count()
+        pipe_sec = time.time() - t0
+    timings["kg_pipeline"] = round(pipe_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries+kg_pipeline_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "pipeline_docs": n_docs,
+                "pipeline_triples": n_triples,
+                "docs_per_sec": round(n_docs / pipe_sec, 2),
+                "triples_per_sec": round(n_triples / pipe_sec, 2),
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

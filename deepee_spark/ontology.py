@@ -90,6 +90,8 @@ TRIGGER_LEXICON: dict[str, str] = {
     "bankruptcy": "Business:Declare-Bankruptcy",
     "dissolved": "Business:End-Org",
     "merged": "Business:Merge-Org",
+    "merge": "Business:Merge-Org",  # lemma; makes the driver's synthetic
+    # web-text documents table (TESTDATA.md) yield non-empty extractions
     "founded": "Business:Start-Org",
     "attacked": "Conflict:Attack",
     "bombing": "Conflict:Attack",

@@ -1,0 +1,139 @@
+"""Operator unit tests: A1 vocab, BIO algebra, CC, linking, skew, metrics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from deepee_spark.operators.bio import bio_merge_spans, iob2_valid, iob_to_iobes
+from deepee_spark.operators.components import connected_components
+from deepee_spark.operators.linking import link_mentions, minhash_signature
+from deepee_spark.operators.metrics import tuple_set_prf
+from deepee_spark.operators.skew import salted_join
+from deepee_spark.operators.vocab import build_vocab
+
+
+def test_vocab_tiebreak_exact(spark):
+    # b and a tie at 2 -> a before b (EEGCN data_utils.py:53 (-count, token))
+    df = spark.createDataFrame(
+        [(["b", "a", "c", "a", "b", "c"],), (["c",],)], ["tokens"]
+    )
+    rows = {r["token"]: (r["cnt"], r["id"]) for r in build_vocab(df).collect()}
+    assert rows["<PAD>"] == (0, 0)
+    assert rows["<UNK>"] == (0, 1)
+    assert rows["c"] == (3, 2)
+    assert rows["a"] == (2, 3)
+    assert rows["b"] == (2, 4)
+
+
+def test_iob2_valid(spark):
+    df = spark.createDataFrame(
+        [
+            (["O", "B-X", "I-X", "O"], True),
+            (["I-X"], False),  # I without B
+            (["B-X", "I-Y"], False),  # type switch inside span
+            (["Z-X"], False),  # bad prefix
+        ],
+        ["tags", "want"],
+    )
+    got = df.select(iob2_valid(F.col("tags")).alias("ok"), "want").collect()
+    for r in got:
+        assert r["ok"] == r["want"]
+
+
+def test_iob_to_iobes(spark):
+    df = spark.createDataFrame(
+        [(["B-X", "I-X", "I-X", "O", "B-Y", "B-Z", "I-Z"],)], ["tags"]
+    )
+    out = df.select(iob_to_iobes(F.col("tags")).alias("o")).collect()[0]["o"]
+    assert out == ["B-X", "I-X", "E-X", "O", "S-Y", "B-Z", "E-Z"]
+
+
+def test_bio_merge_spans(spark):
+    df = spark.createDataFrame(
+        [
+            (1, ["O", "B-A", "I-A", "O", "B-B"]),
+            (2, ["I-A", "I-B", "I-B"]),  # promote I->B; type change closes
+            (3, ["O", "O"]),
+        ],
+        ["id", "tags"],
+    )
+    out = {
+        r["id"]: [(s["start"], s["end"], s["etype"]) for s in r["spans"]]
+        for r in df.select("id", bio_merge_spans(F.col("tags")).alias("spans")).collect()
+    }
+    assert out[1] == [(1, 3, "A"), (4, 5, "B")]
+    assert out[2] == [(0, 1, "A"), (1, 3, "B")]
+    assert out[3] == []
+
+
+def test_connected_components_shapes(spark):
+    # chain 1-2-3-4, hub 10-{11..15}, singleton edge 20-21
+    edges = [(1, 2), (2, 3), (3, 4)] + [(10, k) for k in range(11, 16)] + [(20, 21)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    comp = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert {comp[n] for n in (1, 2, 3, 4)} == {1}
+    assert {comp[n] for n in range(10, 16)} == {10}
+    assert comp[20] == comp[21] == 20
+
+
+def test_connected_components_4hop_converges(spark):
+    edges = [(i, i + 1) for i in range(100, 105)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    comp = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert set(comp.values()) == {100}
+    assert len(comp) == 6
+
+
+def test_linking_exact_and_fuzzy(spark):
+    mentions = spark.createDataFrame(
+        [(1, "Washington"), (2, "washingtan"), (3, "qqqqzzz"), (4, "Beijing99")],
+        ["mention_id", "surface"],
+    )
+    aliases = spark.createDataFrame(
+        [("washington", "E:gpe.washington", 1.0), ("beijing00", "E:gpe.beijing", 0.9)],
+        ["alias", "entity_id", "prior"],
+    )
+    got = {r["mention_id"]: (r["entity_id"], r["link_method"])
+           for r in link_mentions(mentions, aliases).collect()}
+    assert got[1] == ("E:gpe.washington", "exact")
+    assert got[4] == ("E:gpe.beijing", "exact")  # digit-normalized (SC6)
+    assert got[2][0] == "E:gpe.washington" and got[2][1] == "fuzzy"  # typo
+    assert 3 not in got  # NIL dropped
+
+
+def test_minhash_signature_deterministic(spark):
+    df = spark.createDataFrame([("abcdef",), ("abcdef",)], ["s"]).withColumn(
+        "id", F.monotonically_increasing_id()
+    )
+    sig = minhash_signature(df, "id", "s").collect()
+    assert sig[0]["sig"] == sig[1]["sig"]
+    assert len(sig[0]["sig"]) == 16
+
+
+def test_salted_join_matches_plain_join(spark):
+    fact = spark.createDataFrame(
+        [(i, "k%d" % (i % 3)) for i in range(100)], ["row_id", "key"]
+    )
+    dim = spark.createDataFrame(
+        [("k0", "a"), ("k1", "b"), ("k2", "c")], ["key", "val"]
+    )
+    plain = set(
+        (r["row_id"], r["val"]) for r in fact.join(dim, "key").collect()
+    )
+    salted = set(
+        (r["row_id"], r["val"])
+        for r in salted_join(fact, dim, "key", "row_id", k=4).collect()
+    )
+    assert salted == plain
+
+
+def test_tuple_set_prf_conventions(spark):
+    pred = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    gold = spark.createDataFrame([(1, "a"), (3, "c")], ["k", "v"])
+    m = tuple_set_prf(pred, gold, ["k", "v"])
+    assert m["n_correct"] == 1 and m["precision"] == 0.5 and m["recall"] == 0.5
+    empty = pred.filter("k > 99")
+    m2 = tuple_set_prf(empty, gold, ["k", "v"])
+    assert m2["precision"] == 1.0  # MOGANED utils.py:50-53 convention
+    m3 = tuple_set_prf(empty, gold, ["k", "v"], empty_pred_precision=0.0)
+    assert m3["precision"] == 0.0  # QAEE run_trigger_qa.py:263-266 convention
