@@ -23,10 +23,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-N_HASHES = 16
-BANDS = 4
+# banding tuned for the alias-typo regime (target J >= ~0.45): 16 bands of
+# 2 rows catch J=0.45 pairs w.p. ~0.98; the exact-Jaccard verify step
+# prunes the extra false candidates the short bands admit.
+N_HASHES = 32
+BANDS = 16
 ROWS_PER_BAND = N_HASHES // BANDS
-MIN_JACCARD = 0.5
+MIN_JACCARD = 0.4
 
 
 def normalize_surface(col):

@@ -1,0 +1,94 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All whole-stage-codegen expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import str_hash
+
+EN_STOPWORDS = ["the", "a", "of", "and", "in", "to", "is", "was", "on", "for"]
+ZH_HINT_RANGE = ("一", "鿿")
+
+
+def tokens_of(col):
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+def stopword_ratio(tokens, stopwords: list[str] | None = None):
+    stop = F.array(*[F.lit(w) for w in (stopwords or EN_STOPWORDS)])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(stop, t))) / F.size(
+        tokens
+    )
+
+
+def cjk_ratio(text):
+    """Share of CJK codepoints — the n-gram-free zh/en discriminator."""
+    chars = F.split(text, "")
+    is_cjk = F.filter(
+        chars, lambda c: (c >= F.lit(ZH_HINT_RANGE[0])) & (c <= F.lit(ZH_HINT_RANGE[1]))
+    )
+    return F.size(is_cjk) / F.greatest(F.length(text), F.lit(1))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: CJK ratio -> zh; stopword ratio -> en; else
+    other. Adds ``pred_lang``."""
+    toks = tokens_of(F.col(text_col))
+    pred = (
+        F.when(cjk_ratio(F.col(text_col)) > 0.2, F.lit("zh"))
+        .when(stopword_ratio(toks) >= 0.05, F.lit("en"))
+        .otherwise(F.lit("other"))
+    )
+    return df.withColumn("pred_lang", pred)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_tokens, mean_token_len, stopword_ratio, punct_ratio, quality."""
+    toks = tokens_of(F.col(text_col))
+    n = F.size(toks)
+    total_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    out = (
+        df.withColumn("n_tokens", n.cast("long"))
+        .withColumn("mean_token_len", F.round(total_chars / n, 6))
+        .withColumn("stopword_ratio", F.round(stopword_ratio(toks), 6))
+        .withColumn(
+            "punct_ratio", F.round(punct / F.greatest(F.length(text_col), F.lit(1)), 6)
+        )
+    )
+    return out.withColumn(
+        "quality",
+        F.round(
+            0.01 * F.col("n_tokens")
+            + 0.1 * F.col("mean_token_len")
+            - 0.5 * F.col("stopword_ratio")
+            - 2.0 * F.col("punct_ratio"),
+            6,
+        ),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex piece count."""
+    return df.withColumn(
+        "ws_tokens", F.size(tokens_of(F.col(text_col))).cast("long")
+    ).withColumn(
+        "re_tokens",
+        F.size(
+            F.regexp_extract_all(
+                text_col, F.lit(r"[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]"), 0
+            )
+        ).cast("long"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rolling-hash document fingerprint (deterministic, partition-stable)."""
+    return df.withColumn("fingerprint", str_hash(F.col(text_col)))

@@ -1,0 +1,64 @@
+"""Incremental document ingest via Structured Streaming.
+
+The reference is all-batch (SURVEY.md §2.11), and the batch DAG's resume
+path is snapshot-based. For *continuously arriving* crawl data the same
+stateless stages (extract -> segment -> featurize -> trigger kernel ->
+argument kernel) compose directly onto ``readStream``: every operator in
+that prefix is row-local, so micro-batches need no state store and
+exactly-once falls out of the file-source + checkpointLocation contract.
+
+Canonicalization (iterative CC) is NOT streamed — it needs a global view;
+the production design runs the stream to the ``arguments`` table and a
+periodic batch job folds new mentions into the canonical graph
+(the reference's confident/unconfident incremental-rewrite pattern,
+AD-DMBERT BERT/dataset.py:121-154, at table granularity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..corpus import DOC_SCHEMA
+from ..extract import documents_stage
+from ..functions.featurize import featurize_sentences
+from ..plans.pipeline import arguments_from_triggers, triggers_from_sentences
+from ..segment import sentences_stage
+
+
+def stream_documents(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream of documents parquet drops."""
+    return (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+
+
+def stream_arguments(docs_stream: DataFrame) -> DataFrame:
+    """documents stream -> argument rows (triggers x mentions), stateless."""
+    extracted = documents_stage(docs_stream)
+    sentences = featurize_sentences(sentences_stage(extracted))
+    triggers = triggers_from_sentences(sentences)
+    return arguments_from_triggers(triggers)
+
+
+def run_stream(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Start (and optionally drain) the ingest stream -> parquet sink."""
+    args = stream_arguments(stream_documents(spark, source_dir))
+    writer = (
+        args.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

@@ -12,7 +12,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def spark():
     from deepee_spark.session import get_spark
 
-    s = get_spark("pytest", master="local[4]", shuffle_partitions=4)
+    s = get_spark("pytest", master="local[8]", shuffle_partitions=8)
     yield s
 
 

@@ -1,0 +1,101 @@
+"""Dedup / similarity / textstats operator tests."""
+
+from __future__ import annotations
+
+from deepee_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_dup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from deepee_spark.operators.similarity import brute_force_topk, lsh_bucket_topk
+from deepee_spark.operators.textstats import lang_id, quality_features, token_counts
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy cat", "en"),  # near-dup of 1
+        (3, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 1
+        (4, "completely different text about market reports today", "en"),
+        (5, "天气晴朗市场平稳数据显示增长缓慢情况良好继续保持", "zh"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    from pyspark.sql import functions as F
+
+    return df.withColumn("tokens", F.split("text", " "))
+
+
+def test_exact_duplicates(spark):
+    out = exact_duplicates(_docs(spark), "doc_id", "text").collect()
+    dup = [r for r in out if r["n_docs"] == 2]
+    assert len(dup) == 1 and dup[0]["keep_id"] == 1
+
+
+def test_minhash_identical_signatures(spark):
+    sigs = {r["doc_id"]: tuple(r[f"sig{i}"] for i in range(8))
+            for r in minhash_signatures(_docs(spark), "doc_id", "tokens").collect()}
+    assert sigs[1] == sigs[3]
+    common_near = sum(a == b for a, b in zip(sigs[1], sigs[2]))
+    common_far = sum(a == b for a, b in zip(sigs[1], sigs[4]))
+    assert common_near >= 2  # J=0.8 pair shares minima...
+    assert common_far == 0  # ...disjoint docs share none
+    assert sigs[1] != sigs[4]
+
+
+def test_minhash_dup_pairs(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in minhash_dup_pairs(_docs(spark), "doc_id", "tokens",
+                                        min_jaccard=0.5).collect()}
+    assert (1, 3) in pairs and pairs[(1, 3)] == 1.0
+    assert (1, 2) in pairs and 0.6 < pairs[(1, 2)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_near_dups_close(spark):
+    h = {r["doc_id"]: r["simhash"] for r in simhash(_docs(spark), "doc_id", "tokens").collect()}
+    assert h[1] == h[3]
+    hamming = bin(h[1] ^ h[2]).count("1")
+    assert hamming <= 6
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(_docs(spark), "doc_id", "tokens",
+                                          ["lang"], min_jaccard=0.3).collect()}
+    assert (1, 3) in pairs and pairs[(1, 3)] == 1.0
+    assert (1, 2) in pairs
+
+
+def test_brute_force_and_lsh_topk(spark):
+    import math
+
+    rows = []
+    for i in range(40):
+        base = [math.sin(0.7 * (i % 4) + 0.13 * j) for j in range(8)]
+        rows.append((i, [v + 0.001 * i for v in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 2")
+    exact = brute_force_topk(q, df, "vec_id", "embedding", dim=8, k=3)
+    got = {(r["q_id"], r["rank"]): r["c_id"] for r in exact.collect()}
+    assert len(got) == 6
+    # nearest neighbours of vec 0 come from the same residue class (i%4==0)
+    assert all(c % 4 == 0 for (qid, _), c in got.items() if qid == 0)
+
+    approx = lsh_bucket_topk(q, df, "vec_id", "embedding", dim=8, k=3)
+    agot = {(r["q_id"], r["rank"]): r["c_id"] for r in approx.collect()}
+    # multi-probe LSH recovers the exact top-1 for each query
+    for qid in (0, 1):
+        assert agot[(qid, 1)] == got[(qid, 1)]
+
+
+def test_textstats(spark):
+    df = _docs(spark)
+    lid = {r["doc_id"]: r["pred_lang"] for r in lang_id(df).collect()}
+    assert lid[1] == "en" and lid[5] == "zh"
+    q = {r["doc_id"]: r for r in quality_features(df).collect()}
+    assert q[1]["n_tokens"] == 9
+    assert q[1]["stopword_ratio"] > 0.2
+    t = {r["doc_id"]: r for r in token_counts(df).collect()}
+    assert t[1]["ws_tokens"] == 9 and t[1]["re_tokens"] == 9

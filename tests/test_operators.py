@@ -107,7 +107,9 @@ def test_minhash_signature_deterministic(spark):
     )
     sig = minhash_signature(df, "id", "s").collect()
     assert sig[0]["sig"] == sig[1]["sig"]
-    assert len(sig[0]["sig"]) == 16
+    from deepee_spark.operators.linking import N_HASHES
+
+    assert len(sig[0]["sig"]) == N_HASHES
 
 
 def test_salted_join_matches_plain_join(spark):

@@ -1,6 +1,13 @@
-"""End-to-end DAG: triple agreement, resume, determinism, column pruning."""
+"""End-to-end DAG: triple agreement, resume, determinism, column pruning.
+
+One 80-doc pipeline run is shared by the read-only assertions (module
+fixture); the mutating resume tests run against their own catalogs with a
+smaller corpus.
+"""
 
 from __future__ import annotations
+
+import pytest
 
 from deepee_spark.corpus import corpus_df, gold_triples_df
 from deepee_spark.operators.metrics import tuple_set_prf
@@ -11,10 +18,17 @@ N_DOCS = 80
 KEYS = ["url", "subj", "pred", "obj"]
 
 
-def test_end_to_end_triple_agreement(spark, catalog):
+@pytest.fixture(scope="module")
+def main_run(spark, tmp_path_factory):
+    cat = StageCatalog(str(tmp_path_factory.mktemp("cat")))
     docs = corpus_df(spark, N_DOCS)
-    pipe = Pipeline(spark, catalog)
-    triples = pipe.run(docs, f"corpus:{N_DOCS}", resume=False)
+    pipe = Pipeline(spark, cat)
+    triples = pipe.run(docs, f"corpus:{N_DOCS}", resume=True)
+    return cat, pipe, triples
+
+
+def test_end_to_end_triple_agreement(spark, main_run):
+    _cat, _pipe, triples = main_run
     gold = gold_triples_df(spark, N_DOCS)
     m = tuple_set_prf(triples, gold, KEYS)
     assert m["n_gold"] > 50
@@ -22,54 +36,43 @@ def test_end_to_end_triple_agreement(spark, catalog):
     assert m["precision"] == 1.0 and m["recall"] == 1.0  # constructed weights
 
 
-def test_resume_skips_completed_stages(spark, tmp_path):
-    root = str(tmp_path / "cat")
-    docs = corpus_df(spark, 30)
-    p1 = Pipeline(spark, StageCatalog(root))
-    t1 = p1.run(docs, "corpus:30", resume=True)
-    n1 = t1.count()
-    assert p1.skipped == []
-
-    p2 = Pipeline(spark, StageCatalog(root))
-    t2 = p2.run(docs, "corpus:30", resume=True)
+def test_resume_skips_completed_stages(spark, main_run):
+    cat, first, t1 = main_run
+    assert first.skipped == []
+    p2 = Pipeline(spark, StageCatalog(cat.root))
+    t2 = p2.run(corpus_df(spark, N_DOCS), f"corpus:{N_DOCS}", resume=True)
     assert p2.ran == [] and len(p2.skipped) == 8
-    assert t2.count() == n1
-
-    # changed fingerprint -> full recompute
-    p3 = Pipeline(spark, StageCatalog(root))
-    p3.run(docs, "corpus:30/v2", resume=True)
-    assert p3.skipped == []
+    assert t2.count() == t1.count()
 
 
-def test_partial_resume_after_kill(spark, tmp_path):
-    """Kill after stage N (drop later tables), rerun: earlier stages skipped."""
-    root = str(tmp_path / "cat")
-    docs = corpus_df(spark, 30)
-    cat = StageCatalog(root)
-    Pipeline(spark, cat).run(docs, "corpus:30", resume=True)
-    for stage in ["arguments", "linked", "canonical", "triples"]:
-        cat.drop(stage)
-    p = Pipeline(spark, StageCatalog(root))
-    p.run(docs, "corpus:30", resume=True)
-    assert set(p.skipped) == {"documents", "extracted", "sentences", "triggers"}
-    assert set(p.ran) == {"arguments", "linked", "canonical", "triples"}
-
-
-def test_lineage_columns_stamped(spark, catalog):
-    docs = corpus_df(spark, 20)
-    pipe = Pipeline(spark, catalog)
-    pipe.run(docs, "corpus:20", resume=False)
-    sent = catalog.read(spark, "sentences")
+def test_lineage_columns_stamped(spark, main_run):
+    cat, _pipe, _t = main_run
+    sent = cat.read(spark, "sentences")
     assert {"_run_id", "_stage", "_part_id"} <= set(sent.columns)
     assert sent.select("_stage").distinct().collect()[0][0] == "sentences"
 
 
-def test_html_binary_dies_at_extracted(spark, catalog):
-    """The html column must not survive past the extraction stage (scan
-    width at 100 TB is dominated by it)."""
-    docs = corpus_df(spark, 20)
-    pipe = Pipeline(spark, catalog)
-    pipe.run(docs, "corpus:20", resume=False)
+def test_html_binary_dies_at_extracted(spark, main_run):
+    """The html column must not survive past extraction (scan width at
+    100 TB is dominated by it)."""
+    cat, _pipe, _t = main_run
     for stage in ["extracted", "sentences", "triggers", "arguments", "triples"]:
-        cols = catalog.read(spark, stage).columns
+        cols = cat.read(spark, stage).columns
         assert "html" not in cols, stage
+
+
+def test_partial_resume_after_kill(spark, tmp_path):
+    """Kill after stage N (drop later tables), rerun: earlier stages
+    skipped, later recomputed (BASELINE.md §2 resumability)."""
+    root = str(tmp_path / "cat")
+    docs = corpus_df(spark, 20)
+    cat = StageCatalog(root)
+    t1 = Pipeline(spark, cat).run(docs, "corpus:20", resume=True)
+    n1 = t1.count()
+    for stage in ["arguments", "linked", "canonical", "triples"]:
+        cat.drop(stage)
+    p = Pipeline(spark, StageCatalog(root))
+    t2 = p.run(docs, "corpus:20", resume=True)
+    assert set(p.skipped) == {"documents", "extracted", "sentences", "triggers"}
+    assert set(p.ran) == {"arguments", "linked", "canonical", "triples"}
+    assert t2.count() == n1
