@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from deepee_spark.ontology import ROLE_RULE, TRIGGER_LEXICON
+from deepee_spark.ontology import ENTITY_GAZETTEER, ROLE_RULE, TRIGGER_LEXICON
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 MOD = 1_000_000_007
@@ -937,39 +937,57 @@ FROM agg
 
 def _ngram_jaccard(spark, sf):
     docs = _t(spark, sf, "documents")
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(_tokens()) - 2, F.lit(1))),
-            lambda i: F.concat_ws(
-                "_",
-                F.element_at(_tokens(), i),
-                F.element_at(_tokens(), i + 1),
-                F.element_at(_tokens(), i + 2),
-            ),
-        )
-    )
-    d = docs.select(
+    # materialize the token array ONCE per doc; referencing `toks` inside the
+    # transform lambda is an array lookup, not a re-tokenization (the inline
+    # _tokens() variant re-split the whole text per shingle position: O(L^2))
+    toked = docs.select(
         "doc_id",
         "lang",
         F.floor(F.col("n_chars") / 100).cast("long").alias("bucket"),
+        _tokens().alias("toks"),
+    )
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(1))),
+            lambda i: F.concat_ws(
+                "_",
+                F.element_at(F.col("toks"), i),
+                F.element_at(F.col("toks"), i + 1),
+                F.element_at(F.col("toks"), i + 2),
+            ),
+        )
+    )
+    d = toked.select(
+        "doc_id",
+        "lang",
+        "bucket",
         sh.alias("shingles"),
     ).filter(F.size(F.col("shingles")) >= 3)
-    a = d.alias("a")
+    # Only ~|langs x buckets| distinct join keys, so a shuffle join would run
+    # on that few tasks; instead spread the probe side wide and broadcast the
+    # build side (the banded table is tiny relative to the corpus it indexes).
+    # At true corpus scale the all-pairs-within-band check is only ever run
+    # AFTER MinHash/LSH candidate pruning (dedup_minhash_signatures) — this
+    # query is the exact-verify stage of that pair.
+    nparts = max(spark.sparkContext.defaultParallelism * 2, 8)
+    a = d.repartition(nparts).alias("a")
     b = d.alias("b")
     pairs = a.join(
-        b,
+        F.broadcast(b),
         (F.col("a.lang") == F.col("b.lang"))
         & (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
-    jac = F.size(
-        F.array_intersect(F.col("a.shingles"), F.col("b.shingles"))
-    ) / F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
-    return pairs.select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.round(jac, 6).alias("jaccard"),
-    ).filter(F.col("jaccard") >= 0.03)
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.03)
+    )
 
 
 _NGRAM_JACCARD_SQL = f"""
@@ -1171,6 +1189,479 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# sequence-labeling operator family (S4 / SC2 / SC3 / A4; EEGCN+JMEE lineage)
+#
+# Tags are synthesized deterministically from the shared fold hash so both
+# dialects derive the identical IOB stream:  h%5==0 -> B-E, h%5==1 -> I-E,
+# else O.  The "pred" stream for A4 demotes tags where (h*7)%11==0 -> O.
+# ---------------------------------------------------------------------------
+
+TOK_CAP = 30  # bound per-doc token stream for the labeling family
+
+
+def _tok_pos(docs, cap: int = TOK_CAP):
+    """(doc_id, pos 1-based, token) exploded token stream."""
+    return docs.select(
+        "doc_id", F.posexplode(F.slice(_tokens(), 1, cap)).alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+
+
+_TOK_POS_SQL = f"""
+  SELECT doc_id, u.pos, u.tok AS token FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(list_slice({_TOKENS_SQL}, 1, {TOK_CAP}))+1),
+                  i -> {{'pos': i, 'tok': list_slice({_TOKENS_SQL}, 1, {TOK_CAP})[i]}})) AS u
+    FROM documents)
+"""
+
+
+def _with_tags(tp):
+    """Attach the synthetic IOB tag + demoted pred tag (shared rule)."""
+    h = _str_hash(F.col("token"))
+    tag = (
+        F.when(h % 5 == 0, F.lit("B-E"))
+        .when(h % 5 == 1, F.lit("I-E"))
+        .otherwise(F.lit("O"))
+    )
+    demote = (h * 7) % 11 == 0
+    return tp.select(
+        "doc_id",
+        "pos",
+        "token",
+        tag.alias("tag"),
+        F.when(demote, F.lit("O")).otherwise(tag).alias("ptag"),
+    )
+
+
+_TAGS_SQL = f"""
+  SELECT doc_id, pos, token,
+         CASE WHEN h % 5 = 0 THEN 'B-E' WHEN h % 5 = 1 THEN 'I-E' ELSE 'O' END AS tag,
+         CASE WHEN (h * 7) % 11 = 0 THEN 'O'
+              ELSE CASE WHEN h % 5 = 0 THEN 'B-E' WHEN h % 5 = 1 THEN 'I-E' ELSE 'O' END
+         END AS ptag
+  FROM (SELECT doc_id, pos, token, {_HASH_SQL.format(col='token')} AS h
+        FROM ({_TOK_POS_SQL}))
+"""
+
+
+def _s4_conll_scan(spark, sf):
+    """S4: CoNLL-style line stream (token lines + blank separators) re-grouped
+    into sentences by the running-blank-count window (EEGCN loader.py:7-27).
+
+    The line stream is synthesized as each doc's tokens followed by one blank
+    line; the scan itself sees only (line_id, line)."""
+    docs = _t(spark, sf, "documents")
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.concat(F.slice(_tokens(), 1, TOK_CAP), F.array(F.lit("")))
+        ).alias("pos0", "line"),
+    ).select(
+        (F.col("doc_id") * 1000 + F.col("pos0") + 1).alias("line_id"), "line"
+    )
+    from pyspark.sql import Window as W
+
+    grp = F.sum(F.when(F.col("line") == "", 1).otherwise(0)).over(
+        W.orderBy("line_id").rowsBetween(W.unboundedPreceding, -1)
+    )
+    sent = (
+        lines.withColumn("sent_key", F.coalesce(grp, F.lit(0)))
+        .filter(F.col("line") != "")
+    )
+    toks = sent.groupBy("sent_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.min("line_id").alias("first_line"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("line_id", "line"))),
+            lambda s: s["line"],
+        ).alias("toks"),
+    )
+    return toks.select(
+        "sent_key",
+        "n_tokens",
+        "first_line",
+        _str_hash(F.concat_ws(" ", F.col("toks"))).alias("sent_hash"),
+    )
+
+
+_S4_SQL = f"""
+WITH lines AS (
+  SELECT doc_id * 1000 + u.pos AS line_id, u.tok AS line FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, len(list_concat(list_slice({_TOKENS_SQL}, 1, {TOK_CAP}), ['']))+1),
+             i -> {{'pos': i,
+                    'tok': list_concat(list_slice({_TOKENS_SQL}, 1, {TOK_CAP}), [''])[i]}})) AS u
+    FROM documents)),
+keyed AS (
+  SELECT line_id, line,
+         COALESCE(SUM(CASE WHEN line = '' THEN 1 ELSE 0 END) OVER
+           (ORDER BY line_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sent_key
+  FROM lines),
+grouped AS (
+  SELECT sent_key, CAST(COUNT(*) AS BIGINT) AS n_tokens, MIN(line_id) AS first_line,
+         list(line ORDER BY line_id) AS toks
+  FROM keyed WHERE line != '' GROUP BY sent_key)
+SELECT sent_key, n_tokens, first_line,
+       {_HASH_SQL.format(col="list_reduce(toks, (a, b) -> a || ' ' || b)")} AS sent_hash
+FROM grouped
+"""
+
+
+def _sc2_iob_iobes(spark, sf):
+    """SC2: IOB -> IOBES via lead(tag) (EEGCN data_utils.py:17-37)."""
+    from pyspark.sql import Window as W
+
+    tagged = _with_tags(_tok_pos(_t(spark, sf, "documents")))
+    nxt = F.lead("tag").over(W.partitionBy("doc_id").orderBy("pos"))
+    t = F.col("tag")
+    iobes = (
+        F.when(t == "O", "O")
+        .when(
+            t.startswith("B-"),
+            F.when(F.coalesce(nxt, F.lit("O")).startswith("I-"), t).otherwise(
+                F.concat(F.lit("S-"), F.substring(t, 3, 10))
+            ),
+        )
+        .otherwise(
+            F.when(F.coalesce(nxt, F.lit("O")).startswith("I-"), t).otherwise(
+                F.concat(F.lit("E-"), F.substring(t, 3, 10))
+            )
+        )
+    )
+    return tagged.select("doc_id", "pos", "tag", iobes.alias("iobes"))
+
+
+_SC2_SQL = f"""
+WITH tagged AS ({_TAGS_SQL}),
+w AS (SELECT doc_id, pos, tag,
+             COALESCE(lead(tag) OVER (PARTITION BY doc_id ORDER BY pos), 'O') AS nxt
+      FROM tagged)
+SELECT doc_id, pos, tag,
+       CASE WHEN tag = 'O' THEN 'O'
+            WHEN tag LIKE 'B-%' THEN
+              CASE WHEN nxt LIKE 'I-%' THEN tag ELSE 'S-' || substr(tag, 3) END
+            ELSE CASE WHEN nxt LIKE 'I-%' THEN tag ELSE 'E-' || substr(tag, 3) END
+       END AS iobes
+FROM w
+"""
+
+
+def _chunks_expr(tagged, tagcol: str):
+    """SC3 BIO merge: I-without-B promoted to start; type change closes the
+    span (JMEE testing.py:25-60). Returns (doc_id, start, end, ctype)."""
+    from pyspark.sql import Window as W
+
+    prev = F.lag(tagcol).over(W.partitionBy("doc_id").orderBy("pos"))
+    t = F.col(tagcol)
+    is_start = F.when(
+        t == "O", F.lit(0)
+    ).when(t.startswith("B-"), F.lit(1)).otherwise(
+        F.when(
+            F.coalesce(prev, F.lit("O")) == "O", F.lit(1)
+        ).when(
+            F.substring(F.coalesce(prev, F.lit("O")), 3, 10) != F.substring(t, 3, 10),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    )
+    marked = tagged.withColumn("is_start", is_start)
+    cid = F.sum("is_start").over(
+        W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.unboundedPreceding, 0)
+    )
+    spans = marked.withColumn("chunk_id", cid).filter(t != "O")
+    return spans.groupBy("doc_id", "chunk_id").agg(
+        F.min("pos").alias("start"),
+        F.max("pos").alias("end"),
+        F.min(F.substring(t, 3, 10)).alias("ctype"),
+    ).drop("chunk_id")
+
+
+_CHUNKS_SQL_TMPL = """
+  SELECT doc_id, MIN(pos) AS start, MAX(pos) AS "end", MIN(substr({tc}, 3)) AS ctype
+  FROM (
+    SELECT doc_id, pos, {tc},
+           SUM(is_start) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_id
+    FROM (
+      SELECT doc_id, pos, {tc},
+             CASE WHEN {tc} = 'O' THEN 0
+                  WHEN {tc} LIKE 'B-%' THEN 1
+                  WHEN COALESCE(lag({tc}) OVER (PARTITION BY doc_id ORDER BY pos), 'O') = 'O' THEN 1
+                  WHEN substr(COALESCE(lag({tc}) OVER (PARTITION BY doc_id ORDER BY pos), 'O'), 3)
+                       != substr({tc}, 3) THEN 1
+                  ELSE 0 END AS is_start
+      FROM tagged))
+  WHERE {tc} != 'O' GROUP BY doc_id, chunk_id
+"""
+
+
+def _sc3_bio_chunks(spark, sf):
+    tagged = _with_tags(_tok_pos(_t(spark, sf, "documents")))
+    return _chunks_expr(tagged, "tag")
+
+
+_SC3_SQL = f"""
+WITH tagged AS ({_TAGS_SQL})
+{_CHUNKS_SQL_TMPL.format(tc='tag')}
+"""
+
+
+def _a4_chunk_prf(spark, sf):
+    """A4/A5: conlleval-style per-type chunk P/R/F1, pred vs gold
+    (EEGCN conlleval.py:52-210; seqeval JMEE testing.py)."""
+    tagged = _with_tags(_tok_pos(_t(spark, sf, "documents")))
+    gold = _chunks_expr(tagged, "tag")
+    pred = _chunks_expr(
+        tagged.select("doc_id", "pos", F.col("ptag").alias("tag")), "tag"
+    )
+    correct = gold.join(pred, ["doc_id", "start", "end", "ctype"]).groupBy(
+        "ctype"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_correct"))
+    g = gold.groupBy("ctype").agg(F.count(F.lit(1)).cast("long").alias("n_gold"))
+    p = pred.groupBy("ctype").agg(F.count(F.lit(1)).cast("long").alias("n_pred"))
+    j = (
+        g.join(p, "ctype", "full")
+        .join(correct, "ctype", "left")
+        .select(
+            "ctype",
+            F.coalesce("n_gold", F.lit(0)).alias("n_gold"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("n_correct", F.lit(0)).alias("n_correct"),
+        )
+    )
+    prec = F.when(F.col("n_pred") > 0, F.col("n_correct") / F.col("n_pred")).otherwise(F.lit(0.0))
+    rec = F.when(F.col("n_gold") > 0, F.col("n_correct") / F.col("n_gold")).otherwise(F.lit(0.0))
+    f1 = F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(F.lit(0.0))
+    return j.select(
+        "ctype", "n_gold", "n_pred", "n_correct",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+_A4_SQL = f"""
+WITH tagged AS ({_TAGS_SQL}),
+gold AS ({_CHUNKS_SQL_TMPL.format(tc='tag')}),
+ptagged AS (SELECT doc_id, pos, ptag AS tag FROM tagged),
+pred AS (
+  SELECT doc_id, MIN(pos) AS start, MAX(pos) AS "end", MIN(substr(tag, 3)) AS ctype
+  FROM (
+    SELECT doc_id, pos, tag,
+           SUM(is_start) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_id
+    FROM (
+      SELECT doc_id, pos, tag,
+             CASE WHEN tag = 'O' THEN 0
+                  WHEN tag LIKE 'B-%' THEN 1
+                  WHEN COALESCE(lag(tag) OVER (PARTITION BY doc_id ORDER BY pos), 'O') = 'O' THEN 1
+                  WHEN substr(COALESCE(lag(tag) OVER (PARTITION BY doc_id ORDER BY pos), 'O'), 3)
+                       != substr(tag, 3) THEN 1
+                  ELSE 0 END AS is_start
+      FROM ptagged))
+  WHERE tag != 'O' GROUP BY doc_id, chunk_id),
+c AS (SELECT g.ctype, CAST(COUNT(*) AS BIGINT) AS n_correct
+      FROM gold g JOIN pred p
+        ON g.doc_id = p.doc_id AND g.start = p.start AND g."end" = p."end" AND g.ctype = p.ctype
+      GROUP BY g.ctype),
+gg AS (SELECT ctype, CAST(COUNT(*) AS BIGINT) AS n_gold FROM gold GROUP BY ctype),
+pp AS (SELECT ctype, CAST(COUNT(*) AS BIGINT) AS n_pred FROM pred GROUP BY ctype),
+j AS (SELECT COALESCE(gg.ctype, pp.ctype) AS ctype,
+             COALESCE(n_gold, 0) AS n_gold, COALESCE(n_pred, 0) AS n_pred,
+             COALESCE(n_correct, 0) AS n_correct
+      FROM gg FULL JOIN pp ON gg.ctype = pp.ctype
+      LEFT JOIN c ON COALESCE(gg.ctype, pp.ctype) = c.ctype)
+SELECT ctype, n_gold, n_pred, n_correct,
+       ROUND(CASE WHEN n_pred > 0 THEN n_correct / CAST(n_pred AS DOUBLE) ELSE 0.0 END, 6) AS precision,
+       ROUND(CASE WHEN n_gold > 0 THEN n_correct / CAST(n_gold AS DOUBLE) ELSE 0.0 END, 6) AS recall,
+       ROUND(CASE WHEN (CASE WHEN n_pred > 0 THEN n_correct / CAST(n_pred AS DOUBLE) ELSE 0.0 END)
+                     + (CASE WHEN n_gold > 0 THEN n_correct / CAST(n_gold AS DOUBLE) ELSE 0.0 END) > 0
+                  THEN 2 * (CASE WHEN n_pred > 0 THEN n_correct / CAST(n_pred AS DOUBLE) ELSE 0.0 END)
+                         * (CASE WHEN n_gold > 0 THEN n_correct / CAST(n_gold AS DOUBLE) ELSE 0.0 END)
+                       / ((CASE WHEN n_pred > 0 THEN n_correct / CAST(n_pred AS DOUBLE) ELSE 0.0 END)
+                        + (CASE WHEN n_gold > 0 THEN n_correct / CAST(n_gold AS DOUBLE) ELSE 0.0 END))
+                  ELSE 0.0 END, 6) AS f1
+FROM j
+"""
+
+
+def _j2_embedding_alignment(spark, sf):
+    """J2: pretrained-embedding alignment cascade — exact, lower(),
+    digit-normalized — 3 left joins + coalesce (EEGCN data_utils.py:109-121)."""
+    docs = _t(spark, sf, "documents")
+    mentions = _tok_pos(docs).select("token").distinct()
+    pre = (
+        mentions.select(F.lower(F.col("token")).alias("word"))
+        .distinct()
+        .filter(_str_hash(F.col("word")) % 3 == 0)
+    )
+    e = pre.select(F.col("word").alias("w_exact"))
+    l = pre.select(F.col("word").alias("w_lower"))
+    d = pre.select(F.col("word").alias("w_dig"))
+    dig = F.regexp_replace(F.lower(F.col("token")), "[0-9]", "0")
+    out = (
+        mentions.join(F.broadcast(e), F.col("token") == F.col("w_exact"), "left")
+        .join(F.broadcast(l), F.lower(F.col("token")) == F.col("w_lower"), "left")
+        .join(F.broadcast(d), dig == F.col("w_dig"), "left")
+    )
+    method = (
+        F.when(F.col("w_exact").isNotNull(), "exact")
+        .when(F.col("w_lower").isNotNull(), "lower")
+        .when(F.col("w_dig").isNotNull(), "dignorm")
+        .otherwise("unk")
+    )
+    return out.select(
+        "token",
+        F.coalesce("w_exact", "w_lower", "w_dig", F.lit("<UNK>")).alias("matched"),
+        method.alias("method"),
+    )
+
+
+_J2_SQL = f"""
+WITH mentions AS (SELECT DISTINCT token FROM ({_TOK_POS_SQL})),
+pre AS (SELECT DISTINCT lower(token) AS word FROM mentions
+        WHERE {_HASH_SQL.format(col='lower(token)')} % 3 = 0)
+SELECT m.token,
+       COALESCE(e.word, l.word, d.word, '<UNK>') AS matched,
+       CASE WHEN e.word IS NOT NULL THEN 'exact'
+            WHEN l.word IS NOT NULL THEN 'lower'
+            WHEN d.word IS NOT NULL THEN 'dignorm'
+            ELSE 'unk' END AS method
+FROM mentions m
+LEFT JOIN pre e ON m.token = e.word
+LEFT JOIN pre l ON lower(m.token) = l.word
+LEFT JOIN pre d ON regexp_replace(lower(m.token), '[0-9]', '0', 'g') = d.word
+"""
+
+
+def _gazetteer_values() -> str:
+    rows = ", ".join(
+        f"('{w}', '{et}')" for w, (et, _eid) in sorted(ENTITY_GAZETTEER.items())
+    )
+    return f"(VALUES {rows}) AS gaz(gword, entity_type)"
+
+
+# synthetic (event_type, entity_type) -> role rule subset; unmatched pairs
+# coalesce to OTHER (JMEE ee.py:227-236 gold-match semantics)
+_J6_RULE = [
+    ("ev0", "et0", "Agent"),
+    ("ev0", "et1", "Place"),
+    ("ev1", "et0", "Victim"),
+    ("ev2", "et1", "Instrument"),
+]
+
+
+def _j6_trigger_entity_pairs(spark, sf):
+    """J6+J7: within-sentence trigger x entity cross product (JMEE
+    ee.py:150-172) + gold-match role join with coalesce('OTHER')
+    (ee.py:227-236). Trigger/entity vocabularies are hash-derived from the
+    corpus so both engines block identically."""
+    docs = _t(spark, sf, "documents")
+    h = _str_hash(F.col("token"))
+    tp = _tok_pos(docs).withColumn("h", h)
+    trig = tp.filter(F.col("h") % 7 == 0).select(
+        "doc_id",
+        F.col("pos").alias("tpos"),
+        F.concat(F.lit("ev"), (F.col("h") % 3).cast("string")).alias("event_type"),
+    )
+    ents = tp.filter(F.col("h") % 7 == 1).select(
+        "doc_id",
+        F.col("pos").alias("epos"),
+        F.concat(F.lit("et"), (F.col("h") % 2).cast("string")).alias("entity_type"),
+        F.col("token").alias("surface"),
+    )
+    rr = spark.createDataFrame(_J6_RULE, ["r_event", "r_etype", "role"])
+    pairs = trig.join(ents, "doc_id")
+    return pairs.join(
+        F.broadcast(rr),
+        (pairs.event_type == rr.r_event) & (pairs.entity_type == rr.r_etype),
+        "left",
+    ).select(
+        "doc_id", "tpos", "epos", "event_type", "entity_type", "surface",
+        F.coalesce("role", F.lit("OTHER")).alias("role"),
+    )
+
+
+_J6_RULE_SQL = (
+    "(VALUES "
+    + ", ".join(f"('{a}', '{b}', '{r}')" for a, b, r in _J6_RULE)
+    + ") AS rr(r_event, r_etype, role)"
+)
+
+_J6_SQL = f"""
+WITH tp AS (SELECT doc_id, pos, token, {_HASH_SQL.format(col='token')} AS h
+            FROM ({_TOK_POS_SQL})),
+trig AS (SELECT doc_id, pos AS tpos, 'ev' || CAST(h % 3 AS VARCHAR) AS event_type
+         FROM tp WHERE h % 7 = 0),
+ents AS (SELECT doc_id, pos AS epos, 'et' || CAST(h % 2 AS VARCHAR) AS entity_type,
+                token AS surface
+         FROM tp WHERE h % 7 = 1)
+SELECT t.doc_id, t.tpos, e.epos, t.event_type, e.entity_type, e.surface,
+       COALESCE(rr.role, 'OTHER') AS role
+FROM trig t JOIN ents e ON t.doc_id = e.doc_id
+LEFT JOIN {_J6_RULE_SQL}
+  ON t.event_type = rr.r_event AND e.entity_type = rr.r_etype
+"""
+
+
+def _sc13_dep_edges(spark, sf):
+    """SC13: parse 'rel/dep=i/gov=j' edge strings -> COO triples; add
+    reverse + self-loop edge types (JMEE Sentence.py:114-137, MOGANED
+    data_load.py:100-123). Edge strings synthesized i -> floor(i/2)."""
+    docs = _t(spark, sf, "documents")
+    n = F.least(F.size(_tokens()), F.lit(12))
+    edge_strs = F.transform(
+        F.sequence(F.lit(2), n),
+        lambda i: F.concat(
+            F.lit("dep/dep="), i.cast("string"),
+            F.lit("/gov="), F.floor(i / 2).cast("long").cast("string"),
+        ),
+    )
+    base = docs.filter(F.size(_tokens()) >= 2).select(
+        "doc_id", F.explode(edge_strs).alias("es"), n.alias("n")
+    )
+    parts = F.split(F.col("es"), "/")
+    dep = F.split(F.element_at(parts, 2), "=")[1].cast("int")
+    gov = F.split(F.element_at(parts, 3), "=")[1].cast("int")
+    parsed = base.select("doc_id", "n", dep.alias("dep"), gov.alias("gov"))
+    fwd = parsed.select(
+        "doc_id", F.lit("fwd").alias("etype"),
+        F.col("gov").alias("src"), F.col("dep").alias("dst"),
+    )
+    rev = parsed.select(
+        "doc_id", F.lit("rev").alias("etype"),
+        F.col("dep").alias("src"), F.col("gov").alias("dst"),
+    )
+    loops = docs.filter(F.size(_tokens()) >= 2).select(
+        "doc_id", F.explode(F.sequence(F.lit(1), n)).alias("i")
+    ).select(
+        "doc_id", F.lit("self").alias("etype"),
+        F.col("i").alias("src"), F.col("i").alias("dst"),
+    )
+    return fwd.unionByName(rev).unionByName(loops)
+
+
+_SC13_SQL = f"""
+WITH d AS (SELECT doc_id, least(len({_TOKENS_SQL}), 12) AS n
+           FROM documents WHERE len({_TOKENS_SQL}) >= 2),
+es AS (SELECT doc_id, n,
+              unnest(list_transform(range(2, n + 1),
+                i -> 'dep/dep=' || i || '/gov=' || CAST(i // 2 AS BIGINT))) AS e
+       FROM d),
+parsed AS (SELECT doc_id,
+                  CAST(string_split(string_split(e, '/')[2], '=')[2] AS INT) AS dep,
+                  CAST(string_split(string_split(e, '/')[3], '=')[2] AS INT) AS gov
+           FROM es)
+SELECT doc_id, 'fwd' AS etype, gov AS src, dep AS dst FROM parsed
+UNION ALL
+SELECT doc_id, 'rev' AS etype, dep AS src, gov AS dst FROM parsed
+UNION ALL
+SELECT doc_id, 'self' AS etype, CAST(i AS INT) AS src, CAST(i AS INT) AS dst
+FROM d, unnest(range(1, n + 1)) AS u(i)
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -1197,6 +1688,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u2_confidence_transfer": _u2_transfer,
         "u3_intersect_users": _u3_intersect,
         "f4_negative_cap": _f4_negative_cap,
+        "s4_conll_scan": _s4_conll_scan,
+        "sc2_iob_iobes": _sc2_iob_iobes,
+        "sc3_bio_chunks": _sc3_bio_chunks,
+        "a4_chunk_prf": _a4_chunk_prf,
+        "j2_embedding_alignment": _j2_embedding_alignment,
+        "j6_trigger_entity_pairs": _j6_trigger_entity_pairs,
+        "sc13_dep_edges": _sc13_dep_edges,
         "sc6_digit_normalize": _sc6_digit_norm,
         "sc9_pad_truncate": _sc9_pad,
         "sc10_relative_positions": _sc10_relpos,
@@ -1238,6 +1736,13 @@ def oracle_sql() -> dict[str, str]:
         "u2_confidence_transfer": _U2_SQL,
         "u3_intersect_users": _U3_SQL,
         "f4_negative_cap": _F4_SQL,
+        "s4_conll_scan": _S4_SQL,
+        "sc2_iob_iobes": _SC2_SQL,
+        "sc3_bio_chunks": _SC3_SQL,
+        "a4_chunk_prf": _A4_SQL,
+        "j2_embedding_alignment": _J2_SQL,
+        "j6_trigger_entity_pairs": _J6_SQL,
+        "sc13_dep_edges": _SC13_SQL,
         "sc6_digit_normalize": _SC6_SQL,
         "sc9_pad_truncate": _SC9_SQL,
         "sc10_relative_positions": _SC10_SQL,

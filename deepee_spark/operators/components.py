@@ -23,6 +23,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MAX_ITER = 20
+# below this edge count the graph fits trivially in the driver and the
+# star-loop's ~6 shuffles/iteration are pure overhead: collect + union-find
+SMALL_EDGES = 500_000
 
 
 def _canon(edges: DataFrame) -> DataFrame:
@@ -72,20 +75,65 @@ def _signature(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def connected_components(edges: DataFrame, max_iter: int = MAX_ITER) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = MAX_ITER, small_threshold: int = SMALL_EDGES
+) -> DataFrame:
     """edges(src bigint, dst bigint) -> (node bigint, component bigint).
 
     component = min node id of the connected component. Singleton nodes
     (no edges) are the caller's concern — union them with component=node.
     """
+    spark = edges.sparkSession
     e = _canon(edges).localCheckpoint()
     sig = _signature(e)
-    for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
-        new_sig = _signature(e)
-        if new_sig == sig:
-            break
-        sig = new_sig
+
+    if sig[0] <= small_threshold:
+        # Adaptive plan choice: the alias/coref graph of one run is usually
+        # orders smaller than the corpus (distinct normalized surfaces x
+        # entities). Union-find on the driver is exact, deterministic, and
+        # replaces ~6 shuffles x O(log n) rounds with one collect. The
+        # distributed star loop below remains the plan for web-scale graphs.
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        rows = e.collect()
+        for row in rows:
+            a, b = find(int(row["hi"])), find(int(row["lo"]))
+            if a != b:
+                if a < b:
+                    a, b = b, a
+                parent[a] = b  # root at the smaller id
+        nodes = sorted({n for row in rows for n in (row["hi"], row["lo"])})
+        out = [(n, find(n)) for n in nodes]
+        if not out:
+            return spark.createDataFrame([], "node bigint, component bigint")
+        return spark.createDataFrame(out, ["node", "component"])
+    # Partition the loop for the EDGE data size, not the session default:
+    # alias graphs are usually far smaller than the corpus that produced
+    # them, and a 6-shuffle-per-iteration loop over near-empty partitions
+    # is pure task-launch overhead (measured anti-scaling at local[N]).
+    # At 10^12-doc scale sig[0] is large and this keeps the session value.
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(conf_key)
+    target = max(1, min(int(old_parts), sig[0] // 50_000 + 1))
+    spark.conf.set(conf_key, str(target))
+    try:
+        e = e.repartition(target).localCheckpoint()
+        for _ in range(max_iter):
+            e = _small_star(_large_star(e)).localCheckpoint()
+            new_sig = _signature(e)
+            if new_sig == sig:
+                break
+            sig = new_sig
+    finally:
+        spark.conf.set(conf_key, old_parts)
     members = e.select(F.col("hi").alias("node"), F.col("lo").alias("component"))
     roots = e.select(F.col("lo").alias("node")).distinct().withColumn(
         "component", F.col("node")

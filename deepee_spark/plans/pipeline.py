@@ -102,13 +102,19 @@ _ARG_SCHEMA = T.StructType(
 
 
 def _pad_matrix(seqs: pd.Series, length: int = CUTOFF) -> tuple[np.ndarray, np.ndarray]:
+    """Pad to the BATCH max length (<= CUTOFF), not the global CUTOFF: mean
+    web-sentence length is ~11 tokens, so fixed-width padding wastes ~4x
+    kernel FLOPs. Combined with sort-by-length batch formation (W2, EEGCN
+    data_utils.py:218-227) batches become near-homogeneous."""
     n = len(seqs)
-    ids = np.zeros((n, length), dtype=np.int64)
-    lengths = np.zeros(n, dtype=np.int64)
+    lengths = np.fromiter(
+        (min(len(s), length) for s in seqs), dtype=np.int64, count=n
+    )
+    lmax = max(int(lengths.max()) if n else 1, 1)
+    ids = np.zeros((n, lmax), dtype=np.int64)
     for i, s in enumerate(seqs):
-        arr = np.asarray(s[:length], dtype=np.int64)
-        ids[i, : len(arr)] = arr
-        lengths[i] = len(arr)
+        li = lengths[i]
+        ids[i, :li] = np.asarray(s[:li], dtype=np.int64)
     return ids, lengths
 
 
@@ -124,7 +130,10 @@ def triggers_from_sentences(featurized: DataFrame) -> DataFrame:
             if len(b) == 0:
                 continue
             base = pdf.iloc[b].reset_index(drop=True)
-            toks = [base["tokens"].iloc[i][int(t[i])] for i in range(len(b))]
+            # plain-ndarray indexing: .iloc per hit costs ~10us each, which
+            # dominated the whole kernel stage at ~1 hit/sentence
+            tok_np = pdf["tokens"].to_numpy()
+            toks = [tok_np[int(i)][int(j)] for i, j in zip(b, t)]
             yield pd.DataFrame(
                 {
                     "url": base["url"],
@@ -140,6 +149,13 @@ def triggers_from_sentences(featurized: DataFrame) -> DataFrame:
                 }
             )
 
+    # W2 sort-by-length batch formation (EEGCN data_utils.py:218-227; JMEE
+    # training.py:11-16): narrow, no shuffle, and each Arrow batch becomes
+    # near-uniform in length so _pad_matrix's batch-max padding pays off.
+    # (Streaming micro-batches cannot sort — they are small enough not to
+    # need the homogenization.)
+    if not featurized.isStreaming:
+        featurized = featurized.sortWithinPartitions(F.size("tokens"))
     return featurized.mapInPandas(run, schema=_TRIGGER_SCHEMA)
 
 
@@ -193,6 +209,9 @@ def arguments_from_triggers(triggers: DataFrame) -> DataFrame:
             out["role_score"] = scores.astype("float32")
             yield out
 
+    # same W2 length-sorted batch formation as the trigger kernel
+    if not pairs.isStreaming:
+        pairs = pairs.sortWithinPartitions(F.size("token_ids"))
     return pairs.mapInPandas(run, schema=_ARG_SCHEMA)
 
 

@@ -53,6 +53,22 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Python-worker lifecycle: fork from a daemon that has already
+        # imported numpy/pandas/pyarrow and built the kernel weights
+        # (deepee_spark/daemon.py) — fresh workers start warm via COW —
+        # and never evict idle workers (a respawned worker pays the full
+        # import storm again; measured 5-10x stage slowdowns at high
+        # parallelism without these).
+        .config("spark.python.daemon.module", "deepee_spark.daemon")
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.python.factory.idleWorkerMaxPoolSize", str(2 ** 30))
+        # The worker-factory cache key includes the UDF env vars, and
+        # simplifiedTraceback injects SPARK_SIMPLIFIED_TRACEBACK for pandas
+        # eval types only — splitting batch/pandas stages into two daemon
+        # pools that never share warm workers (measured: a fresh 16-worker
+        # import storm on every stage-type switch). One uniform env -> one
+        # pool.
+        .config("spark.sql.execution.pyspark.udf.simplifiedTraceback.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

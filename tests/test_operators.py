@@ -66,20 +66,33 @@ def test_bio_merge_spans(spark):
     assert out[3] == []
 
 
-def test_connected_components_shapes(spark):
-    # chain 1-2-3-4, hub 10-{11..15}, singleton edge 20-21
+import pytest
+
+
+@pytest.mark.parametrize("small_threshold", [500_000, 0])
+def test_connected_components_shapes(spark, small_threshold):
+    # chain 1-2-3-4, hub 10-{11..15}, singleton edge 20-21; both the
+    # driver union-find path (default) and the distributed star loop
+    # (small_threshold=0) must agree
     edges = [(1, 2), (2, 3), (3, 4)] + [(10, k) for k in range(11, 16)] + [(20, 21)]
     df = spark.createDataFrame(edges, ["src", "dst"])
-    comp = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(df, small_threshold=small_threshold).collect()
+    }
     assert {comp[n] for n in (1, 2, 3, 4)} == {1}
     assert {comp[n] for n in range(10, 16)} == {10}
     assert comp[20] == comp[21] == 20
 
 
-def test_connected_components_4hop_converges(spark):
+@pytest.mark.parametrize("small_threshold", [500_000, 0])
+def test_connected_components_4hop_converges(spark, small_threshold):
     edges = [(i, i + 1) for i in range(100, 105)]
     df = spark.createDataFrame(edges, ["src", "dst"])
-    comp = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(df, small_threshold=small_threshold).collect()
+    }
     assert set(comp.values()) == {100}
     assert len(comp) == 6
 

@@ -1,0 +1,136 @@
+"""Scaling-efficiency evidence (BASELINE.json north rule, sandbox variant).
+
+The rule demands throughput scaling efficiency >= 0.8 from N to 4N
+executors on a real cluster. The sandbox has one machine, so the agreed
+substitute (SURVEY.md §5.2.7) is: the SAME job on the SAME input at two
+parallelism levels, fresh JVM each, JIT-warmed inside each JVM,
+efficiency = (docs_per_sec_high / docs_per_sec_low) / (high / low).
+
+Defaults compare local[4] vs local[16]. The box advertises 32 logical
+CPUs but they are SMT pairs over 16 physical cores — a pure-CPU
+calibration (multiprocessing busy-loop) measures only ~2.9x aggregate
+gain from 8 -> 32 processes, so no software could show 0.8 efficiency on
+that span; 4 -> 16 keeps both levels within physical cores, which is the
+honest analog of N -> 4N executors (each executor core a real core).
+
+Each level runs tools/run_pipeline.py (the spark-submit entry) in its own
+subprocess with BLAS pinned to one thread per worker (cluster task-slot
+semantics); we take the median of --trials runs because the sandbox has
+noisy co-tenants. Results overwrite BENCH/BASELINE.md.
+
+    python tools/scaling_bench.py [--docs 400000] [--trials 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+PIN_ENV = {
+    "OPENBLAS_NUM_THREADS": "1",
+    "OMP_NUM_THREADS": "1",
+    "MKL_NUM_THREADS": "1",
+}
+
+
+def run_once(cores: int, docs: int, warmup: int) -> dict:
+    with tempfile.TemporaryDirectory() as wh:
+        cmd = [
+            sys.executable,
+            os.path.join(REPO, "tools", "run_pipeline.py"),
+            "--docs", str(docs),
+            "--warehouse", wh,
+            "--master", f"local[{cores}]",
+            "--warmup-docs", str(warmup),
+            "--json",
+        ]
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), **PIN_ENV)
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, env=env, cwd=REPO, check=True
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+
+def run_level(cores: int, docs: int, warmup: int, trials: int) -> dict:
+    runs = [run_once(cores, docs, warmup) for _ in range(trials)]
+    med = statistics.median(r["docs_per_sec"] for r in runs)
+    best = min(runs, key=lambda r: abs(r["docs_per_sec"] - med))
+    best["all_docs_per_sec"] = [r["docs_per_sec"] for r in runs]
+    best["docs_per_sec"] = med
+    print(
+        f"local[{cores}]: median {med} docs/s over {trials} trials "
+        f"{best['all_docs_per_sec']}, triples={best['triples']}",
+        flush=True,
+    )
+    return best
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=400_000)
+    ap.add_argument("--warmup-docs", type=int, default=4000)
+    ap.add_argument("--low", type=int, default=4)
+    ap.add_argument("--high", type=int, default=16)
+    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
+    args = ap.parse_args()
+
+    lo = run_level(args.low, args.docs, args.warmup_docs, args.trials)
+    hi = run_level(args.high, args.docs, args.warmup_docs, args.trials)
+
+    ratio = args.high / args.low
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio
+    result = {
+        "docs": args.docs,
+        "low_cores": args.low,
+        "high_cores": args.high,
+        "low_docs_per_sec": lo["docs_per_sec"],
+        "high_docs_per_sec": hi["docs_per_sec"],
+        "low_triples_per_sec": lo["triples_per_sec"],
+        "high_triples_per_sec": hi["triples_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "triples_match": lo["triples"] == hi["triples"],
+        "trials": args.trials,
+    }
+    print(json.dumps(result))
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        f.write(
+            "# BENCH — measured scaling results\n\n"
+            "Protocol (BASELINE.md §2, sandbox substitute for the N->4N\n"
+            "cluster rule): identical `documents -> triples` pipeline job +\n"
+            "identical synthetic input at two parallelism levels, fresh JVM\n"
+            "per level, JIT/worker warm-up inside each JVM, BLAS pinned to\n"
+            "1 thread/worker (cluster task-slot semantics), median of\n"
+            f"{args.trials} trials. Efficiency = (thru_high / thru_low) /\n"
+            "(cores_high / cores_low). Both levels must emit identical\n"
+            "triple sets (`triples_match`).\n\n"
+            "Levels are local[4] vs local[16]: the box's 32 logical CPUs\n"
+            "are SMT pairs over 16 physical cores (a pure-CPU busy-loop\n"
+            "calibration yields only ~2.9x aggregate from 8->32 procs), so\n"
+            "4->16 is the span where 4x hardware actually exists — the\n"
+            "honest analog of N->4N executors with one real core each.\n\n"
+            f"| docs | level | docs/sec (median) | triples/sec | trials |\n"
+            f"|---|---|---|---|---|\n"
+            f"| {args.docs} | local[{args.low}] | {lo['docs_per_sec']} | "
+            f"{lo['triples_per_sec']} | {lo['all_docs_per_sec']} |\n"
+            f"| {args.docs} | local[{args.high}] | {hi['docs_per_sec']} | "
+            f"{hi['triples_per_sec']} | {hi['all_docs_per_sec']} |\n\n"
+            f"**Scaling efficiency {args.low} -> {args.high} cores: "
+            f"{result['scaling_efficiency']}** "
+            f"(target >= 0.8); triples_match={result['triples_match']}.\n"
+        )
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
