@@ -1662,6 +1662,290 @@ FROM d, unnest(range(1, n + 1)) AS u(i)
 
 
 # ---------------------------------------------------------------------------
+# J8/JSON codec: property extraction (the reference's schema-on-read JSON
+# ingestion S1-S3 + entity-id resolution J8, over the events.props column)
+# ---------------------------------------------------------------------------
+
+def _json_props_stats(spark, sf):
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    b = F.floor(k / 10).cast("int")  # floor-div in BOTH dialects (DuckDB
+    # CAST(double AS INT) rounds; Spark cast truncates — never rely on it)
+    return (
+        ev.select(b.alias("bucket"), k.alias("k"), "value")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.sum(F.floor(F.col("value") * 10000).cast("long")).alias("sum_value_e4"),
+        )
+    )
+
+
+_JSON_PROPS_SQL = """
+SELECT CAST(CAST(json_extract_string(props, '$.k') AS INT) // 10 AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_e4
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# S7: pretrained-embedding text scan — serialize embeddings to the classic
+# "word v1 .. v8" text lines (with deliberate corrupt lines), then parse
+# with dimension validation (EEGCN data_utils.py:86-132: skip lines whose
+# token count != dim+1). The full round-trip runs in both engines.
+# ---------------------------------------------------------------------------
+
+EMB_TXT_DIM = 8
+
+
+def _s7_embedding_scan(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    dims = F.transform(
+        F.slice("embedding", 1, EMB_TXT_DIM),
+        lambda x: F.round(x.cast("double"), 4).cast("string"),
+    )
+    # corrupt every 13th line: drop 3 trailing dims (must be filtered out)
+    trunc = F.when(
+        F.col("vec_id") % 13 == 0, F.slice(dims, 1, EMB_TXT_DIM - 3)
+    ).otherwise(dims)
+    line = F.concat_ws(
+        " ", F.concat(F.lit("w"), F.col("vec_id").cast("string")), F.concat_ws(" ", trunc)
+    )
+    lines = emb.select(line.alias("line"))
+    parts = F.split(F.col("line"), " ")
+    parsed = lines.select(
+        F.element_at(parts, 1).alias("word"),
+        F.transform(
+            F.slice(parts, 2, EMB_TXT_DIM), lambda s: s.cast("double")
+        ).alias("vec"),
+        F.size(parts).alias("n_parts"),
+    )
+    return parsed.filter(F.col("n_parts") == EMB_TXT_DIM + 1).select(
+        "word",
+        F.round(
+            F.aggregate("vec", F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("vec_sum"),
+    )
+
+
+_S7_SQL = f"""
+WITH lines AS (
+  SELECT 'w' || CAST(vec_id AS VARCHAR) || ' ' ||
+         array_to_string(
+           CASE WHEN vec_id % 13 = 0
+                THEN list_slice(list_transform(list_slice(embedding, 1, {EMB_TXT_DIM}),
+                       x -> CAST(ROUND(x::DOUBLE, 4) AS VARCHAR)), 1, {EMB_TXT_DIM - 3})
+                ELSE list_transform(list_slice(embedding, 1, {EMB_TXT_DIM}),
+                       x -> CAST(ROUND(x::DOUBLE, 4) AS VARCHAR))
+           END, ' ') AS line
+  FROM embeddings),
+parsed AS (
+  SELECT string_split(line, ' ')[1] AS word,
+         list_transform(list_slice(string_split(line, ' '), 2, {EMB_TXT_DIM + 1}),
+                        s -> CAST(s AS DOUBLE)) AS vec,
+         len(string_split(line, ' ')) AS n_parts
+  FROM lines)
+SELECT word,
+       ROUND(list_reduce(list_prepend(0.0::DOUBLE, vec), (a, x) -> a + x), 4) AS vec_sum
+FROM parsed WHERE n_parts = {EMB_TXT_DIM + 1}
+"""
+
+
+# ---------------------------------------------------------------------------
+# A6: micro-averaged F1 over non-null classes (AD-DMBERT BERT/train.py:76-77
+# sklearn f1_score(average='micro') over labels 1..33 — micro-F1 with the
+# negative class excluded). Labels derived from the shared fold hash.
+# ---------------------------------------------------------------------------
+
+def _a6_micro_f1(spark, sf):
+    ev = _t(spark, sf, "events")
+    h = _str_hash(F.col("event_type"))
+    gold = (h % 5).cast("int")
+    pred = F.when((h * 7) % 11 == 0, (h % 5 + 1) % 5).otherwise(h % 5).cast("int")
+    lab = ev.select(gold.alias("gold"), pred.alias("pred"))
+    m = lab.agg(
+        F.sum(F.when((F.col("gold") != 0) & (F.col("pred") == F.col("gold")), 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when((F.col("pred") != 0) & (F.col("pred") != F.col("gold")), 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when((F.col("gold") != 0) & (F.col("pred") != F.col("gold")), 1).otherwise(0)).cast("long").alias("fn"),
+    )
+    p = F.col("tp") / (F.col("tp") + F.col("fp"))
+    r = F.col("tp") / (F.col("tp") + F.col("fn"))
+    return m.select(
+        "tp", "fp", "fn",
+        F.round(2 * p * r / (p + r), 6).alias("micro_f1"),
+    )
+
+
+_A6_SQL = f"""
+WITH lab AS (
+  SELECT (h % 5)::INT AS gold,
+         (CASE WHEN (h * 7) % 11 = 0 THEN (h % 5 + 1) % 5 ELSE h % 5 END)::INT AS pred
+  FROM (SELECT {_HASH_SQL.format(col='event_type')} AS h FROM events)),
+m AS (
+  SELECT CAST(SUM(CASE WHEN gold != 0 AND pred = gold THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN pred != 0 AND pred != gold THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN gold != 0 AND pred != gold THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM lab)
+SELECT tp, fp, fn,
+       ROUND(2.0 * (tp / CAST(tp + fp AS DOUBLE)) * (tp / CAST(tp + fn AS DOUBLE)) /
+             ((tp / CAST(tp + fp AS DOUBLE)) + (tp / CAST(tp + fn AS DOUBLE))), 6) AS micro_f1
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANN scale path: IVF-style bucketed search (coarse quantizer = first K
+# vectors as fixed centroids — deterministic, no trained kmeans — assign
+# every vector to its nearest centroid, then search only the query's
+# nprobe closest buckets). Same math in both dialects via the ordered-fold
+# dot product, so the oracle checks the ENTIRE bucketed pipeline.
+# ---------------------------------------------------------------------------
+
+IVF_K = 8
+IVF_NPROBE = 2
+IVF_TOPK = 3
+
+
+def _ann_ivf_topk(spark, sf):
+    from pyspark.sql import Window as W
+
+    emb = _t(spark, sf, "embeddings")
+    cent = emb.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    # assignment: every vector -> nearest centroid by dot (tie: c_id asc)
+    assign_w = W.partitionBy("vec_id").orderBy(
+        F.desc("cdot"), F.asc("c_id")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "c_id",
+            F.round(_dot(F.col("embedding"), F.col("c_emb")), 6).alias("cdot"),
+        )
+        .withColumn("rk", F.row_number().over(assign_w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", F.col("c_id").alias("bucket"))
+    )
+    # queries probe their nprobe nearest buckets
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    probe_w = W.partitionBy("q_id").orderBy(F.desc("qdot"), F.asc("c_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "q_id",
+            "q_emb",
+            "c_id",
+            F.round(_dot(F.col("q_emb"), F.col("c_emb")), 6).alias("qdot"),
+        )
+        .withColumn("rk", F.row_number().over(probe_w))
+        .filter(F.col("rk") <= IVF_NPROBE)
+        .select("q_id", "q_emb", F.col("c_id").alias("bucket"))
+    )
+    cand = probes.join(assigned, "bucket").filter(
+        F.col("q_id") != F.col("vec_id")
+    )
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+        * F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    )
+    scored = cand.select(
+        "q_id", F.col("vec_id").alias("c_id"), F.round(cos, 6).alias("cosine")
+    ).distinct()  # a candidate may appear via both probed buckets
+    top_w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(top_w))
+        .filter(F.col("rk") <= IVF_TOPK)
+        .select("q_id", "c_id", "cosine", F.col("rk").cast("int").alias("rank"))
+    )
+
+
+_IVF_SQL = f"""
+WITH cent AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < {IVF_K}),
+assigned AS (
+  SELECT vec_id, embedding, c_id AS bucket FROM (
+    SELECT e.vec_id, e.embedding, c.c_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY ROUND({_DOT_SQL.format(a='e.embedding', b='c.c_emb')}, 6) DESC, c.c_id ASC) AS rk
+    FROM embeddings e CROSS JOIN cent c)
+  WHERE rk = 1),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+probes AS (
+  SELECT q_id, q_emb, c_id AS bucket FROM (
+    SELECT q.q_id, q.q_emb, c.c_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY ROUND({_DOT_SQL.format(a='q.q_emb', b='c.c_emb')}, 6) DESC, c.c_id ASC) AS rk
+    FROM q CROSS JOIN cent c)
+  WHERE rk <= {IVF_NPROBE}),
+scored AS (
+  SELECT DISTINCT p.q_id, a.vec_id AS c_id,
+         ROUND({_DOT_SQL.format(a='p.q_emb', b='a.embedding')} /
+               (sqrt({_DOT_SQL.format(a='p.q_emb', b='p.q_emb')}) *
+                sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})), 6) AS cosine
+  FROM probes p JOIN assigned a ON p.bucket = a.bucket
+  WHERE p.q_id != a.vec_id)
+SELECT q_id, c_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT q_id, c_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {IVF_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing queries (rows-only; no SQL oracle — binary decode has
+# no DuckDB equivalent; correctness is pinned by tests/test_multimodal.py
+# against single-process NumPy oracles)
+# ---------------------------------------------------------------------------
+
+def _mm_payloads(spark, sf):
+    """documents -> deterministic binary payload table (utf-8 text bytes)."""
+    docs = _t(spark, sf, "documents")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        kind.alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit(16).alias("width"),
+            F.lit(12).alias("height"),
+            F.lit(8000).alias("sample_rate"),
+            (F.col("n_chars") % 2000 + 100).cast("int").alias("duration_ms"),
+            F.lit("synthetic").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def _mm_image_features(spark, sf):
+    from deepee_spark.operators.multimodal import image_features
+
+    return image_features(_mm_payloads(spark, sf))
+
+
+def _mm_audio_features(spark, sf):
+    from deepee_spark.operators.multimodal import audio_features
+
+    return audio_features(_mm_payloads(spark, sf))
+
+
+def _mm_video_frames(spark, sf):
+    from deepee_spark.operators.multimodal import video_frame_sample
+
+    return video_frame_sample(_mm_payloads(spark, sf), k=4)
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -1689,6 +1973,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u3_intersect_users": _u3_intersect,
         "f4_negative_cap": _f4_negative_cap,
         "s4_conll_scan": _s4_conll_scan,
+        "s7_embedding_scan": _s7_embedding_scan,
+        "a6_micro_f1": _a6_micro_f1,
+        "json_props_stats": _json_props_stats,
         "sc2_iob_iobes": _sc2_iob_iobes,
         "sc3_bio_chunks": _sc3_bio_chunks,
         "a4_chunk_prf": _a4_chunk_prf,
@@ -1704,6 +1991,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _simhash,
         "dedup_ngram_jaccard": _ngram_jaccard,
         "ann_cosine_topk": _ann_cosine_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
+        "mm_image_features": _mm_image_features,
+        "mm_audio_features": _mm_audio_features,
+        "mm_video_frames": _mm_video_frames,
         "lsh_hyperplane_buckets": _lsh_hyperplane,
         "text_lang_id": _lang_id,
         "text_quality_score": _quality_score,
@@ -1737,6 +2028,9 @@ def oracle_sql() -> dict[str, str]:
         "u3_intersect_users": _U3_SQL,
         "f4_negative_cap": _F4_SQL,
         "s4_conll_scan": _S4_SQL,
+        "s7_embedding_scan": _S7_SQL,
+        "a6_micro_f1": _A6_SQL,
+        "json_props_stats": _JSON_PROPS_SQL,
         "sc2_iob_iobes": _SC2_SQL,
         "sc3_bio_chunks": _SC3_SQL,
         "a4_chunk_prf": _A4_SQL,
@@ -1752,6 +2046,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "ann_cosine_topk": _ANN_SQL,
+        "ann_ivf_topk": _IVF_SQL,
+        # mm_* queries have no SQL oracle (binary decode) — rows-only check
         "lsh_hyperplane_buckets": _LSH_SQL,
         "text_lang_id": _LANG_SQL,
         "text_quality_score": _QUALITY_SQL,

@@ -22,7 +22,7 @@ import time
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("BENCH_PIPELINE_DOCS", "4000"))
+    n_docs = int(os.environ.get("BENCH_PIPELINE_DOCS", "16000"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -39,11 +39,14 @@ def main() -> None:
         "q5_nation_revenue",
         "a1_vocab_build",
         "a2_bag_argmax",
+        "a4_chunk_prf",
         "w1_pr_curve",
         "j9_interval_join",
+        "s4_conll_scan",
         "dedup_minhash_signatures",
         "dedup_ngram_jaccard",
         "ann_cosine_topk",
+        "ann_ivf_topk",
         "text_quality_score",
         "ee_trigger_counts",
     ]

@@ -67,3 +67,48 @@ def decode_roles(ids, lengths, event_ids, arg_pos):
     probs = logits / logits.sum(axis=1, keepdims=True)
     role = probs.argmax(axis=1)
     return role, probs[np.arange(len(role)), role]
+
+
+# ---------------------------------------------------------------------------
+# CRF-style sequence decode (north-star "BiLSTM-CRF" wording; the reference's
+# own decode is per-token argmax, EEGCN main.py:93-100 — Viterbi with uniform
+# transitions reduces to exactly that, which the tests assert).
+# ---------------------------------------------------------------------------
+
+def viterbi_decode(emissions: np.ndarray, transitions: np.ndarray) -> np.ndarray:
+    """Batched first-order Viterbi.
+
+    emissions (B, L, C) log-scores, transitions (C, C) log-transition
+    [from, to] -> best label paths (B, L) int64. Vectorized over the batch;
+    the L loop is inherent to the recurrence.
+    """
+    B, L, C = emissions.shape
+    score = emissions[:, 0].copy()           # (B, C)
+    back = np.zeros((B, L, C), dtype=np.int64)
+    for t in range(1, L):
+        # cand[b, i, j] = score[b, i] + transitions[i, j]
+        cand = score[:, :, None] + transitions[None, :, :]
+        back[:, t] = cand.argmax(axis=1)
+        score = cand.max(axis=1) + emissions[:, t]
+    path = np.zeros((B, L), dtype=np.int64)
+    path[:, -1] = score.argmax(axis=1)
+    for t in range(L - 1, 0, -1):
+        path[:, t - 1] = back[np.arange(B), t, path[:, t]]
+    return path
+
+
+def decode_roles_viterbi(ids, lengths, event_ids, arg_pos,
+                         transitions: np.ndarray | None = None):
+    """decode_roles with an optional CRF transition matrix. With
+    transitions None (uniform), identical to decode_roles' argmax — the
+    parity the reference defines (per-token argmax decode)."""
+    logits = score_roles(ids, lengths, event_ids, arg_pos)  # (B, R)
+    if transitions is None:
+        return decode_roles(ids, lengths, event_ids, arg_pos)
+    # single-position sequences per candidate row: emissions (B, 1, R)
+    path = viterbi_decode(logits[:, None, :], transitions)
+    role = path[:, 0]
+    logits = logits - logits.max(axis=1, keepdims=True)
+    probs = np.exp(logits)
+    probs /= probs.sum(axis=1, keepdims=True)
+    return role, probs[np.arange(len(role)), role]

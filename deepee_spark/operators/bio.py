@@ -150,3 +150,37 @@ def bio_merge_spans(tags: Column) -> Column:
         )
 
     return F.aggregate(idx, init, step, finish)
+
+
+def spans_to_bio(spans: Column, length: Column) -> Column:
+    """SC18 inverse of bio_merge_spans: mention spans -> per-token BIO tags
+    (MOGANED data_load.py:31-42; JMEE Sentence.py:31-56).
+
+    spans: array<struct<start:int, end:int, etype:string>> (end exclusive);
+    on overlap the EARLIEST-starting (then lexicographically-first type)
+    span wins, deterministically. Pure expressions: one transform over the
+    position sequence with a filter into the span array per position.
+    """
+    pos = F.sequence(F.lit(0), length - 1)
+
+    def tag_at(i):
+        covering = F.filter(
+            spans, lambda s: (s["start"] <= i) & (i < s["end"])
+        )
+        best = F.array_min(
+            F.transform(
+                covering,
+                lambda s: F.struct(
+                    s["start"].alias("start"),
+                    s["etype"].alias("etype"),
+                ),
+            )
+        )
+        return F.when(best.isNull(), F.lit("O")).otherwise(
+            F.concat(
+                F.when(best["start"] == i, F.lit("B-")).otherwise(F.lit("I-")),
+                best["etype"],
+            )
+        )
+
+    return F.transform(pos, tag_at)

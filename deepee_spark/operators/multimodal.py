@@ -1,0 +1,292 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Design (training-data pipeline over ~100 TB of media):
+  * media live in `payload binary` columns with a typed `meta` struct —
+    decode NEVER happens in the JVM, only inside Arrow-batched Python
+    workers (mapInPandas), so the big bytes flow JVM->Arrow->NumPy
+    zero-copy and the scan prunes `payload` whenever a stage only needs
+    metadata.
+  * every operator is a batch->batch pure function over an iterator of
+    pandas frames: schema, partitioning, and batch shape are the real,
+    tested contract; only the pixel/codec decode itself is swapped.
+  * image/video DECODE IS STUBBED: the container has no image/audio
+    codecs (no PIL/ffmpeg), so `decode_image` raises NotImplementedError
+    unless `DETERMINISTIC_FAKE_DECODE` is on (default in tests/bench),
+    in which case a seeded hash of the payload yields a stable fake
+    pixel array of the metadata's true shape. Audio is NOT stubbed:
+    int16-PCM decode is pure NumPy (`np.frombuffer`) and real.
+
+Operators:
+  image_features   — per-image channel means/stds + 8-bin luma histogram
+  image_resize     — nearest-neighbour resize (real NumPy indexing on the
+                     decoded array), re-emitted as raw RGB bytes
+  audio_features   — frame RMS / zero-crossing-rate / peak over PCM16
+  video_frame_sample — explode k evenly-spaced frames per video into
+                     (media_id, frame_idx, frame_ms) rows, decode stubbed
+
+The reference has no media path (DeepEE is text-only); these operators
+are the engine-side plumbing a DeepEE-style KG pipeline needs once web
+pages carry media attachments.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Flip to False on a cluster with real codecs installed.
+DETERMINISTIC_FAKE_DECODE = True
+
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("meta", META_SCHEMA, False),
+    ]
+)
+
+
+def _seed_from(payload: bytes) -> int:
+    return int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+
+
+def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """-> (height, width, 3) uint8.
+
+    REAL decode is not available in this container (no PIL/libjpeg);
+    the deterministic fake derives every pixel from sha256(payload) so
+    tests exercise true array shapes end-to-end.
+    """
+    if not DETERMINISTIC_FAKE_DECODE:
+        raise NotImplementedError(
+            "image codec not available in this environment; "
+            "install pillow and set DETERMINISTIC_FAKE_DECODE=False"
+        )
+    rng = np.random.default_rng(_seed_from(payload))
+    return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+
+
+def decode_pcm16(payload: bytes) -> np.ndarray:
+    """int16 little-endian PCM -> float32 in [-1, 1). Pure NumPy, real."""
+    n = len(payload) - (len(payload) % 2)
+    return np.frombuffer(payload[:n], dtype="<i2").astype(np.float32) / 32768.0
+
+
+def synth_media_df(spark, n: int, kinds=("image", "audio", "video")) -> DataFrame:
+    """Deterministic synthetic media table (no external data), generated
+    executor-side like the document corpus."""
+    kinds = list(kinds)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                kind = kinds[i % len(kinds)]
+                rng = np.random.default_rng((20260816, i))
+                if kind == "image":
+                    w, h = 16 + i % 17, 16 + (i * 7) % 13
+                    payload = rng.integers(0, 256, size=w * h // 2, dtype=np.uint8
+                                           ).tobytes()
+                    meta = (w, h, None, None, "fake/raw")
+                elif kind == "audio":
+                    sr = 8000
+                    dur = 50 + (i % 20) * 10
+                    nsamp = sr * dur // 1000
+                    wave = (np.sin(np.arange(nsamp) * (0.01 + (i % 7) * 0.01))
+                            * 12000).astype("<i2")
+                    payload = wave.tobytes()
+                    meta = (None, None, sr, dur, "pcm_s16le")
+                else:
+                    w, h = 8, 8
+                    dur = 1000 + (i % 5) * 500
+                    payload = rng.integers(0, 256, size=256, dtype=np.uint8
+                                           ).tobytes()
+                    meta = (w, h, None, dur, "fake/video")
+                rows.append(
+                    (i, f"https://media.example.com/{kind}/{i}", kind,
+                     payload, meta)
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "url", "kind", "payload", "meta"]
+            )
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+_IMG_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("mean_r", T.FloatType()),
+        T.StructField("mean_g", T.FloatType()),
+        T.StructField("mean_b", T.FloatType()),
+        T.StructField("std_luma", T.FloatType()),
+        T.StructField("luma_hist", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """Channel means + luma std + 8-bin luma histogram per image."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "image"]
+            if pdf.empty:
+                continue
+            out = []
+            for _, row in pdf.iterrows():
+                m = row["meta"]
+                # struct fields of nullable int columns arrive as floats
+                img = decode_image(
+                    bytes(row["payload"]), int(m["width"]), int(m["height"])
+                )
+                luma = img.astype(np.float32).mean(axis=2)
+                hist = np.histogram(luma, bins=8, range=(0, 256))[0]
+                out.append(
+                    (
+                        int(row["media_id"]),
+                        float(img[:, :, 0].mean()),
+                        float(img[:, :, 1].mean()),
+                        float(img[:, :, 2].mean()),
+                        float(luma.std()),
+                        hist.astype("int32").tolist(),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "mean_r", "mean_g", "mean_b",
+                         "std_luma", "luma_hist"],
+            )
+
+    return media.mapInPandas(run, schema=_IMG_FEAT_SCHEMA)
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("rgb", T.BinaryType()),
+    ]
+)
+
+
+def image_resize(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbour resize to (out_w, out_h); output raw RGB bytes.
+    The resize math (index sampling) is real NumPy over the decoded array."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "image"]
+            if pdf.empty:
+                continue
+            out = []
+            for _, row in pdf.iterrows():
+                m = row["meta"]
+                w_, h_ = int(m["width"]), int(m["height"])
+                img = decode_image(bytes(row["payload"]), w_, h_)
+                ys = (np.arange(out_h) * h_ // out_h).astype(int)
+                xs = (np.arange(out_w) * w_ // out_w).astype(int)
+                small = img[np.ix_(ys, xs)]
+                out.append((int(row["media_id"]), out_w, out_h,
+                            small.tobytes()))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "rgb"]
+            )
+
+    return media.mapInPandas(run, schema=_RESIZE_SCHEMA)
+
+
+_AUDIO_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("rms", T.FloatType()),
+        T.StructField("peak", T.FloatType()),
+        T.StructField("zcr", T.FloatType()),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """RMS / peak / zero-crossing rate over real PCM16 decode."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "audio"]
+            if pdf.empty:
+                continue
+            out = []
+            for _, row in pdf.iterrows():
+                x = decode_pcm16(bytes(row["payload"]))
+                zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
+                out.append(
+                    (
+                        int(row["media_id"]),
+                        int(len(x)),
+                        float(np.sqrt(np.mean(x * x))) if len(x) else 0.0,
+                        float(np.abs(x).max()) if len(x) else 0.0,
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "n_samples", "rms", "peak", "zcr"]
+            )
+
+    return media.mapInPandas(run, schema=_AUDIO_FEAT_SCHEMA)
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ms", T.IntegerType()),
+        T.StructField("frame_hash", T.LongType()),
+    ]
+)
+
+
+def video_frame_sample(media: DataFrame, k: int = 4) -> DataFrame:
+    """Explode k evenly-spaced sample frames per video. Frame DECODE is
+    stubbed (deterministic hash of payload+index stands in for pixels);
+    the fan-out, timing math, and schema are the real contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "video"]
+            if pdf.empty:
+                continue
+            out = []
+            for _, row in pdf.iterrows():
+                dur = int(row["meta"]["duration_ms"])
+                seed = _seed_from(bytes(row["payload"]))
+                for j in range(k):
+                    ms = dur * j // k
+                    out.append(
+                        (int(row["media_id"]), j, ms,
+                         (seed ^ (j * 0x9E3779B97F4A7C15)) % (1 << 62))
+                    )
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "frame_ms", "frame_hash"]
+            )
+
+    return media.mapInPandas(run, schema=_FRAME_SCHEMA)

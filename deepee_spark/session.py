@@ -43,6 +43,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce post-shuffle partitions by SIZE, not defaultParallelism:
+        # the KG tail stages (mentions/linked/canonical/triples) shuffle
+        # orders-of-magnitude less data than the document stages, and
+        # keeping them at session width is pure task overhead. Large
+        # shuffles still get full width from the size targets. (This is
+        # the setting Spark's own tuning guide recommends.)
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(16 * 1024 * 1024))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -1,0 +1,81 @@
+"""S4: CoNLL-style token-per-line source (EEGCN loader.py:7-27).
+
+Physical format (EEGCN/README.md:46-78): whitespace-separated columns
+  token doc_id entity_type entity_subtype event_tag dep_label dep_head_idx
+one token per line, BLANK line = sentence boundary. A leading-space token
+becomes '$' (loader.py:19-21) and '...' noise tokens are dropped
+(loader.py:96).
+
+Spark-first: the grouping key is the running count of blank lines BEFORE
+each line — a single global window over the line index (the same
+construction as the s4_conll_scan contract query), then one groupBy
+rebuilds sentence rows with arrays ordered by line position. Two
+shuffles total (window + group), both on the sentence key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql import Window as W
+
+COLS = ["token", "doc_id", "entity_type", "entity_subtype", "event_tag",
+        "dep_label", "dep_head"]
+
+
+def read_conll(spark: SparkSession, path: str) -> DataFrame:
+    """-> (sent_id long, n_tokens int, tokens, doc_id string,
+           entity_types, entity_subtypes, event_tags, dep_labels,
+           dep_heads array<int>)."""
+    lines = (
+        spark.read.text(path)
+        .select(
+            F.monotonically_increasing_id().alias("line_id"),
+            F.col("value").alias("line"),
+        )
+    )
+    # leading-space token -> '$' (loader.py:19-21)
+    fixed = lines.withColumn(
+        "line",
+        F.when(F.col("line").startswith(" "), F.concat(F.lit("$"), F.col("line")))
+        .otherwise(F.col("line")),
+    )
+    blank_before = F.sum(
+        F.when(F.trim("line") == "", 1).otherwise(0)
+    ).over(W.orderBy("line_id").rowsBetween(W.unboundedPreceding, -1))
+    keyed = (
+        fixed.withColumn("sent_id", F.coalesce(blank_before, F.lit(0)))
+        .filter(F.trim("line") != "")
+        .withColumn("parts", F.split(F.trim("line"), r"\s+"))
+        .filter(F.element_at("parts", 1) != "...")  # noise filter F8
+    )
+    cols = [F.element_at("parts", i + 1).alias(c) for i, c in enumerate(COLS)]
+    tok = keyed.select("sent_id", "line_id", *cols)
+    def _pick(cname):
+        # closure factory: a default-arg lambda would have arity 2 and be
+        # mis-detected by F.transform as an (element, index) lambda
+        return lambda s: s[cname]
+
+    agg = tok.groupBy("sent_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.min("doc_id").alias("doc_id"),
+        *[
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_id", c))), _pick(c)
+            ).alias(c + "s")
+            for c in COLS
+            if c != "doc_id"
+        ],
+    )
+    return agg.select(
+        "sent_id",
+        "n_tokens",
+        "doc_id",
+        F.col("tokens"),
+        F.col("entity_types"),
+        F.col("entity_subtypes"),
+        F.col("event_tags"),
+        F.col("dep_labels"),
+        F.transform("dep_heads", lambda h: h.cast("int")).alias("dep_heads"),
+    )

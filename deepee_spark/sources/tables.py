@@ -73,12 +73,27 @@ class StageCatalog:
         fingerprint: str,
         partition_by: list[str] | None = None,
     ) -> dict:
-        """Stamp lineage columns, write a new snapshot, publish atomically."""
+        """Stamp lineage columns, write a new snapshot, publish atomically.
+
+        Counter metrics ride the write action itself via the Observation
+        API (no second scan): row count + written-partition count land in
+        the snapshot's _meta.json and are appended to
+        <root>/pipeline_runs.jsonl — the `pipeline_runs` metrics table of
+        SURVEY.md §7.11 (resume checks read them; ops dashboards would).
+        """
         t0 = time.time()
+        from pyspark.sql import Observation
+
+        obs = Observation(f"stage:{name}")
         stamped = (
             df.withColumn("_run_id", F.lit(self.run_id))
             .withColumn("_stage", F.lit(name))
             .withColumn("_part_id", F.spark_partition_id())
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("rows"),
+                F.approx_count_distinct("_part_id").alias("partitions"),
+            )
         )
         tdir = self._table_dir(name)
         os.makedirs(tdir, exist_ok=True)
@@ -87,6 +102,7 @@ class StageCatalog:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(tmp)
+        counters = dict(obs.get)
         n = sum(int(s.split("=")[1]) + 1 for s in self._snapshots(name)[-1:]) or 0
         final = os.path.join(tdir, f"snapshot={n}")
         meta = {
@@ -94,12 +110,16 @@ class StageCatalog:
             "stage": name,
             "fingerprint": fingerprint,
             "snapshot": n,
+            "rows": int(counters.get("rows", -1)),
+            "partitions": int(counters.get("partitions", -1)),
             "wall_sec": round(time.time() - t0, 3),
             "committed_at": time.time(),
         }
         with open(os.path.join(tmp, META), "w") as f:
             json.dump(meta, f)
         os.rename(tmp, final)
+        with open(os.path.join(self.root, "pipeline_runs.jsonl"), "a") as f:
+            f.write(json.dumps(meta) + "\n")
         return meta
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:

@@ -62,3 +62,35 @@ def run_stream(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def stream_event_counts(
+    docs_stream: DataFrame,
+    window_duration: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Stateful path: tumbling-window trigger counts per event type with a
+    watermark on warc_ts for late crawl records.
+
+    (warc_ts, event_type) -> groupBy(window(warc_ts), event_type).count()
+    — the state store holds only open windows; records later than the
+    watermark are dropped deterministically. Append mode emits a window
+    once it closes, so the parquet sink receives immutable rows (the same
+    snapshot discipline as the batch catalog).
+    """
+    from pyspark.sql import functions as F
+
+    extracted = documents_stage(docs_stream)
+    sentences = featurize_sentences(sentences_stage(extracted))
+    triggers = triggers_from_sentences(sentences)
+    return (
+        triggers.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window_duration), "event_type")
+        .count()
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            F.col("count").alias("n_triggers"),
+        )
+    )

@@ -98,3 +98,35 @@ def test_spark_kernel_path_equals_oracle(spark):
     assert got == expected
     assert ("u1", 1, "Conflict:Attack") in got
     assert ("u2", 1, "Contact:Meet") in got
+
+
+def test_viterbi_uniform_equals_argmax():
+    import numpy as np
+    from deepee_spark.kernels.bilstm import viterbi_decode
+
+    rng = np.random.default_rng(3)
+    em = rng.normal(size=(7, 1, 5)).astype(np.float32)
+    uniform = np.zeros((5, 5), dtype=np.float32)
+    path = viterbi_decode(em, uniform)
+    assert (path[:, 0] == em[:, 0].argmax(axis=1)).all()
+
+
+def test_viterbi_matches_bruteforce():
+    import itertools
+    import numpy as np
+    from deepee_spark.kernels.bilstm import viterbi_decode
+
+    rng = np.random.default_rng(4)
+    B, L, C = 3, 4, 3
+    em = rng.normal(size=(B, L, C)).astype(np.float64)
+    tr = rng.normal(size=(C, C)).astype(np.float64)
+    got = viterbi_decode(em, tr)
+    for b in range(B):
+        best, best_s = None, -1e18
+        for path in itertools.product(range(C), repeat=L):
+            s = em[b, 0, path[0]]
+            for t in range(1, L):
+                s += tr[path[t - 1], path[t]] + em[b, t, path[t]]
+            if s > best_s:
+                best, best_s = path, s
+        assert tuple(got[b]) == best

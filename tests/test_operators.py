@@ -152,3 +152,41 @@ def test_tuple_set_prf_conventions(spark):
     assert m2["precision"] == 1.0  # MOGANED utils.py:50-53 convention
     m3 = tuple_set_prf(empty, gold, ["k", "v"], empty_pred_precision=0.0)
     assert m3["precision"] == 0.0  # QAEE run_trigger_qa.py:263-266 convention
+
+
+def test_spans_to_bio_roundtrip(spark):
+    from deepee_spark.operators.bio import bio_merge_spans, spans_to_bio
+
+    df = spark.createDataFrame(
+        [
+            (1, [(1, 3, "A"), (4, 5, "B")], 6),
+            (2, [(0, 2, "A")], 3),
+            (3, [], 4),
+            # overlap: earliest start wins
+            (4, [(1, 4, "Z"), (2, 3, "A")], 5),
+        ],
+        "id int, spans array<struct<start:int,end:int,etype:string>>, n int",
+    )
+    out = {
+        r["id"]: r["tags"]
+        for r in df.select(
+            "id", spans_to_bio(F.col("spans"), F.col("n")).alias("tags")
+        ).collect()
+    }
+    assert out[1] == ["O", "B-A", "I-A", "O", "B-B", "O"]
+    assert out[2] == ["B-A", "I-A", "O"]
+    assert out[3] == ["O"] * 4
+    assert out[4] == ["O", "B-Z", "I-Z", "I-Z", "O"]
+    # roundtrip through bio_merge_spans recovers non-overlapping spans
+    back = {
+        r["id"]: [(s["start"], s["end"], s["etype"]) for s in r["spans2"]]
+        for r in df.select(
+            "id",
+            bio_merge_spans(
+                spans_to_bio(F.col("spans"), F.col("n"))
+            ).alias("spans2"),
+        ).collect()
+    }
+    assert back[1] == [(1, 3, "A"), (4, 5, "B")]
+    assert back[2] == [(0, 2, "A")]
+    assert back[3] == []

@@ -76,3 +76,21 @@ def test_partial_resume_after_kill(spark, tmp_path):
     assert set(p.skipped) == {"documents", "extracted", "sentences", "triggers"}
     assert set(p.ran) == {"arguments", "linked", "canonical", "triples"}
     assert t2.count() == n1
+
+
+def test_counter_metrics_recorded(spark, main_run):
+    """Every stage commit records row/partition counters (observe-based,
+    no extra scan) in _meta.json and appends to pipeline_runs.jsonl."""
+    import json
+    import os
+
+    cat, _pipe, t1 = main_run
+    meta = cat.latest_meta("triples")
+    assert meta["rows"] == t1.count()
+    assert meta["partitions"] >= 1
+    runs_log = os.path.join(cat.root, "pipeline_runs.jsonl")
+    assert os.path.exists(runs_log)
+    entries = [json.loads(l) for l in open(runs_log)]
+    stages = {e["stage"] for e in entries}
+    assert {"documents", "sentences", "triggers", "triples"} <= stages
+    assert all(e["rows"] >= 0 for e in entries)

@@ -1,0 +1,118 @@
+"""Scan operators S1-S4 (sources/ace_json.py, sources/conll.py) against
+reference-shaped fixtures (MOGANED data/sample.json, JMEE
+ace-05-splits/sample.json, QAEE convert_examples output, EEGCN
+data_doc/example_data layouts)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from deepee_spark.sources.ace_json import (
+    read_ace_array,
+    read_ace_jsonl_arrays,
+    read_sentence_jsonl,
+)
+from deepee_spark.sources.conll import read_conll
+
+_ACE_SENT = {
+    "words": ["he", "was", "arrested", "in", "baghdad", "yesterday"],
+    "pos-tags": ["PRP", "VBD", "VBN", "IN", "NNP", "NN"],
+    "golden-entity-mentions": [
+        {"start": 0, "end": 1, "entity-type": "PER"},
+        {"start": 4, "end": 5, "entity-type": "GPE"},
+    ],
+    "golden-event-mentions": [
+        {
+            "trigger": {"start": 2, "end": 3, "text": "arrested"},
+            "event_type": "Justice:Arrest-Jail",
+            "arguments": [
+                {"start": 0, "end": 1, "role": "Person"},
+                {"start": 4, "end": 5, "role": "Place"},
+            ],
+        }
+    ],
+}
+
+_SHORT = {"words": ["too", "short"], "pos-tags": ["RB", "JJ"],
+          "golden-entity-mentions": [], "golden-event-mentions": []}
+
+_LONG = {
+    "words": [f"w{i}" for i in range(60)],
+    "pos-tags": ["NN"] * 60,
+    "golden-entity-mentions": [
+        {"start": 55, "end": 56, "entity-type": "PER"},  # past CUTOFF: drop
+        {"start": 48, "end": 57, "entity-type": "ORG"},  # end clamps to 50
+    ],
+    "golden-event-mentions": [],
+}
+
+
+def test_s1_ace_array(spark, tmp_path):
+    p = tmp_path / "ace.json"
+    p.write_text(json.dumps([_ACE_SENT, _SHORT, _LONG]))
+    out = read_ace_array(spark, str(p)).orderBy("sent_id").collect()
+    # min-length filter dropped _SHORT
+    assert len(out) == 2
+    first = out[0]
+    assert first["words"][2] == "arrested"
+    assert first["events"][0]["event_type"] == "Justice:Arrest-Jail"
+    assert [a["role"] for a in first["events"][0]["arguments"]] == [
+        "Person", "Place",
+    ]
+    longrow = out[1]
+    assert len(longrow["words"]) == 50  # CUTOFF truncation
+    assert [e["entity_type"] for e in longrow["entities"]] == ["ORG"]
+    assert longrow["entities"][0]["end"] == 50  # clamped
+
+
+def test_s2_jsonl_arrays(spark, tmp_path):
+    p = tmp_path / "ace.jsonl"
+    p.write_text(
+        json.dumps([_ACE_SENT, _SHORT]) + "\n" + json.dumps([_ACE_SENT]) + "\n"
+    )
+    out = read_ace_jsonl_arrays(spark, str(p)).collect()
+    assert len(out) == 2  # _SHORT filtered; two surviving sentences
+    assert all(r["words"][2] == "arrested" for r in out)
+
+
+def test_s3_sentence_jsonl(spark, tmp_path):
+    p = tmp_path / "sent.jsonl"
+    rec = {
+        "sentence": ["he", "was", "arrested", "in", "baghdad"],
+        "event": [[[12, "Justice:Arrest-Jail"], [10, 10, "Person"],
+                   [14, 14, "Place"]]],
+        "s_start": 10,
+    }
+    p.write_text(json.dumps(rec) + "\n")
+    out = read_sentence_jsonl(spark, str(p)).collect()
+    assert len(out) == 1
+    ev = out[0]["events"][0]
+    assert ev["trigger_start"] == 2 and ev["event_type"] == "Justice:Arrest-Jail"
+    assert [(a["start"], a["end"], a["role"]) for a in ev["arguments"]] == [
+        (0, 1, "Person"), (4, 5, "Place"),
+    ]
+
+
+def test_s4_conll(spark, tmp_path):
+    p = tmp_path / "conll.txt"
+    lines = [
+        "He doc1 PER PER.Individual O nsubj 2",
+        "was doc1 O O O aux 2",
+        "arrested doc1 O O B-Justice root 0",
+        "",
+        "... doc1 O O O punct 1",  # noise token dropped (F8)
+        "Short doc1 O O O nsubj 1",
+        "sentence doc1 O O O obj 0",
+        "",
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    out = {r["sent_id"]: r for r in read_conll(spark, str(p)).collect()}
+    assert len(out) == 2
+    s0 = out[0]
+    assert s0["tokens"] == ["He", "was", "arrested"]
+    assert s0["event_tags"] == ["O", "O", "B-Justice"]
+    assert s0["dep_heads"] == [2, 2, 0]
+    s1 = out[max(out)]
+    assert s1["tokens"] == ["Short", "sentence"]  # '...' dropped

@@ -32,3 +32,54 @@ def test_stream_matches_batch(spark, tmp_path):
     # idempotent restart: draining again adds nothing (checkpoint dedupe)
     run_stream(spark, src, sink, ckpt, available_now=True)
     assert spark.read.parquet(sink).count() == batch.count()
+
+
+def test_stream_windowed_counts_with_watermark(spark, tmp_path):
+    """Watermarked tumbling-window aggregation drains under availableNow
+    and matches the batch equivalent computed on the same files."""
+    from pyspark.sql import functions as F
+
+    from deepee_spark.corpus import corpus_df
+    from deepee_spark.extract import documents_stage
+    from deepee_spark.functions.featurize import featurize_sentences
+    from deepee_spark.plans.pipeline import triggers_from_sentences
+    from deepee_spark.segment import sentences_stage
+    from deepee_spark.streaming.ingest import stream_documents, stream_event_counts
+
+    src = str(tmp_path / "docs")
+    corpus_df(spark, 120).write.parquet(src)
+
+    out = str(tmp_path / "win_out")
+    ck = str(tmp_path / "win_ck")
+    counts = stream_event_counts(stream_documents(spark, src))
+    q = (
+        counts.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["window_start"], r["event_type"]): r["n_triggers"]
+        for r in spark.read.parquet(out).collect()
+    }
+    batch_triggers = triggers_from_sentences(
+        featurize_sentences(sentences_stage(documents_stage(spark.read.parquet(src))))
+    )
+    want = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in batch_triggers.groupBy(
+            F.window("warc_ts", "1 day").alias("w"), "event_type"
+        )
+        .count()
+        .select(F.col("w.start").alias("ws"), "event_type", F.col("count").alias("n"))
+        .collect()
+    }
+    # append mode emits only closed windows; every emitted window must
+    # match batch exactly, and most windows should have closed
+    assert got
+    for k, v in got.items():
+        assert want.get(k) == v

@@ -42,6 +42,11 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true", help="skip current stages")
     ap.add_argument("--warmup-docs", type=int, default=0,
                     help="run a throwaway pipeline of N docs first (JIT warm)")
+    ap.add_argument("--steady", action="store_true",
+                    help="steady-state timing: run the full job once to warm "
+                         "JIT/codegen/workers (a cluster runs this pipeline "
+                         "continuously), then time a second identical run "
+                         "into a fresh warehouse")
     ap.add_argument("--json", action="store_true", help="print one JSON line")
     args = ap.parse_args()
 
@@ -70,6 +75,14 @@ def main() -> None:
         documents = spark.read.parquet(args.input)
         fingerprint = f"input:{args.input}"
         n_docs = documents.count()
+
+    if args.steady:
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as wroot:
+            Pipeline(spark, StageCatalog(wroot)).run(
+                documents, fingerprint, resume=False
+            ).count()
 
     catalog = StageCatalog(args.warehouse, run_id=args.run_id)
     pipe = Pipeline(spark, catalog)
