@@ -119,6 +119,9 @@ def _ee_trigger_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepee_spark.plans.pipeline import _pad_matrix
 
     docs = _t(spark, sf_dir, "documents")
+    # single-file table -> 1-2 scan partitions; spread before the kernel
+    # (the pipeline proper does this once with xxhash64(url))
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     feat = docs.select(
         "doc_id", F.slice(_tokens(), 1, 50).alias("tokens")
     ).filter(F.size("tokens") >= 5)
