@@ -65,3 +65,63 @@ def prf_by_group(
         (F.col("n_correct") / F.col("n_pred")).alias("precision"),
         (F.col("n_correct") / F.col("n_gold")).alias("recall"),
     )
+
+
+def identification_classification_prf(
+    pred: DataFrame,
+    gold: DataFrame,
+    span_keys: list[str],
+    label_key: str,
+) -> dict[str, dict[str, float]]:
+    """MOGANED's two-level eval split (eval.py:37-44): *identification*
+    scores matches on span keys alone (right trigger/argument found);
+    *classification* additionally requires the label to match. Both use
+    the same tuple-set machinery (A3/J10)."""
+    return {
+        "identification": tuple_set_prf(pred, gold, span_keys),
+        "classification": tuple_set_prf(pred, gold, [*span_keys, label_key]),
+    }
+
+
+def pr_curve(
+    pred: DataFrame,
+    gold: DataFrame,
+    keys: list[str],
+    score_col: str = "confidence",
+) -> DataFrame:
+    """W1: the sorted precision-recall curve (DMCNN
+    dataProcess_trigger_bag_preinfo.py:56-113). Predictions ordered by
+    score desc (ties broken by the tuple key for determinism); at every
+    prefix: P = correct-so-far / preds-so-far, R = correct-so-far /
+    |gold|, F1 derived. One window pass — the reference's running-count
+    loop as a running-sum window over the score ordering."""
+    from pyspark.sql import Window as W
+
+    g = gold.select(*keys).distinct().withColumn("_hit", F.lit(1))
+    n_gold = g.count()
+    scored = (
+        pred.select(*keys, score_col)
+        .groupBy(*keys)
+        .agg(F.max(score_col).alias(score_col))
+        .join(g, keys, "left")
+    )
+    w = W.orderBy(F.desc(score_col), *[F.asc(k) for k in keys]).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    curve = scored.select(
+        score_col,
+        F.sum(F.coalesce("_hit", F.lit(0))).over(w).alias("n_correct"),
+        F.count(F.lit(1)).over(w).alias("n_pred"),
+    )
+    p = F.col("n_correct") / F.col("n_pred")
+    r = F.col("n_correct") / F.lit(n_gold)
+    return curve.select(
+        score_col,
+        "n_pred",
+        "n_correct",
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(
+            F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0)), 6
+        ).alias("f1"),
+    )

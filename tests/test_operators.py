@@ -190,3 +190,45 @@ def test_spans_to_bio_roundtrip(spark):
     assert back[1] == [(1, 3, "A"), (4, 5, "B")]
     assert back[2] == [(0, 2, "A")]
     assert back[3] == []
+
+
+def test_identification_vs_classification_split(spark):
+    from deepee_spark.operators.metrics import identification_classification_prf
+
+    gold = spark.createDataFrame(
+        [("d1", 2, "A"), ("d1", 5, "B"), ("d2", 0, "A")],
+        ["doc", "pos", "label"],
+    )
+    # pred: 2 spans right, one with wrong label; one span wrong entirely
+    pred = spark.createDataFrame(
+        [("d1", 2, "A"), ("d1", 5, "X"), ("d2", 9, "A")],
+        ["doc", "pos", "label"],
+    )
+    out = identification_classification_prf(pred, gold, ["doc", "pos"], "label")
+    ident, cls = out["identification"], out["classification"]
+    assert ident["n_correct"] == 2 and abs(ident["precision"] - 2 / 3) < 1e-9
+    assert cls["n_correct"] == 1 and abs(cls["precision"] - 1 / 3) < 1e-9
+    # identification >= classification always
+    assert ident["f1"] >= cls["f1"]
+
+
+def test_pr_curve_matches_reference_semantics(spark):
+    from deepee_spark.operators.metrics import pr_curve
+
+    gold = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
+    pred = spark.createDataFrame(
+        [(1, 0.9), (4, 0.8), (2, 0.7), (5, 0.6), (3, 0.5)], ["k", "confidence"]
+    )
+    rows = pr_curve(pred, gold, ["k"]).orderBy(F.desc("confidence")).collect()
+    # running P/R after each prediction in score order:
+    want = [
+        (1, 1, 1.0, 1 / 3),
+        (2, 1, 0.5, 1 / 3),
+        (3, 2, 2 / 3, 2 / 3),
+        (4, 2, 0.5, 2 / 3),
+        (5, 3, 0.6, 1.0),
+    ]
+    got = [(r["n_pred"], r["n_correct"], r["precision"], r["recall"]) for r in rows]
+    for (wnp, wnc, wp, wr), (gnp, gnc, gp, gr) in zip(want, got):
+        assert (wnp, wnc) == (gnp, gnc)
+        assert abs(wp - gp) < 1e-5 and abs(wr - gr) < 1e-5
