@@ -1665,6 +1665,45 @@ FROM d, unnest(range(1, n + 1)) AS u(i)
 
 
 # ---------------------------------------------------------------------------
+# embedding-cosine near-dup (dedup library, blocked by label to bound the
+# pair space exactly as the operator does at scale)
+# ---------------------------------------------------------------------------
+
+DUP_COS = 0.2
+
+
+def _dedup_embedding_cosine(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    d = emb.select("vec_id", F.col("label").alias("blk"), F.col("embedding").alias("v"))
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("a.blk") == F.col("b.blk")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        F.sqrt(_dot(F.col("a.v"), F.col("a.v"))) * F.sqrt(_dot(F.col("b.v"), F.col("b.v")))
+    )
+    return pairs.select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.round(cos, 6).alias("cosine"),
+    ).filter(F.col("cosine") >= DUP_COS)
+
+
+_DEDUP_EMB_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_DOT_SQL.format(a='a.embedding', b='b.embedding')} /
+             (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')}) *
+              sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')})), 6) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND({_DOT_SQL.format(a='a.embedding', b='b.embedding')} /
+            (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')}) *
+             sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')})), 6) >= {DUP_COS}
+"""
+
+
+# ---------------------------------------------------------------------------
 # J8/JSON codec: property extraction (the reference's schema-on-read JSON
 # ingestion S1-S3 + entity-id resolution J8, over the events.props column)
 # ---------------------------------------------------------------------------
@@ -1993,6 +2032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_signatures": _minhash_sig,
         "dedup_simhash": _simhash,
         "dedup_ngram_jaccard": _ngram_jaccard,
+        "dedup_embedding_cosine": _dedup_embedding_cosine,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "mm_image_features": _mm_image_features,
@@ -2048,6 +2088,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_signatures": _MINHASH_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "dedup_embedding_cosine": _DEDUP_EMB_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "ann_ivf_topk": _IVF_SQL,
         # mm_* queries have no SQL oracle (binary decode) — rows-only check

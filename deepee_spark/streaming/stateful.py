@@ -1,0 +1,77 @@
+"""Custom stateful streaming operator: cross-micro-batch exact dedup.
+
+The stateless ingest path (ingest.py) re-emits a document every time its
+url reappears in a later crawl drop. This operator keeps a per-key state
+(the set of content fingerprints already emitted for that key) with
+``applyInPandasWithState`` — the engine-level template for any custom
+stateful operator the reference family needs (AD-DMBERT's
+confident-set accumulation, A9 correct-count accumulation) when input is
+a stream rather than snapshot tables.
+
+Scale notes:
+  * state is keyed by ``key_col`` (url-hash distributes it); each key
+    holds only fingerprints (8-byte hashes), not documents
+  * GroupStateTimeout.NoTimeout — crawl dedup state is permanent for the
+    run; production would set a TTL via ProcessingTimeTimeout to bound
+    the store
+  * the same function body serves batch backfill via applyInPandas with
+    an empty initial state (tested in test_streaming.py)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = "seen array<long>"
+OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("fingerprint", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("n_seen_before", T.IntegerType()),
+    ]
+)
+
+
+def _dedup_group(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    seen: set[int] = set(state.get[0]) if state.exists else set()
+    out_rows: list[tuple[Any, ...]] = []
+    for pdf in pdfs:
+        for _, row in pdf.iterrows():
+            fp = int(row["fingerprint"])
+            if fp not in seen:
+                out_rows.append((key[0], fp, row["url"], len(seen)))
+                seen.add(fp)
+    state.update((sorted(seen),))
+    if out_rows:
+        yield pd.DataFrame(
+            out_rows, columns=["key", "fingerprint", "url", "n_seen_before"]
+        )
+
+
+def stream_dedup(docs_stream: DataFrame) -> DataFrame:
+    """documents stream -> first-occurrence rows only, across ALL
+    micro-batches (state survives between triggers via the state store)."""
+    keyed = docs_stream.select(
+        F.substring(F.col("url"), 9, 12).alias("key"),  # host prefix block
+        F.xxhash64("text").alias("fingerprint"),
+        "url",
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        _dedup_group,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -109,3 +109,32 @@ def test_featurize_stays_in_wholestage_codegen(spark, docs_parquet):
     assert "* Generate" in plan or "* Project" in plan, plan
     # no row-at-a-time python eval anywhere in the featurization path
     assert "BatchEvalPython" not in plan
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path_factory):
+    """Bucketing both sides of a recurring join key (url-hash) removes the
+    Exchange entirely — the co-located-join strategy for stage tables that
+    join repeatedly at 100 TB (sentences x triggers on url)."""
+    from deepee_spark.corpus import corpus_df
+
+    wh = tmp_path_factory.mktemp("bucketed")
+    docs = corpus_df(spark, 200).select("url", "lang", "text")
+    (docs.write.mode("overwrite").bucketBy(8, "url").sortBy("url")
+         .option("path", str(wh / "b_left")).saveAsTable("b_left"))
+    (docs.select("url", F.length("text").alias("n")).write.mode("overwrite")
+         .bucketBy(8, "url").sortBy("url")
+         .option("path", str(wh / "b_right")).saveAsTable("b_right"))
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path (tiny test tables would broadcast);
+        # at 100 TB both sides exceed any broadcast threshold and this IS
+        # the plan bucketing buys: SMJ with zero Exchange
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_left").join(spark.table("b_right"), "url")
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 200
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS b_left")
+        spark.sql("DROP TABLE IF EXISTS b_right")

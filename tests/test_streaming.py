@@ -83,3 +83,55 @@ def test_stream_windowed_counts_with_watermark(spark, tmp_path):
     assert got
     for k, v in got.items():
         assert want.get(k) == v
+
+
+def test_stateful_stream_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState: a url/content fingerprint emitted in batch 1
+    must NOT be re-emitted when the same content arrives in batch 2; new
+    content still flows. State persists across separate availableNow
+    drains through the checkpoint."""
+    from deepee_spark.corpus import DOC_SCHEMA
+    from deepee_spark.streaming.stateful import stream_dedup
+
+    import datetime as dt
+
+    def doc(url, text):
+        return (url, dt.datetime(2026, 1, 1), b"<html>x</html>", text, "en")
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            stream_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    batch1 = [doc("https://a.example.com/1", "alpha"), doc("https://a.example.com/2", "beta")]
+    spark.createDataFrame(batch1, DOC_SCHEMA).coalesce(1).write.mode("append").parquet(str(src))
+    drain()
+    first = spark.read.parquet(out).collect()
+    assert len(first) == 2
+
+    # batch 2: one duplicate content, one new
+    batch2 = [doc("https://a.example.com/3", "alpha"), doc("https://a.example.com/4", "gamma")]
+    spark.createDataFrame(batch2, DOC_SCHEMA).coalesce(1).write.mode("append").parquet(str(src))
+    drain()
+    rows = spark.read.parquet(out).collect()
+    texts_emitted = len(rows)
+    assert texts_emitted == 3  # alpha once, beta once, gamma once
+    gamma_row = [r for r in rows if r["url"].endswith("/4")]
+    assert gamma_row and gamma_row[0]["n_seen_before"] == 2
