@@ -1665,6 +1665,54 @@ FROM d, unnest(range(1, n + 1)) AS u(i)
 
 
 # ---------------------------------------------------------------------------
+# SC4: label pretty_str (JMEE Sentence.py:4-11 — uppercase, '-'->'|',
+# ':'->'||', B-/I- prefix preserved) over synthesized BIO event labels
+# ---------------------------------------------------------------------------
+
+def _sc4_label_pretty(spark, sf):
+    ev = _t(spark, sf, "events")
+    tag = F.concat(F.lit("B-"), F.col("event_type"))
+    body = F.substring(tag, 3, 100)
+    pretty = F.concat(
+        F.substring(tag, 1, 2),
+        F.regexp_replace(
+            F.regexp_replace(F.upper(body), ":", "||"), "-", "|"
+        ),
+    )
+    return ev.select(tag.alias("tag"), pretty.alias("pretty")).distinct()
+
+
+_SC4_SQL = """
+SELECT DISTINCT 'B-' || event_type AS tag,
+       substr('B-' || event_type, 1, 2) ||
+       replace(replace(upper(substr('B-' || event_type, 3)), ':', '||'), '-', '|') AS pretty
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# F3: keep_events filter (JMEE Data.py:175-190 — keep records with >= N /
+# exactly N events) realized per-user over the events table
+# ---------------------------------------------------------------------------
+
+F3_MIN_EVENTS = 12
+
+
+def _f3_keep_events(spark, sf):
+    ev = _t(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    return per_user.filter(F.col("n_events") >= F3_MIN_EVENTS)
+
+
+_F3_SQL = f"""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id HAVING COUNT(*) >= {F3_MIN_EVENTS}
+"""
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-dup (dedup library, blocked by label to bound the
 # pair space exactly as the operator does at scale)
 # ---------------------------------------------------------------------------
@@ -2013,7 +2061,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u1_union_posneg": _u1_union,
         "u2_confidence_transfer": _u2_transfer,
         "u3_intersect_users": _u3_intersect,
+        "f3_keep_events": _f3_keep_events,
         "f4_negative_cap": _f4_negative_cap,
+        "sc4_label_pretty": _sc4_label_pretty,
         "s4_conll_scan": _s4_conll_scan,
         "s7_embedding_scan": _s7_embedding_scan,
         "a6_micro_f1": _a6_micro_f1,
@@ -2069,7 +2119,9 @@ def oracle_sql() -> dict[str, str]:
         "u1_union_posneg": _U1_SQL,
         "u2_confidence_transfer": _U2_SQL,
         "u3_intersect_users": _U3_SQL,
+        "f3_keep_events": _F3_SQL,
         "f4_negative_cap": _F4_SQL,
+        "sc4_label_pretty": _SC4_SQL,
         "s4_conll_scan": _S4_SQL,
         "s7_embedding_scan": _S7_SQL,
         "a6_micro_f1": _A6_SQL,

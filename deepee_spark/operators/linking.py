@@ -93,12 +93,20 @@ def link_mentions(
     mentions: DataFrame,
     aliases: DataFrame,
     fuzzy: bool = True,
+    broadcast_aliases: bool = True,
 ) -> DataFrame:
     """mentions(mention_id, surface) x aliases(alias, entity_id, prior)
     -> (mention_id, surface, entity_id, link_score, link_method).
 
     Unlinkable mentions are dropped (NIL) — callers union them back if
     they materialize NIL nodes.
+
+    ``broadcast_aliases``: the gazetteer-sized dictionary broadcasts; a
+    web-scale KB alias table does not fit an executor, and the shuffle
+    join on `norm` is exactly where head-entity skew bites ('washington'
+    owns ~30% of mentions) — that path uses the k-way salted join
+    (operators/skew.py), mention_id as the salt source. Both paths are
+    semantically identical (tested).
     """
     m = mentions.withColumn("norm", normalize_surface(F.col("surface")))
     a = aliases.withColumn("norm", normalize_surface(F.col("alias")))
@@ -113,7 +121,13 @@ def link_mentions(
         .select("norm", F.col("best.entity_id"), F.col("best.prior"))
     )
 
-    exact = m.join(F.broadcast(a_best), "norm").select(
+    if broadcast_aliases:
+        matched = m.join(F.broadcast(a_best), "norm")
+    else:
+        from .skew import salted_join
+
+        matched = salted_join(m, a_best, key="norm", salt_on="mention_id")
+    exact = matched.select(
         "mention_id",
         "surface",
         "entity_id",

@@ -232,3 +232,29 @@ def test_pr_curve_matches_reference_semantics(spark):
     for (wnp, wnc, wp, wr), (gnp, gnc, gp, gr) in zip(want, got):
         assert (wnp, wnc) == (gnp, gnc)
         assert abs(wp - gp) < 1e-5 and abs(wr - gr) < 1e-5
+
+
+def test_salted_linking_equals_broadcast_linking(spark):
+    """The salted shuffle path (web-scale alias table) must produce the
+    identical link set as the broadcast path, with the salt visible in
+    the plan as a k-way dim explosion + no broadcast of the alias side."""
+    from deepee_spark.operators.linking import link_mentions
+
+    # Zipf-ish: 'washington' owns most mentions (the skew case)
+    rows = [(i, "Washington") for i in range(300)] + [
+        (1000 + i, s) for i, s in enumerate(["beijing", "smith", "qqq"] * 10)
+    ]
+    mentions = spark.createDataFrame(rows, ["mention_id", "surface"])
+    aliases = spark.createDataFrame(
+        [("washington", "E:gpe.washington", 1.0),
+         ("beijing", "E:gpe.beijing", 0.9),
+         ("smith", "E:per.smith", 0.8)],
+        ["alias", "entity_id", "prior"],
+    )
+    b = link_mentions(mentions, aliases, fuzzy=False, broadcast_aliases=True)
+    s = link_mentions(mentions, aliases, fuzzy=False, broadcast_aliases=False)
+    cols = ["mention_id", "surface", "entity_id", "link_score", "link_method"]
+    assert sorted(map(tuple, b.select(cols).collect())) == sorted(
+        map(tuple, s.select(cols).collect())
+    )
+    assert s.count() == 300 + 20  # washington + beijing/smith mentions
