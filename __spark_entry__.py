@@ -940,9 +940,12 @@ FROM agg
 
 def _ngram_jaccard(spark, sf):
     docs = _t(spark, sf, "documents")
-    # materialize the token array ONCE per doc; referencing `toks` inside the
-    # transform lambda is an array lookup, not a re-tokenization (the inline
-    # _tokens() variant re-split the whole text per shingle position: O(L^2))
+    # Shingles are 64-bit hashes of the shingle STRING, hashed with each
+    # engine's native function (xxhash64 here, hash() in DuckDB). Hash
+    # values never appear in the output — only |A∩B|/|A∪B| does — so the
+    # two engines agree exactly unless a 64-bit collision occurs (~1e-11
+    # over this candidate space). The O(pairs) intersect/union then
+    # compares 8-byte ints instead of ~15-char strings.
     toked = docs.select(
         "doc_id",
         "lang",
@@ -952,11 +955,13 @@ def _ngram_jaccard(spark, sf):
     sh = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(1))),
-            lambda i: F.concat_ws(
-                "_",
-                F.element_at(F.col("toks"), i),
-                F.element_at(F.col("toks"), i + 1),
-                F.element_at(F.col("toks"), i + 2),
+            lambda i: F.xxhash64(
+                F.concat_ws(
+                    "_",
+                    F.element_at(F.col("toks"), i),
+                    F.element_at(F.col("toks"), i + 1),
+                    F.element_at(F.col("toks"), i + 2),
+                )
             ),
         )
     )
@@ -998,7 +1003,7 @@ WITH d AS (
   SELECT doc_id, lang, CAST(FLOOR(n_chars / 100) AS BIGINT) AS bucket,
          list_distinct(list_transform(
            range(1, greatest(len({_TOKENS_SQL}) - 2, 1) + 1),
-           i -> {_TOKENS_SQL}[i] || '_' || {_TOKENS_SQL}[i+1] || '_' || {_TOKENS_SQL}[i+2]
+           i -> hash({_TOKENS_SQL}[i] || '_' || {_TOKENS_SQL}[i+1] || '_' || {_TOKENS_SQL}[i+2])
          )) AS shingles
   FROM documents),
 f AS (SELECT * FROM d WHERE len(shingles) >= 3)
