@@ -94,3 +94,15 @@ def test_counter_metrics_recorded(spark, main_run):
     stages = {e["stage"] for e in entries}
     assert {"documents", "sentences", "triggers", "triples"} <= stages
     assert all(e["rows"] >= 0 for e in entries)
+
+
+def test_empty_corpus_yields_zero_triples(spark, tmp_path):
+    """Degenerate inputs must flow through every stage without crashing:
+    empty corpus and a corpus where every doc is gated out by lang."""
+    docs = corpus_df(spark, 20)
+    for name, d in [("empty", docs.filter("1=0")),
+                    ("gated", docs.filter("lang = 'other'"))]:
+        pipe = Pipeline(spark, StageCatalog(str(tmp_path / name)))
+        t = pipe.run(d, f"corpus:{name}", resume=False)
+        assert t.count() == 0
+        assert len(pipe.ran) == 8
