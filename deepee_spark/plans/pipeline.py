@@ -149,6 +149,11 @@ def triggers_from_sentences(featurized: DataFrame) -> DataFrame:
                 }
             )
 
+    # Ship ONLY what the kernel reads across Arrow — the raw sentence
+    # string and lineage columns would double the per-row transfer.
+    featurized = featurized.select(
+        "url", "warc_ts", "sent_id", "tokens", "token_ids", "mentions"
+    )
     # W2 sort-by-length batch formation (EEGCN data_utils.py:218-227; JMEE
     # training.py:11-16): narrow, no shuffle, and each Arrow batch becomes
     # near-uniform in length so _pad_matrix's batch-max padding pays off.
