@@ -952,18 +952,16 @@ def _ngram_jaccard(spark, sf):
         F.floor(F.col("n_chars") / 100).cast("long").alias("bucket"),
         _tokens().alias("toks"),
     )
+    # zip_with over three shifted slices: the `toks` column is referenced a
+    # constant number of times per ROW. (An element_at(toks, i) lambda is
+    # re-inlined by projection collapse and re-tokenizes the text at every
+    # position: O(L^2) — measured 5s of this query's 8s.)
+    t1 = F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 2, F.lit(1)))
+    t2 = F.slice(F.col("toks"), 2, F.greatest(F.size("toks") - 2, F.lit(1)))
+    t3 = F.slice(F.col("toks"), 3, F.greatest(F.size("toks") - 2, F.lit(1)))
+    pair = F.zip_with(t1, t2, lambda a, b: F.concat_ws("_", a, b))
     sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(1))),
-            lambda i: F.xxhash64(
-                F.concat_ws(
-                    "_",
-                    F.element_at(F.col("toks"), i),
-                    F.element_at(F.col("toks"), i + 1),
-                    F.element_at(F.col("toks"), i + 2),
-                )
-            ),
-        )
+        F.zip_with(pair, t3, lambda ab, c: F.xxhash64(F.concat_ws("_", ab, c)))
     )
     d = toked.select(
         "doc_id",

@@ -159,19 +159,22 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Token-n-gram Jaccard over pairs sharing the blocking key."""
     toks = F.col(tokens_col)
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-            lambda i: F.when(
-                F.try_element_at(toks, i + (n - 1)).isNotNull(),
-                F.concat_ws("_", *[F.try_element_at(toks, i + j) for j in range(n)]),
-            ),
+    # n shifted slices zipped together: references `toks` O(n) per ROW.
+    # (A per-position element_at lambda gets re-inlined by projection
+    # collapse — O(L*n) references — which is catastrophic when callers
+    # pass a derived tokenization expression rather than a stored column.)
+    width = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    acc = F.slice(toks, 1, width)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, j + 1, width),
+            lambda a, b: F.concat_ws("_", a, b),
         )
-    )
     d = df.select(
         F.col(id_col).alias("pid"),
         *block_cols,
-        F.filter(sh, lambda s: s.isNotNull()).alias("shingles"),
+        F.array_distinct(acc).alias("shingles"),
     ).filter(F.size("shingles") >= n)
     a, b = d.alias("a"), d.alias("b")
     cond = F.col("a.pid") < F.col("b.pid")
