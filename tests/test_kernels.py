@@ -130,3 +130,119 @@ def test_viterbi_matches_bruteforce():
             if s > best_s:
                 best, best_s = path, s
         assert tuple(got[b]) == best
+
+
+def test_gcn_kernel_shapes_and_masking():
+    import numpy as np
+    from deepee_spark.kernels.gcn import densify_adjacency, score_tokens
+    from deepee_spark.ontology import NUM_EVENT_CLASSES
+
+    rng = np.random.default_rng(5)
+    ids = rng.integers(0, 60, size=(4, 8))
+    lengths = np.array([8, 5, 3, 1])
+    edges = [
+        [{"etype": "fwd", "src": 0, "dst": 1}, {"etype": "rev", "src": 1, "dst": 0}],
+        [{"etype": "fwd", "src": 4, "dst": 7}],  # dst out of range for len 5: ignored
+        None,
+        [],
+    ]
+    a = densify_adjacency(edges, lengths, 8)
+    # row-normalized: every valid row sums to 1
+    for i, li in enumerate(lengths):
+        assert np.allclose(a[i, :li].sum(axis=1), 1.0)
+    probs = score_tokens(ids, lengths, a)
+    assert probs.shape == (4, 8, NUM_EVENT_CLASSES)
+    # padded positions masked to zero
+    assert probs[1, 5:].sum() == 0.0
+    # valid rows are distributions
+    assert np.allclose(probs[0].sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_gcn_trigger_recovery_and_graph_sensitivity():
+    """Identity wiring recovers lexicon triggers through the graph stack;
+    adjacency actually matters (a hub edge changes neighbor scores)."""
+    import numpy as np
+    from deepee_spark.kernels.gcn import decode_triggers_gcn, densify_adjacency, score_tokens
+    from deepee_spark.kernels.weights import kernel_vocab
+    from deepee_spark.ontology import EVENT_TYPE_TO_ID, TRIGGER_LEXICON
+
+    vocab = kernel_vocab()
+    w = sorted(TRIGGER_LEXICON)[0]  # a trigger word
+    ev = EVENT_TYPE_TO_ID[TRIGGER_LEXICON[w]]
+    ids = np.array([[vocab[w], 1, 1, 1]])  # trigger + UNK filler
+    lengths = np.array([4])
+    a = densify_adjacency([[]], lengths, 4)
+    b, t, cls, score = decode_triggers_gcn(ids, lengths, a)
+    assert (0, 0) in set(zip(b.tolist(), t.tolist()))
+    hit = {(int(tt)): int(c) for bb, tt, c in zip(b, t, cls) if bb == 0}
+    assert hit[0] == ev
+    # graph sensitivity: connecting token 3 to the trigger changes its probs
+    a2 = densify_adjacency([[{"etype": "fwd", "src": 3, "dst": 0}]], lengths, 4)
+    p1 = score_tokens(ids, lengths, a)
+    p2 = score_tokens(ids, lengths, a2)
+    assert not np.allclose(p1[0, 3], p2[0, 3])
+
+
+def test_gcn_spark_mapinpandas_parity(spark):
+    """The Spark mapInPandas path must equal the single-process oracle on
+    the same batch (same weights, same adjacency)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from deepee_spark.kernels.gcn import decode_triggers_gcn, densify_adjacency
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(64):
+        li = int(rng.integers(3, 10))
+        toks = rng.integers(0, 60, size=li).tolist()
+        edges = [
+            {"etype": "fwd", "src": int(rng.integers(0, li)), "dst": int(rng.integers(0, li))}
+            for _ in range(li // 2)
+        ]
+        rows.append((i, toks, edges))
+    schema = (
+        "sid int, token_ids array<int>, "
+        "edges array<struct<etype:string,src:int,dst:int>>"
+    )
+    df = spark.createDataFrame(rows, schema).repartition(4)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("sid", T.IntegerType()),
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("cls", T.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            n = len(pdf)
+            lengths = np.array([len(s) for s in pdf["token_ids"]])
+            lmax = max(int(lengths.max()), 1)
+            ids = np.zeros((n, lmax), dtype=np.int64)
+            for j, s in enumerate(pdf["token_ids"]):
+                ids[j, : len(s)] = np.asarray(s)
+            a = densify_adjacency(list(pdf["edges"]), lengths, lmax)
+            b, t, cls, _ = decode_triggers_gcn(ids, lengths, a)
+            sid = pdf["sid"].to_numpy()
+            yield pd.DataFrame(
+                {"sid": sid[b], "pos": t.astype("int32"), "cls": cls.astype("int32")}
+            )
+
+    got = {
+        (r["sid"], r["pos"]): r["cls"]
+        for r in df.mapInPandas(run, schema=out_schema).collect()
+    }
+    # single-process oracle, one sentence at a time (partitioning must not matter)
+    want = {}
+    for sid, toks, edges in rows:
+        ids = np.array([toks])
+        lengths = np.array([len(toks)])
+        a = densify_adjacency([edges], lengths, len(toks))
+        b, t, cls, _ = decode_triggers_gcn(ids, lengths, a)
+        for tt, c in zip(t, cls):
+            want[(sid, int(tt))] = int(c)
+    assert got == want
