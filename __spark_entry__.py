@@ -145,6 +145,63 @@ def _ee_trigger_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ee_trigger_counts_gcn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 graph-kernel path: tokenize -> vocab ids + synthesized SC13
+    dependency edges -> mapInPandas multi-order GCN scorer -> argmax != O
+    -> counts. Shares ee_trigger_counts' SQL oracle: the lexicon-count
+    equivalence holds iff the whole graph stack preserves the argmax."""
+    import numpy as np
+    import pandas as pd
+
+    from deepee_spark.functions.featurize import token_ids
+    from deepee_spark.kernels.gcn import decode_triggers_gcn, densify_adjacency
+    from deepee_spark.ontology import ID_TO_EVENT_TYPE
+
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    toks = F.slice(_tokens(), 1, 50)
+    feat = docs.select("doc_id", toks.alias("tokens")).filter(
+        F.size("tokens") >= 5
+    )
+    n = F.size("tokens")
+    edges = F.transform(
+        F.sequence(F.lit(2), n),
+        lambda i: F.struct(
+            F.lit("dep").alias("etype"),
+            (i - 1).cast("int").alias("src"),  # 0-based: token i -> parent i//2
+            (F.floor(i / 2) - 1).cast("int").alias("dst"),
+        ),
+    )
+    feat = feat.select(
+        "doc_id",
+        token_ids(F.col("tokens")).alias("token_ids"),
+        edges.alias("edges"),
+    )
+
+    schema = T.StructType([T.StructField("event_type", T.StringType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = len(pdf)
+            lengths = np.fromiter((len(s) for s in pdf["token_ids"]), dtype=np.int64, count=m)
+            lmax = max(int(lengths.max()), 1)
+            ids = np.zeros((m, lmax), dtype=np.int64)
+            for j, s in enumerate(pdf["token_ids"]):
+                ids[j, : len(s)] = np.asarray(s, dtype=np.int64)
+            a = densify_adjacency(list(pdf["edges"]), lengths, lmax)
+            _b, _t_, cls, _s = decode_triggers_gcn(ids, lengths, a)
+            yield pd.DataFrame(
+                {"event_type": [ID_TO_EVENT_TYPE[int(c)] for c in cls]}
+            )
+
+    hits = feat.mapInPandas(run, schema=schema)
+    return hits.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational core (TPC-H-flavored Catalyst checks)
 # ---------------------------------------------------------------------------
@@ -2097,6 +2154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": _token_counts,
         "text_doc_fingerprint": _doc_fingerprint,
         "ee_trigger_counts": _ee_trigger_counts,
+        "ee_trigger_counts_gcn": _ee_trigger_counts_gcn,
     }
 
 
@@ -2153,4 +2211,5 @@ def oracle_sql() -> dict[str, str]:
         "text_token_counts": _TOKEN_COUNTS_SQL,
         "text_doc_fingerprint": _FINGERPRINT_SQL,
         "ee_trigger_counts": _EE_TRIGGER_SQL,
+        "ee_trigger_counts_gcn": _EE_TRIGGER_SQL,
     }

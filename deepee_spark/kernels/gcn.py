@@ -46,21 +46,29 @@ def gcn_weights() -> dict[str, np.ndarray]:
     return {"w_k": w_k, "v": v, "w_out": w_out, "b": b}
 
 
+SELF_WEIGHT = 4.0  # Ã = A + λI renormalization: keeps each node's own
+# signal the row majority through propagation (a trained GCN's learned
+# self-retention, expressed structurally for the constructed weights)
+
+
 def densify_adjacency(
-    edges_batch: list, lengths: np.ndarray, max_len: int
+    edges_batch: list,
+    lengths: np.ndarray,
+    max_len: int,
+    self_weight: float = SELF_WEIGHT,
 ) -> np.ndarray:
     """COO edge lists -> (B, L, L) row-normalized dense adjacency with
-    self-loops guaranteed. edges_batch[i] is an iterable of (etype, src,
+    λ-weighted self-loops. edges_batch[i] is an iterable of (etype, src,
     dst) with 0-based in-range endpoints (SC13 parse output)."""
     B = len(edges_batch)
     a = np.zeros((B, max_len, max_len), dtype=np.float32)
     for i, edges in enumerate(edges_batch):
         li = int(lengths[i])
-        a[i, np.arange(li), np.arange(li)] = 1.0  # self-loops always
+        a[i, np.arange(li), np.arange(li)] = self_weight
         if edges is not None:
             for e in edges:
                 s, d = int(e["src"]), int(e["dst"])
-                if 0 <= s < li and 0 <= d < li:
+                if 0 <= s < li and 0 <= d < li and s != d:
                     a[i, s, d] = 1.0
         deg = a[i].sum(axis=1, keepdims=True)
         deg[deg == 0.0] = 1.0
