@@ -1279,15 +1279,25 @@ _TOK_POS_SQL = f"""
 
 
 def _with_tags(tp):
-    """Attach the synthetic IOB tag + demoted pred tag (shared rule)."""
-    h = _str_hash(F.col("token"))
+    """Attach the synthetic IOB tag + demoted pred tag (shared rule).
+
+    The fold hash is materialized through a repartition barrier: the tag
+    and ptag expressions reference it 3x, and projection collapse would
+    otherwise re-run the per-character fold per reference. The shuffle
+    also pre-distributes by doc_id for the chunking windows downstream.
+    """
+    spark = tp.sparkSession
+    hashed = tp.withColumn("h", _str_hash(F.col("token"))).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    h = F.col("h")
     tag = (
         F.when(h % 5 == 0, F.lit("B-E"))
         .when(h % 5 == 1, F.lit("I-E"))
         .otherwise(F.lit("O"))
     )
     demote = (h * 7) % 11 == 0
-    return tp.select(
+    return hashed.select(
         "doc_id",
         "pos",
         "token",
