@@ -288,7 +288,8 @@ def triples_from(arguments: DataFrame, linked: DataFrame, canonical: DataFrame) 
         F.concat_ws(":", "event_type", "role").alias("pred"),
         F.col("canonical_id").alias("obj"),
         F.col("role_score").alias("confidence"),
-    ).groupBy("url", "subj", "pred", "obj").agg(
+        F.to_date("warc_ts").alias("day"),
+    ).groupBy("url", "subj", "pred", "obj", "day").agg(
         F.max("confidence").alias("confidence")
     )
 
@@ -355,10 +356,14 @@ class Pipeline:
         canonical = self._stage(
             "canonical", fp("canonical"), lambda: canonicalize(linked), resume
         )
+        # crawl-date partitioning on the final table (the days(warc_ts)
+        # Iceberg transform, emulated as a parquet partition column):
+        # time-range queries over the graph prune whole directories
         triples = self._stage(
             "triples",
             fp("triples"),
             lambda: triples_from(arguments, linked, canonical),
             resume,
+            partition_by=["day"],
         )
         return triples

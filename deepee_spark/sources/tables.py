@@ -114,6 +114,9 @@ class StageCatalog:
             "partitions": int(counters.get("partitions", -1)),
             "wall_sec": round(time.time() - t0, 3),
             "committed_at": time.time(),
+            # schema travels with the snapshot: an EMPTY partitioned write
+            # produces no data files and parquet inference would fail
+            "schema": stamped.schema.json(),
         }
         with open(os.path.join(tmp, META), "w") as f:
             json.dump(meta, f)
@@ -126,7 +129,18 @@ class StageCatalog:
         snaps = self._snapshots(name)
         if not snaps:
             raise FileNotFoundError(f"no snapshot for stage table {name!r}")
-        return spark.read.parquet(os.path.join(self._table_dir(name), snaps[-1]))
+        path = os.path.join(self._table_dir(name), snaps[-1])
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            # empty snapshot (no data files): rebuild from the stored schema
+            from pyspark.sql import types as T
+
+            meta = self.latest_meta(name) or {}
+            if "schema" not in meta:
+                raise
+            schema = T.StructType.fromJson(json.loads(meta["schema"]))
+            return spark.read.schema(schema).parquet(path)
 
     def drop(self, name: str) -> None:
         d = self._table_dir(name)

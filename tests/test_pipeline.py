@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from deepee_spark.corpus import corpus_df, gold_triples_df
 from deepee_spark.operators.metrics import tuple_set_prf
 from deepee_spark.plans.pipeline import Pipeline
@@ -106,3 +108,22 @@ def test_empty_corpus_yields_zero_triples(spark, tmp_path):
         t = pipe.run(d, f"corpus:{name}", resume=False)
         assert t.count() == 0
         assert len(pipe.ran) == 8
+
+
+def test_triples_partitioned_by_day(spark, main_run):
+    """The final table is crawl-date partitioned (days(warc_ts) transform
+    emulated as a parquet partition column) and a day-filtered scan prunes
+    to that partition's files."""
+    import glob
+    import os
+
+    cat, _pipe, t1 = main_run
+    snap_dirs = sorted(
+        glob.glob(os.path.join(cat.root, "triples", "snapshot=*"))
+    )
+    day_dirs = glob.glob(os.path.join(snap_dirs[-1], "day=*"))
+    assert len(day_dirs) >= 2  # corpus spans ~30 days
+    triples = cat.read(spark, "triples")
+    one_day = [os.path.basename(d).split("=")[1] for d in day_dirs][0]
+    n = triples.filter(F.col("day") == one_day).count()
+    assert 0 < n < t1.count()
