@@ -1322,7 +1322,15 @@ def _s4_conll_scan(spark, sf):
     into sentences by the running-blank-count window (EEGCN loader.py:7-27).
 
     The line stream is synthesized as each doc's tokens followed by one blank
-    line; the scan itself sees only (line_id, line)."""
+    line; the scan itself sees only (line_id, line).
+
+    Scale note: the running-blank-count is a global prefix sum, but it is
+    computed as a TWO-LEVEL window so no single task ever sees the whole
+    stream: (1) a per-bucket prefix sum partitioned by line_id div 1000
+    (parallel across buckets), (2) a prefix sum over the 1000x-smaller
+    per-bucket totals, joined back on bucket (AQE broadcasts it when
+    small). The level-2 window can be applied recursively for another
+    1000x if the bucket table itself outgrows one task."""
     docs = _t(spark, sf, "documents")
     lines = docs.select(
         "doc_id",
@@ -1334,11 +1342,32 @@ def _s4_conll_scan(spark, sf):
     )
     from pyspark.sql import Window as W
 
-    grp = F.sum(F.when(F.col("line") == "", 1).otherwise(0)).over(
-        W.orderBy("line_id").rowsBetween(W.unboundedPreceding, -1)
+    blank = F.when(F.col("line") == "", 1).otherwise(0)
+    lines = lines.withColumn("bucket", F.floor(F.col("line_id") / 1000))
+    inner = F.coalesce(
+        F.sum(blank).over(
+            W.partitionBy("bucket")
+            .orderBy("line_id")
+            .rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    totals = lines.groupBy("bucket").agg(F.sum(blank).alias("bucket_blanks"))
+    prefix = totals.select(
+        "bucket",
+        F.coalesce(
+            F.sum("bucket_blanks").over(
+                W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("bucket_prefix"),
     )
     sent = (
-        lines.withColumn("sent_key", F.coalesce(grp, F.lit(0)))
+        lines.withColumn("inner_prefix", inner)
+        .join(prefix, "bucket")
+        .withColumn(
+            "sent_key", (F.col("bucket_prefix") + F.col("inner_prefix")).cast("long")
+        )
         .filter(F.col("line") != "")
     )
     toks = sent.groupBy("sent_key").agg(
@@ -1372,7 +1401,8 @@ keyed AS (
            (ORDER BY line_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sent_key
   FROM lines),
 grouped AS (
-  SELECT sent_key, CAST(COUNT(*) AS BIGINT) AS n_tokens, MIN(line_id) AS first_line,
+  SELECT CAST(sent_key AS BIGINT) AS sent_key,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens, MIN(line_id) AS first_line,
          list(line ORDER BY line_id) AS toks
   FROM keyed WHERE line != '' GROUP BY sent_key)
 SELECT sent_key, n_tokens, first_line,
@@ -2060,13 +2090,17 @@ WHERE rank <= {IVF_TOPK}
 
 
 # ---------------------------------------------------------------------------
-# multimodal plumbing queries (rows-only; no SQL oracle — binary decode has
-# no DuckDB equivalent; correctness is pinned by tests/test_multimodal.py
-# against single-process NumPy oracles)
+# multimodal plumbing queries. The payload is the printable-ASCII text
+# bytes, so the AUDIO path (real int16-PCM decode, pure NumPy) and the
+# VIDEO frame-timing fan-out are reproducible in DuckDB byte-for-byte —
+# hard SQL oracles below. Only the image query stays rows-only (its fake
+# decode is sha256-seeded; correctness pinned by tests/test_multimodal.py).
 # ---------------------------------------------------------------------------
 
 def _mm_payloads(spark, sf):
-    """documents -> deterministic binary payload table (utf-8 text bytes)."""
+    """documents -> deterministic binary payload table (printable-ASCII
+    text bytes; the [^ -~] strip is a no-op on this corpus but keeps the
+    byte<->codepoint equivalence the DuckDB oracle relies on)."""
     docs = _t(spark, sf, "documents")
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
@@ -2076,7 +2110,7 @@ def _mm_payloads(spark, sf):
         F.col("doc_id").alias("media_id"),
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
         kind.alias("kind"),
-        F.encode("text", "utf-8").alias("payload"),
+        F.encode(F.regexp_replace("text", "[^ -~]", ""), "utf-8").alias("payload"),
         F.struct(
             F.lit(16).alias("width"),
             F.lit(12).alias("height"),
@@ -2090,19 +2124,76 @@ def _mm_payloads(spark, sf):
 def _mm_image_features(spark, sf):
     from deepee_spark.operators.multimodal import image_features
 
-    return image_features(_mm_payloads(spark, sf))
+    # luma_hist is array-typed in the operator API; the contract surface
+    # serializes it (driver canonicalization can't sort list cells)
+    return image_features(_mm_payloads(spark, sf)).withColumn(
+        "luma_hist", F.to_json("luma_hist")
+    )
 
 
 def _mm_audio_features(spark, sf):
     from deepee_spark.operators.multimodal import audio_features
 
-    return audio_features(_mm_payloads(spark, sf))
+    out = audio_features(_mm_payloads(spark, sf))
+    return out.select(
+        "media_id",
+        "n_samples",
+        F.round("rms", 6).alias("rms"),
+        F.round("peak", 6).alias("peak"),
+        F.round("zcr", 6).alias("zcr"),
+    )
 
 
 def _mm_video_frames(spark, sf):
     from deepee_spark.operators.multimodal import video_frame_sample
 
-    return video_frame_sample(_mm_payloads(spark, sf), k=4)
+    # frame_hash is the stubbed-decode stand-in — excluded from the
+    # oracle-checked contract surface (timing/fan-out is the real op)
+    return video_frame_sample(_mm_payloads(spark, sf), k=4).select(
+        "media_id", "frame_idx", "frame_ms"
+    )
+
+
+_MM_TEXT_SQL = "regexp_replace(text, '[^ -~]', '', 'g')"
+
+_MM_AUDIO_SQL = f"""
+WITH audio AS (
+  SELECT doc_id AS media_id, {_MM_TEXT_SQL} AS t
+  FROM documents WHERE doc_id % 3 = 1),
+b AS (
+  SELECT media_id,
+         list_transform(range(1, len(t) + 1), i -> unicode(t[i])) AS bytes
+  FROM audio),
+s AS (
+  SELECT media_id,
+         list_transform(range(1, len(bytes) // 2 + 1),
+           i -> CASE WHEN bytes[2*i-1] + 256 * bytes[2*i] >= 32768
+                     THEN (bytes[2*i-1] + 256 * bytes[2*i] - 65536) / 32768.0
+                     ELSE (bytes[2*i-1] + 256 * bytes[2*i]) / 32768.0 END) AS x
+  FROM b)
+SELECT media_id,
+       CAST(len(x) AS INT) AS n_samples,
+       CASE WHEN len(x) > 0
+            THEN ROUND(sqrt(list_avg(list_transform(x, v -> v * v))), 6)
+            ELSE 0.0 END AS rms,
+       CASE WHEN len(x) > 0
+            THEN ROUND(list_max(list_transform(x, v -> abs(v))), 6)
+            ELSE 0.0 END AS peak,
+       CASE WHEN len(x) > 1
+            THEN ROUND(list_avg(list_transform(range(2, len(x) + 1),
+                   i -> CASE WHEN (x[i] < 0) != (x[i-1] < 0)
+                             THEN 1.0 ELSE 0.0 END)), 6)
+            ELSE 0.0 END AS zcr
+FROM s
+"""
+
+_MM_VIDEO_SQL = """
+SELECT doc_id AS media_id,
+       CAST(j AS INT) AS frame_idx,
+       CAST(((n_chars % 2000 + 100) * j) // 4 AS INT) AS frame_ms
+FROM documents, range(0, 4) AS r(j)
+WHERE doc_id % 3 = 2
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2214,7 +2305,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": _DEDUP_EMB_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "ann_ivf_topk": _IVF_SQL,
-        # mm_* queries have no SQL oracle (binary decode) — rows-only check
+        # mm_image_features stays rows-only (sha256-seeded fake decode);
+        # audio/video are hard-oracled below
+        "mm_audio_features": _MM_AUDIO_SQL,
+        "mm_video_frames": _MM_VIDEO_SQL,
         "lsh_hyperplane_buckets": _LSH_SQL,
         "text_lang_id": _LANG_SQL,
         "text_quality_score": _QUALITY_SQL,

@@ -220,15 +220,19 @@ _AUDIO_FEAT_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("n_samples", T.IntegerType()),
-        T.StructField("rms", T.FloatType()),
-        T.StructField("peak", T.FloatType()),
-        T.StructField("zcr", T.FloatType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zcr", T.DoubleType()),
     ]
 )
 
 
 def audio_features(media: DataFrame) -> DataFrame:
-    """RMS / peak / zero-crossing rate over real PCM16 decode."""
+    """RMS / peak / zero-crossing rate over real PCM16 decode.
+
+    Stats run in float64 (the int16 samples are exact in either float
+    width, and double outputs are what the SQL oracle can reproduce —
+    float32 accumulation would drift past round-6 agreement)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -237,7 +241,7 @@ def audio_features(media: DataFrame) -> DataFrame:
                 continue
             out = []
             for _, row in pdf.iterrows():
-                x = decode_pcm16(bytes(row["payload"]))
+                x = decode_pcm16(bytes(row["payload"])).astype(np.float64)
                 zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
                 out.append(
                     (

@@ -2,6 +2,14 @@
 __spark_entry__ query on Spark and its oracle on DuckDB at sf0.01,
 compare row count, column-name sets, and order-insensitive values.
 
+Canonicalization deliberately mimics the driver (round 1 lesson):
+results go through pandas (`toPandas()` / duckdb `.df()`), are sorted
+with `sort_values` over all columns, and cells are normalized
+dtype-sensitively — an int64 column and a float64 column holding the
+same numbers do NOT match (DuckDB HUGEINT -> pandas float64 burned
+`s4_conll_scan` in round 1), and list-typed cells crash `sort_values`
+exactly like the driver's canonicalizer (burned `mm_image_features`).
+
 Usage: python tools/check_contract.py [sf_dir] [query ...]
 """
 
@@ -22,27 +30,42 @@ TABLES = [
 ]
 
 
-def norm_cell(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.9g}"
-    if hasattr(v, "timestamp"):
-        return v.isoformat()
-    try:
-        import decimal
+def canonical(pdf):
+    """Driver-style canonical form: sort columns by name, sort rows by
+    values (raises on unhashable/list cells, like the driver), then
+    normalize cells with the column DTYPE kept visible so int64 vs
+    float64 mismatches are caught."""
+    import pandas as pd
 
-        if isinstance(v, decimal.Decimal):
-            return f"{float(v):.9g}"
-    except Exception:
-        pass
-    return str(v)
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    pdf = pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(
+        drop=True
+    )
 
+    def norm(col):
+        s = pdf[col]
+        if pd.api.types.is_float_dtype(s):
+            return [
+                "fNaN" if pd.isna(v) else f"f{float(v):.9g}" for v in s
+            ]
+        if pd.api.types.is_integer_dtype(s):
+            return [f"i{int(v)}" for v in s]
+        if pd.api.types.is_bool_dtype(s):
+            return [f"b{bool(v)}" for v in s]
+        out = []
+        for v in s:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                out.append("None")
+            elif isinstance(v, float):
+                out.append(f"f{v:.9g}")
+            elif isinstance(v, int):
+                out.append(f"i{v}")
+            else:
+                out.append(str(v))
+        return out
 
-def canonical(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    return sorted(out)
+    cols = [norm(c) for c in pdf.columns]
+    return list(zip(*cols)) if cols else []
 
 
 def main():
@@ -66,39 +89,47 @@ def main():
             continue
         try:
             sdf = fn(spark, sf_dir)
-            s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            s_pdf = sdf.toPandas()
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"FAIL {name}: spark error {str(e)[:400]}")
             continue
         sql = oracles.get(name)
         if sql is None:
-            print(f"SKIP {name}: no oracle (rows={len(s_rows)})")
+            try:
+                canonical(s_pdf)  # still must be driver-canonicalizable
+                print(f"SKIP {name}: no oracle (rows={len(s_pdf)})")
+            except Exception as e:
+                failures.append((name, f"CANON ERROR: {e}"))
+                print(f"FAIL {name}: rows-only canonicalize error {str(e)[:300]}")
             continue
         try:
-            res = con.execute(sql)
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            d_pdf = con.execute(sql).df()
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"FAIL {name}: duckdb error {str(e)[:400]}")
             continue
         problems = []
-        if len(s_rows) != len(d_rows):
-            problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
-        if sorted(s_cols) != sorted(d_cols):
-            problems.append(f"schema spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+        if len(s_pdf) != len(d_pdf):
+            problems.append(f"rowcount spark={len(s_pdf)} duckdb={len(d_pdf)}")
+        if sorted(s_pdf.columns) != sorted(d_pdf.columns):
+            problems.append(
+                f"schema spark={sorted(s_pdf.columns)} duckdb={sorted(d_pdf.columns)}"
+            )
         if not problems:
-            cs, cd = canonical(s_rows, s_cols), canonical(d_rows, d_cols)
-            if cs != cd:
+            try:
+                cs, cd = canonical(s_pdf), canonical(d_pdf)
+            except Exception as e:
+                cs, cd = None, None
+                problems.append(f"canonicalize error: {e}")
+            if cs is not None and cs != cd:
                 diff = [(a, b) for a, b in zip(cs, cd) if a != b][:3]
                 problems.append(f"values differ, first diffs: {diff}")
         if problems:
             failures.append((name, "; ".join(problems)))
             print(f"FAIL {name}: {'; '.join(problems)[:500]}")
         else:
-            print(f"OK   {name} ({len(s_rows)} rows)")
+            print(f"OK   {name} ({len(s_pdf)} rows)")
 
     print(f"\n{len(failures)} failures / {len(qs)} queries")
     if failures:
