@@ -119,21 +119,21 @@ def connected_components(
     # alias graphs are usually far smaller than the corpus that produced
     # them, and a 6-shuffle-per-iteration loop over near-empty partitions
     # is pure task-launch overhead (measured anti-scaling at local[N]).
-    # At 10^12-doc scale sig[0] is large and this keeps the session value.
-    conf_key = "spark.sql.shuffle.partitions"
-    old_parts = spark.conf.get(conf_key)
-    target = max(1, min(int(old_parts), sig[0] // 50_000 + 1))
-    spark.conf.set(conf_key, str(target))
-    try:
-        e = e.repartition(target).localCheckpoint()
-        for _ in range(max_iter):
-            e = _small_star(_large_star(e)).localCheckpoint()
-            new_sig = _signature(e)
-            if new_sig == sig:
-                break
-            sig = new_sig
-    finally:
-        spark.conf.set(conf_key, old_parts)
+    # The sizing is done with explicit repartition() calls only — NOT by
+    # mutating spark.sql.shuffle.partitions, which would leak the reduced
+    # count into any concurrent query on the shared session (AQE coalesces
+    # the intermediate groupBy exchanges down to the data size anyway).
+    target = max(
+        1,
+        min(spark.sparkContext.defaultParallelism, sig[0] // 50_000 + 1),
+    )
+    e = e.repartition(target).localCheckpoint()
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).repartition(target).localCheckpoint()
+        new_sig = _signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
     members = e.select(F.col("hi").alias("node"), F.col("lo").alias("component"))
     roots = e.select(F.col("lo").alias("node")).distinct().withColumn(
         "component", F.col("node")

@@ -205,15 +205,28 @@ def read_ace_array(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_ace_jsonl_arrays(spark: SparkSession, path: str) -> DataFrame:
-    """S2: JSONL, each line an ARRAY of sentence objects (JMEE layout)."""
+    """S2: JSONL, each line an ARRAY of sentence objects (JMEE layout).
+
+    _rk is a dense per-file rank (row_number over the monotonic read id),
+    NOT monotonically_increasing_id arithmetic: the raw id embeds
+    partitionId<<33, so id*10000+pos overflows the downstream int cast as
+    soon as the input splits into a second partition."""
+    from pyspark.sql import Window as W
+
     lines = spark.read.text(path).select(
         F.input_file_name().alias("_file"),
-        F.monotonically_increasing_id().alias("_line"),
+        F.monotonically_increasing_id().alias("_idx"),
         F.from_json("value", T.ArrayType(_ACE_RAW)).alias("arr"),
     )
-    sent = lines.select(
-        "_file", "_line", F.posexplode("arr").alias("_pos", "s")
-    ).select("_file", (F.col("_line") * 10000 + F.col("_pos")).alias("_rk"), "s.*")
+    line_rk = F.row_number().over(W.partitionBy("_file").orderBy("_idx")) - 1
+    sent_rk = (
+        F.row_number().over(W.partitionBy("_file").orderBy("_line", "_pos")) - 1
+    )
+    sent = (
+        lines.withColumn("_line", line_rk)
+        .select("_file", "_line", F.posexplode("arr").alias("_pos", "s"))
+        .select("_file", sent_rk.alias("_rk"), "s.*")
+    )
     return _normalize(sent, F.col("_file"), F.col("_rk"))
 
 
@@ -239,18 +252,31 @@ def read_sentence_jsonl(spark: SparkSession, path: str) -> DataFrame:
 
     rk = F.row_number().over(W.partitionBy("_file").orderBy("_idx")) - 1
     s0 = F.col("s_start")
-    events = F.transform(
+
+    def _at(arr, i):
+        # try_element_at: malformed short inner lists degrade to null
+        # fields / dropped entries instead of an ANSI abort of the scan
+        return F.try_element_at(arr, F.lit(i))
+
+    wellformed = F.filter(
         F.coalesce(F.col("event"), F.expr("CAST(array() AS array<array<array<string>>>)")),
+        lambda ev: (F.size(ev) >= 1) & (F.size(_at(ev, 1)) >= 2),
+    )
+    events = F.transform(
+        wellformed,
         lambda ev: F.struct(
-            (F.element_at(ev, 1)[0].cast("int") - s0).alias("trigger_start"),
-            (F.element_at(ev, 1)[0].cast("int") - s0 + 1).alias("trigger_end"),
-            F.element_at(ev, 1)[1].alias("event_type"),
+            (_at(_at(ev, 1), 1).cast("int") - s0).alias("trigger_start"),
+            (_at(_at(ev, 1), 1).cast("int") - s0 + 1).alias("trigger_end"),
+            _at(_at(ev, 1), 2).alias("event_type"),
             F.transform(
-                F.slice(ev, 2, F.greatest(F.size(ev) - 1, F.lit(0))),
+                F.filter(
+                    F.slice(ev, 2, F.greatest(F.size(ev) - 1, F.lit(0))),
+                    lambda a: F.size(a) >= 3,
+                ),
                 lambda a: F.struct(
-                    (a[0].cast("int") - s0).alias("start"),
-                    (a[1].cast("int") - s0 + 1).alias("end"),
-                    a[2].alias("role"),
+                    (_at(a, 1).cast("int") - s0).alias("start"),
+                    (_at(a, 2).cast("int") - s0 + 1).alias("end"),
+                    _at(a, 3).alias("role"),
                 ),
             ).alias("arguments"),
         ),

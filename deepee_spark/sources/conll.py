@@ -41,16 +41,45 @@ def read_conll(spark: SparkSession, path: str) -> DataFrame:
         F.when(F.col("line").startswith(" "), F.concat(F.lit("$"), F.col("line")))
         .otherwise(F.col("line")),
     )
-    blank_before = F.sum(
-        F.when(F.trim("line") == "", 1).otherwise(0)
-    ).over(W.orderBy("line_id").rowsBetween(W.unboundedPreceding, -1))
+    # Two-level prefix sum: monotonically_increasing_id is partitionId<<33
+    # | local offset, so the high bits bucket the stream by read partition
+    # and (bucket, line_id) order == line_id order. Level 1 runs parallel
+    # per bucket; level 2 is a window over one row per read partition.
+    blank = F.when(F.trim("line") == "", 1).otherwise(0)
+    fixed = fixed.withColumn("bucket", F.shiftright("line_id", 33))
+    inner = F.coalesce(
+        F.sum(blank).over(
+            W.partitionBy("bucket")
+            .orderBy("line_id")
+            .rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    prefix = (
+        fixed.groupBy("bucket")
+        .agg(F.sum(blank).alias("bucket_blanks"))
+        .select(
+            "bucket",
+            F.coalesce(
+                F.sum("bucket_blanks").over(
+                    W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("bucket_prefix"),
+        )
+    )
     keyed = (
-        fixed.withColumn("sent_id", F.coalesce(blank_before, F.lit(0)))
+        fixed.withColumn("inner_prefix", inner)
+        .join(prefix, "bucket")
+        .withColumn("sent_id", F.col("bucket_prefix") + F.col("inner_prefix"))
         .filter(F.trim("line") != "")
         .withColumn("parts", F.split(F.trim("line"), r"\s+"))
         .filter(F.element_at("parts", 1) != "...")  # noise filter F8
     )
-    cols = [F.element_at("parts", i + 1).alias(c) for i, c in enumerate(COLS)]
+    # try_element_at: a malformed short line degrades to nulls in the
+    # missing columns instead of aborting the whole read under ANSI mode
+    # (the reference loader tolerates short lines the same way)
+    cols = [F.try_element_at("parts", F.lit(i + 1)).alias(c) for i, c in enumerate(COLS)]
     tok = keyed.select("sent_id", "line_id", *cols)
     def _pick(cname):
         # closure factory: a default-arg lambda would have arity 2 and be

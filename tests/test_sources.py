@@ -116,3 +116,56 @@ def test_s4_conll(spark, tmp_path):
     assert s0["dep_heads"] == [2, 2, 0]
     s1 = out[max(out)]
     assert s1["tokens"] == ["Short", "sentence"]  # '...' dropped
+
+
+def test_s2_jsonl_arrays_multifile_no_overflow(spark, tmp_path):
+    """ADVICE r1 (high): >1 input partition used to overflow the int
+    sent_id cast (monotonically_increasing_id embeds partitionId<<33).
+    Two files force two partitions; sent_ids must stay dense per file."""
+    for i in range(2):
+        (tmp_path / f"part{i}.jsonl").write_text(
+            json.dumps([_ACE_SENT]) + "\n" + json.dumps([_ACE_SENT]) + "\n"
+        )
+    out = read_ace_jsonl_arrays(spark, str(tmp_path)).collect()
+    assert len(out) == 4
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["sent_id"])
+    assert len(by_doc) == 2
+    for sids in by_doc.values():
+        assert sorted(sids) == [0, 1]  # dense per-file rank, no overflow
+
+
+def test_s4_conll_short_line_degrades_to_nulls(spark, tmp_path):
+    """ADVICE r1 (medium): a line with fewer than 7 fields must not abort
+    the read under ANSI mode — missing columns degrade to nulls."""
+    p = tmp_path / "conll.txt"
+    p.write_text("He doc1 PER PER.Individual O nsubj 2\nbroken doc1\n\n")
+    out = read_conll(spark, str(p)).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["tokens"] == ["He", "broken"]
+    assert row["event_tags"] == ["O", None]
+    assert row["dep_heads"] == [2, None]
+
+
+def test_s3_malformed_event_entries_skipped(spark, tmp_path):
+    """ADVICE r1 (low): empty/short event inner lists are skipped, not a
+    scan-wide ANSI failure."""
+    p = tmp_path / "sent.jsonl"
+    rec = {
+        "sentence": ["he", "was", "arrested", "in", "baghdad"],
+        "event": [
+            [],                                   # empty event entry
+            [[12]],                               # trigger missing type
+            [[12, "Justice:Arrest-Jail"], [10]],  # short argument entry
+        ],
+        "s_start": 10,
+    }
+    p.write_text(json.dumps(rec) + "\n")
+    out = read_sentence_jsonl(spark, str(p)).collect()
+    assert len(out) == 1
+    evs = out[0]["events"]
+    assert len(evs) == 1  # only the well-formed trigger survives
+    assert evs[0]["event_type"] == "Justice:Arrest-Jail"
+    assert evs[0]["arguments"] == []  # short argument entry dropped
