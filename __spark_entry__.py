@@ -202,6 +202,73 @@ def _ee_trigger_counts_gcn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ee_trigger_counts_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 columnar-mask path: per-(sentence, candidate) rows carrying
+    explicit maskL/maskR pooling masks (featurize.part_masks, the
+    AD-DMBERT DataFormat.md:54-76 data model) -> mapInPandas masked
+    DMCNN scorer -> argmax != O -> counts. Shares ee_trigger_counts'
+    SQL oracle: kernel parity (tests/test_kernels.py) plus this query
+    pin the mask data path end-to-end."""
+    import numpy as np
+    import pandas as pd
+
+    from deepee_spark.functions.featurize import part_masks, token_ids
+    from deepee_spark.kernels.dmcnn import score_masked_candidates
+    from deepee_spark.ontology import ID_TO_EVENT_TYPE
+
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    feat = docs.select("doc_id", F.slice(_tokens(), 1, 50).alias("tokens")).filter(
+        F.size("tokens") >= 5
+    )
+    cand = (
+        feat.withColumn("token_ids", token_ids(F.col("tokens")))
+        .select(
+            "token_ids",
+            F.explode(
+                F.sequence(F.lit(0), F.size("token_ids") - 1)
+            ).alias("t"),
+        )
+        .withColumn("masks", part_masks(F.size("token_ids"), F.col("t")))
+        .select(
+            "token_ids",
+            F.col("masks.maskL").alias("maskL"),
+            F.col("masks.maskR").alias("maskR"),
+        )
+    )
+
+    schema = T.StructType([T.StructField("event_type", T.StringType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = len(pdf)
+            lengths = np.fromiter(
+                (len(s) for s in pdf["token_ids"]), dtype=np.int64, count=m
+            )
+            lmax = max(int(lengths.max()), 1)
+            ids = np.zeros((m, lmax), dtype=np.int64)
+            ml = np.zeros((m, lmax), dtype=np.float32)
+            mr = np.zeros((m, lmax), dtype=np.float32)
+            for j in range(m):
+                k = lengths[j]
+                ids[j, :k] = np.asarray(pdf["token_ids"].iat[j], dtype=np.int64)
+                ml[j, :k] = np.asarray(pdf["maskL"].iat[j], dtype=np.float32)
+                mr[j, :k] = np.asarray(pdf["maskR"].iat[j], dtype=np.float32)
+            probs = score_masked_candidates(ids, lengths, ml, mr)
+            cls = probs.argmax(axis=1)
+            keep = cls != 0
+            yield pd.DataFrame(
+                {"event_type": [ID_TO_EVENT_TYPE[int(c)] for c in cls[keep]]}
+            )
+
+    hits = cand.mapInPandas(run, schema=schema)
+    return hits.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational core (TPC-H-flavored Catalyst checks)
 # ---------------------------------------------------------------------------
@@ -1498,6 +1565,56 @@ _CHUNKS_SQL_TMPL = """
 """
 
 
+def _sc2b_iobes_roundtrip(spark, sf):
+    """SC2 reverse path: iob_to_iobes then iobes_to_iob must be the
+    identity (EEGCN data_utils.py:66-84); checked per document over the
+    array-level operators."""
+    from deepee_spark.operators.bio import iob_to_iobes, iobes_to_iob
+
+    tagged = _with_tags(_tok_pos(_t(spark, sf, "documents")))
+    per_doc = tagged.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tag"))),
+            lambda s: s["tag"],
+        ).alias("tags")
+    )
+    conv = per_doc.select(
+        "doc_id", "tags", iob_to_iobes(F.col("tags")).alias("iobes")
+    )
+    return conv.select(
+        "doc_id",
+        F.concat_ws(" ", "iobes").alias("iobes_seq"),
+        (iobes_to_iob(F.col("iobes")) == F.col("tags")).cast("int").alias(
+            "roundtrip_ok"
+        ),
+    )
+
+
+_SC2B_SQL = f"""
+WITH tagged AS ({_TAGS_SQL}),
+w AS (SELECT doc_id, pos, tag,
+             COALESCE(lead(tag) OVER (PARTITION BY doc_id ORDER BY pos), 'O') AS nxt
+      FROM tagged),
+conv AS (SELECT doc_id, pos, tag,
+       CASE WHEN tag = 'O' THEN 'O'
+            WHEN tag LIKE 'B-%' THEN
+              CASE WHEN nxt LIKE 'I-%' THEN tag ELSE 'S-' || substr(tag, 3) END
+            ELSE CASE WHEN nxt LIKE 'I-%' THEN tag ELSE 'E-' || substr(tag, 3) END
+       END AS iobes
+  FROM w),
+back AS (SELECT doc_id, pos, tag, iobes,
+       CASE WHEN iobes LIKE 'S-%' THEN 'B-' || substr(iobes, 3)
+            WHEN iobes LIKE 'E-%' THEN 'I-' || substr(iobes, 3)
+            ELSE iobes END AS iob_again
+  FROM conv)
+SELECT doc_id,
+       string_agg(iobes, ' ' ORDER BY pos) AS iobes_seq,
+       CAST(MIN(CASE WHEN iob_again = tag THEN 1 ELSE 0 END) AS INT)
+         AS roundtrip_ok
+FROM back GROUP BY doc_id
+"""
+
+
 def _sc3_bio_chunks(spark, sf):
     tagged = _with_tags(_tok_pos(_t(spark, sf, "documents")))
     return _chunks_expr(tagged, "tag")
@@ -2230,6 +2347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_micro_f1": _a6_micro_f1,
         "json_props_stats": _json_props_stats,
         "sc2_iob_iobes": _sc2_iob_iobes,
+        "sc2b_iobes_roundtrip": _sc2b_iobes_roundtrip,
         "sc3_bio_chunks": _sc3_bio_chunks,
         "a4_chunk_prf": _a4_chunk_prf,
         "j2_embedding_alignment": _j2_embedding_alignment,
@@ -2256,6 +2374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_doc_fingerprint": _doc_fingerprint,
         "ee_trigger_counts": _ee_trigger_counts,
         "ee_trigger_counts_gcn": _ee_trigger_counts_gcn,
+        "ee_trigger_counts_masked": _ee_trigger_counts_masked,
     }
 
 
@@ -2289,6 +2408,7 @@ def oracle_sql() -> dict[str, str]:
         "a6_micro_f1": _A6_SQL,
         "json_props_stats": _JSON_PROPS_SQL,
         "sc2_iob_iobes": _SC2_SQL,
+        "sc2b_iobes_roundtrip": _SC2B_SQL,
         "sc3_bio_chunks": _SC3_SQL,
         "a4_chunk_prf": _A4_SQL,
         "j2_embedding_alignment": _J2_SQL,
@@ -2316,4 +2436,5 @@ def oracle_sql() -> dict[str, str]:
         "text_doc_fingerprint": _FINGERPRINT_SQL,
         "ee_trigger_counts": _EE_TRIGGER_SQL,
         "ee_trigger_counts_gcn": _EE_TRIGGER_SQL,
+        "ee_trigger_counts_masked": _EE_TRIGGER_SQL,
     }

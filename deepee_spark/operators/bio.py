@@ -71,6 +71,21 @@ def iob_to_iobes(tags: Column) -> Column:
     )
 
 
+def iobes_to_iob(tags: Column) -> Column:
+    """IOBES -> IOB2 (EEGCN data_utils.py:66-84 semantics): S->B, E->I,
+    B/I/O unchanged. Inverse of iob_to_iobes on valid IOB2 input — decode
+    paths that emit IOBES (EEGCN main.py:105-106) run this before
+    conlleval-style chunk scoring."""
+    return F.transform(
+        tags,
+        lambda t: F.when(
+            _tag_prefix(t) == "S", F.concat(F.lit("B-"), _tag_type(t))
+        )
+        .when(_tag_prefix(t) == "E", F.concat(F.lit("I-"), _tag_type(t)))
+        .otherwise(t),
+    )
+
+
 def bio_merge_spans(tags: Column) -> Column:
     """-> array<struct<start:int, end:int, etype:string>> (end exclusive).
 

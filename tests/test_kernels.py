@@ -246,3 +246,34 @@ def test_gcn_spark_mapinpandas_parity(spark):
         for tt, c in zip(t, cls):
             want[(sid, int(tt))] = int(c)
     assert got == want
+
+
+def test_masked_pooling_kernel_bitwise_equals_cummax_path():
+    """M3 parity: the AD-DMBERT columnar-mask pooling kernel
+    (score_masked_candidates) and the prefix/suffix-cummax kernel
+    (score_all_candidates) are two realizations of the same two-part
+    dynamic pooling — on the per-candidate expansion of a batch they
+    must agree BITWISE (same gemm blocks in the same order)."""
+    from deepee_spark.kernels.dmcnn import score_masked_candidates
+
+    rng = np.random.default_rng(42)
+    vocab_n = len(kernel_vocab())
+    B, L = 7, 23
+    lengths = rng.integers(5, L + 1, size=B).astype(np.int64)
+    ids = np.zeros((B, L), dtype=np.int32)
+    for i in range(B):
+        ids[i, : lengths[i]] = rng.integers(1, vocab_n, size=lengths[i])
+    ref = score_all_candidates(ids, lengths)
+
+    rows_ids, rows_len, mls, mrs, expect = [], [], [], [], []
+    for b in range(B):
+        for t in range(int(lengths[b])):
+            rows_ids.append(ids[b])
+            rows_len.append(lengths[b])
+            mls.append((np.arange(L) <= t).astype(np.float32))
+            mrs.append((np.arange(L) > t).astype(np.float32))
+            expect.append(ref[b, t])
+    probs = score_masked_candidates(
+        np.array(rows_ids), np.array(rows_len), np.array(mls), np.array(mrs)
+    )
+    assert np.array_equal(probs, np.array(expect))

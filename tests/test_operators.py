@@ -48,6 +48,23 @@ def test_iob_to_iobes(spark):
     assert out == ["B-X", "I-X", "E-X", "O", "S-Y", "B-Z", "E-Z"]
 
 
+def test_iobes_to_iob_reverse_and_roundtrip(spark):
+    from deepee_spark.operators.bio import iobes_to_iob
+
+    df = spark.createDataFrame(
+        [(["B-X", "I-X", "E-X", "O", "S-Y", "B-Z", "E-Z"],
+          ["B-X", "I-X", "I-X", "O", "B-Y", "B-Z", "I-Z"])],
+        ["iobes", "iob"],
+    )
+    row = df.select(
+        iobes_to_iob(F.col("iobes")).alias("back"),
+        iobes_to_iob(iob_to_iobes(F.col("iob"))).alias("rt"),
+        "iob",
+    ).collect()[0]
+    assert row["back"] == ["B-X", "I-X", "I-X", "O", "B-Y", "B-Z", "I-Z"]
+    assert row["rt"] == row["iob"]  # roundtrip identity on valid IOB2
+
+
 def test_bio_merge_spans(spark):
     df = spark.createDataFrame(
         [
