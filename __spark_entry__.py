@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from deepee_spark.ontology import ENTITY_GAZETTEER, ROLE_RULE, TRIGGER_LEXICON
+from deepee_spark.ontology import ENTITY_GAZETTEER, ROLE_RULE, ROLE_TO_ID, TRIGGER_LEXICON
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 MOD = 1_000_000_007
@@ -267,6 +267,381 @@ def _ee_trigger_counts_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# M7/M8 BERT-kernel queries. The corpus for these is CONSTRUCTED from the
+# documents table (like _mm_payloads): each doc's tokens are interleaved
+# with a deterministic trigger + two gazetteer entities chosen so the
+# asked role has exactly one matching entity. Both dialects derive the
+# same sentence; the Spark side then runs the full wordpiece -> [CLS] q
+# [SEP] s [SEP] -> transformer kernel -> decode path, and the oracle
+# recomputes the expected surface relationally.
+# ---------------------------------------------------------------------------
+
+_TRIG_WORDS = sorted(TRIGGER_LEXICON)
+_GAZ_WORDS = sorted(ENTITY_GAZETTEER)
+
+
+def _lexicon_values_as(alias: str) -> str:
+    rows = ", ".join(f"('{w}', '{t}')" for w, t in sorted(TRIGGER_LEXICON.items()))
+    return f"(VALUES {rows}) AS {alias}(word, lex_event_type)"
+
+
+def _role_rule_values_as(alias: str) -> str:
+    rows = ", ".join(
+        f"('{ev}', '{et}', '{r}')" for (ev, et), r in sorted(ROLE_RULE.items())
+    )
+    return f"(VALUES {rows}) AS {alias}(event_type, entity_type, role)"
+
+
+def _gaz_values_as(alias: str) -> str:
+    rows = ", ".join(
+        f"('{w}', '{et}')" for w, (et, _e) in sorted(ENTITY_GAZETTEER.items())
+    )
+    return f"(VALUES {rows}) AS {alias}(gword, gtype)"
+
+
+_TRIG_ARR_SQL = "[" + ", ".join(f"'{w}'" for w in _TRIG_WORDS) + "]"
+_GAZ_ARR_SQL = "[" + ", ".join(f"'{w}'" for w in _GAZ_WORDS) + "]"
+
+
+def _bert_rr_map():
+    pairs = []
+    for (ev, et), r in sorted(ROLE_RULE.items()):
+        pairs += [F.lit(ev + "|" + et), F.lit(r)]
+    return F.create_map(*pairs)
+
+
+def _bert_constructed(spark, sf) -> DataFrame:
+    """doc_id, sentence (array<string>), et1, et2 — the constructed QA
+    corpus. ev_c/role1_c are construction-side only (the pipeline must
+    re-derive them through the M7 kernel)."""
+    docs = _t(spark, sf, "documents")
+    d = docs.select(
+        "doc_id", F.slice(_tokens(), 1, 12).alias("toks")
+    ).filter(F.size("toks") >= 5)
+
+    lex_pairs = []
+    for w, ev in sorted(TRIGGER_LEXICON.items()):
+        lex_pairs += [F.lit(w), F.lit(ev)]
+    lex_map = F.create_map(*lex_pairs)
+    g_pairs = []
+    for w, (et, _e) in sorted(ENTITY_GAZETTEER.items()):
+        g_pairs += [F.lit(w), F.lit(et)]
+    g_map = F.create_map(*g_pairs)
+    rr_map = _bert_rr_map()
+    trig_arr = F.array(*[F.lit(w) for w in _TRIG_WORDS])
+    gaz_arr = F.array(*[F.lit(w) for w in _GAZ_WORDS])
+    gaz_struct = F.array(
+        *[
+            F.struct(F.lit(w).alias("w"), F.lit(ENTITY_GAZETTEER[w][0]).alias("et"))
+            for w in _GAZ_WORDS
+        ]
+    )
+
+    d = d.withColumn(
+        "trig",
+        F.element_at(trig_arr, (F.col("doc_id") % len(_TRIG_WORDS) + 1).cast("int")),
+    ).withColumn(
+        "ent1",
+        F.element_at(gaz_arr, (F.col("doc_id") % len(_GAZ_WORDS) + 1).cast("int")),
+    )
+    d = d.withColumn(
+        "base",
+        F.concat(F.slice("toks", 1, 4), F.array("trig"), F.slice("toks", 5, 4)),
+    )
+    d = d.withColumn(
+        "ev_c",
+        F.element_at(
+            lex_map,
+            F.element_at(
+                F.filter(
+                    F.col("base"), lambda t: F.element_at(lex_map, t).isNotNull()
+                ),
+                1,
+            ),
+        ),
+    )
+    d = d.withColumn("et1", F.element_at(g_map, F.col("ent1")))
+    d = d.withColumn(
+        "role1_c", F.element_at(rr_map, F.concat_ws("|", "ev_c", "et1"))
+    )
+    # ent2: first (sorted) gazetteer word whose role under ev_c differs —
+    # guarantees the asked role matches exactly one sentence entity
+    d = d.withColumn(
+        "ent2",
+        F.element_at(
+            F.filter(
+                gaz_struct,
+                lambda s: F.element_at(
+                    rr_map, F.concat(F.col("ev_c"), F.lit("|"), s["et"])
+                )
+                != F.col("role1_c"),
+            ),
+            1,
+        )["w"],
+    )
+    d = d.withColumn("et2", F.element_at(g_map, F.col("ent2")))
+    return d.select(
+        "doc_id",
+        "et1",
+        "et2",
+        F.concat(
+            F.col("base"), F.array("ent1"), F.slice("toks", 9, 4), F.array("ent2")
+        ).alias("sentence"),
+    )
+
+
+_BERT_CONSTRUCT_SQL = f"""
+s0 AS (
+  SELECT doc_id, list_slice({_TOKENS_SQL}, 1, 12) AS toks
+  FROM documents WHERE len(list_slice({_TOKENS_SQL}, 1, 12)) >= 5),
+s1 AS (
+  SELECT doc_id, toks,
+         {_TRIG_ARR_SQL}[CAST(doc_id % {len(_TRIG_WORDS)} + 1 AS INT)] AS trig,
+         {_GAZ_ARR_SQL}[CAST(doc_id % {len(_GAZ_WORDS)} + 1 AS INT)] AS ent1
+  FROM s0),
+s2 AS (SELECT *, list_concat(list_concat(list_slice(toks, 1, 4), [trig]),
+                             list_slice(toks, 5, 8)) AS base FROM s1),
+s3 AS (SELECT *, list_filter(base,
+         t -> list_contains({_TRIG_ARR_SQL}, t))[1] AS first_trig FROM s2),
+s4 AS (SELECT s3.*, lexb.lex_event_type AS ev FROM s3
+       JOIN {_lexicon_values_as('lexb')} ON first_trig = lexb.word),
+s5 AS (SELECT s4.*, g1.gtype AS et1 FROM s4
+       JOIN {_gaz_values_as('g1')} ON ent1 = g1.gword),
+s6 AS (SELECT s5.*, rrb.role AS role1 FROM s5
+       JOIN {_role_rule_values_as('rrb')}
+         ON rrb.event_type = ev AND rrb.entity_type = et1),
+s7 AS (SELECT s6.*,
+       (SELECT min(g2.gword) FROM {_gaz_values_as('g2')}
+        JOIN {_role_rule_values_as('rr2')}
+          ON rr2.event_type = s6.ev AND rr2.entity_type = g2.gtype
+        WHERE rr2.role != s6.role1) AS ent2
+  FROM s6),
+sents AS (
+  SELECT doc_id, ev, role1, ent1, ent2,
+         list_concat(list_concat(list_concat(base, [ent1]),
+                     list_slice(toks, 9, 12)), [ent2]) AS sentence
+  FROM s7)
+"""
+
+
+def _bert_trigger_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7: constructed sentences -> wordpiece (SC7) -> BERT-style tagger
+    kernel -> first-subtoken non-O predictions (run_trigger_qa.py:136,150)
+    -> counts per event type."""
+    import pandas as pd
+
+    from deepee_spark.functions.wordpiece import tokenize_column
+    from deepee_spark.kernels.bert import bert_wordpiece_vocab, tag_triggers
+    from deepee_spark.ontology import ID_TO_EVENT_TYPE
+
+    d = _bert_constructed(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    d = d.withColumn(
+        "tk", tokenize_column(F.concat_ws(" ", "sentence"), bert_wordpiece_vocab())
+    )
+    feat = d.select(
+        F.col("tk.sub_tokens").alias("subs"),
+        F.col("tk.orig_to_tok").alias("o2t"),
+    )
+    schema = T.StructType([T.StructField("event_type", T.StringType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            hits = tag_triggers([list(s) for s in pdf["subs"]])
+            evs = []
+            for row_hits, o2t in zip(hits, pdf["o2t"]):
+                firsts = {int(i) for i in o2t}
+                for sub_pos, c, _score in row_hits:
+                    if sub_pos in firsts:
+                        evs.append(ID_TO_EVENT_TYPE[int(c)])
+            yield pd.DataFrame({"event_type": evs})
+
+    hits = feat.mapInPandas(run, schema=schema)
+    return hits.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+_BERT_TAGS_SQL = f"""
+WITH {_BERT_CONSTRUCT_SQL},
+tok AS (SELECT unnest(sentence) AS token FROM sents)
+SELECT lexc.lex_event_type AS event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM tok JOIN {_lexicon_values_as('lexc')} ON token = lexc.word
+GROUP BY 1
+"""
+
+
+def _qa_span_args(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 + the QAEE two-stage flow (J4, script_args_qa.sh): stage 1 runs
+    the M7 tagger kernel to find each sentence's first trigger; stage 2
+    builds role questions from the PREDICTED trigger ([CLS] q [SEP] s
+    [SEP], SC16), runs the span-QA kernel and the n-best start/end
+    decode, and emits the answer surface ('' = no-answer). Per doc: one
+    answerable question (ent1's role) and one unanswerable (a role no
+    sentence entity fills)."""
+    import pandas as pd
+
+    from deepee_spark.functions.wordpiece import tokenize_column
+    from deepee_spark.kernels.bert import (
+        answer_text,
+        bert_wordpiece_vocab,
+        qa_spans,
+        question_tokens,
+        tag_triggers,
+    )
+    from deepee_spark.ontology import ID_TO_EVENT_TYPE
+
+    rr_map = _bert_rr_map()
+    d = _bert_constructed(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    d = d.withColumn(
+        "tk", tokenize_column(F.concat_ws(" ", "sentence"), bert_wordpiece_vocab())
+    )
+    stage1_in = d.select(
+        "doc_id",
+        "et1",
+        "et2",
+        F.col("tk.sub_tokens").alias("subs"),
+        F.col("tk.orig_to_tok").alias("o2t"),
+    )
+    schema1 = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("et1", T.StringType()),
+            T.StructField("et2", T.StringType()),
+            T.StructField("subs", T.ArrayType(T.StringType())),
+            T.StructField("trig_word", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+
+    def run1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            subs_all = [list(s) for s in pdf["subs"]]
+            hits = tag_triggers(subs_all)
+            rows = []
+            for i in range(len(pdf)):
+                firsts = {int(x) for x in pdf["o2t"].iat[i]}
+                pick = None
+                for sub_pos, c, _sc in hits[i]:
+                    if sub_pos in firsts:
+                        pick = (sub_pos, int(c))
+                        break  # hits are position-ordered: first trigger
+                if pick is None:
+                    continue
+                rows.append(
+                    (
+                        int(pdf["doc_id"].iat[i]),
+                        pdf["et1"].iat[i],
+                        pdf["et2"].iat[i],
+                        subs_all[i],
+                        subs_all[i][pick[0]],
+                        ID_TO_EVENT_TYPE[pick[1]],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "et1", "et2", "subs", "trig_word", "event_type"],
+            )
+
+    s1 = stage1_in.mapInPandas(run1, schema1)
+    s1 = s1.withColumn(
+        "role_hit", F.element_at(rr_map, F.concat_ws("|", "event_type", "et1"))
+    ).withColumn(
+        "role2", F.element_at(rr_map, F.concat_ws("|", "event_type", "et2"))
+    )
+    roles_arr = F.array(*[F.lit(r) for r in sorted(ROLE_TO_ID)])
+    s1 = s1.withColumn(
+        "role_miss",
+        F.element_at(
+            F.filter(
+                roles_arr,
+                lambda r: (r != F.col("role_hit")) & (r != F.col("role2")),
+            ),
+            1,
+        ),
+    )
+    qrows = s1.select(
+        "doc_id",
+        "event_type",
+        "trig_word",
+        "subs",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("hit").alias("kind"), F.col("role_hit").alias("role")
+                ),
+                F.struct(
+                    F.lit("miss").alias("kind"), F.col("role_miss").alias("role")
+                ),
+            )
+        ).alias("q"),
+    ).select("doc_id", "event_type", "trig_word", "subs", "q.kind", "q.role")
+
+    schema2 = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("answer", T.StringType()),
+        ]
+    )
+
+    def run2(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qs = [
+                question_tokens(r, t)
+                for r, t in zip(pdf["role"], pdf["trig_word"])
+            ]
+            sents = [list(s) for s in pdf["subs"]]
+            res = qa_spans(qs, sents)
+            ans = [
+                answer_text(s, lo, hi)
+                for s, (lo, hi, _sc, _nu) in zip(sents, res)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "kind": list(pdf["kind"]),
+                    "event_type": list(pdf["event_type"]),
+                    "role": list(pdf["role"]),
+                    "answer": ans,
+                }
+            )
+
+    return qrows.mapInPandas(run2, schema2)
+
+
+_QA_SPAN_SQL = f"""
+WITH {_BERT_CONSTRUCT_SQL},
+final AS (
+  SELECT s.doc_id, s.ev, s.role1, s.ent1,
+         (SELECT rr3.role FROM {_gaz_values_as('g3')}
+          JOIN {_role_rule_values_as('rr3')}
+            ON rr3.event_type = s.ev AND rr3.entity_type = g3.gtype
+          WHERE g3.gword = s.ent2) AS role2
+  FROM sents s)
+SELECT doc_id, 'hit' AS kind, ev AS event_type, role1 AS role, ent1 AS answer
+FROM final
+UNION ALL
+SELECT doc_id, 'miss' AS kind, ev AS event_type,
+       (SELECT min(r) FROM (VALUES {", ".join("('" + r + "')" for r in sorted(ROLE_TO_ID))}) AS roles(r)
+        WHERE r != final.role1 AND r != final.role2) AS role,
+       '' AS answer
+FROM final
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2375,6 +2750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ee_trigger_counts": _ee_trigger_counts,
         "ee_trigger_counts_gcn": _ee_trigger_counts_gcn,
         "ee_trigger_counts_masked": _ee_trigger_counts_masked,
+        "bert_trigger_tags": _bert_trigger_tags,
+        "qa_span_args": _qa_span_args,
     }
 
 
@@ -2437,4 +2814,6 @@ def oracle_sql() -> dict[str, str]:
         "ee_trigger_counts": _EE_TRIGGER_SQL,
         "ee_trigger_counts_gcn": _EE_TRIGGER_SQL,
         "ee_trigger_counts_masked": _EE_TRIGGER_SQL,
+        "bert_trigger_tags": _BERT_TAGS_SQL,
+        "qa_span_args": _QA_SPAN_SQL,
     }
