@@ -269,20 +269,6 @@ def _ee_trigger_counts_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# M7/M8 BERT-kernel queries. The corpus for these is CONSTRUCTED from the
-# documents table (like _mm_payloads): each doc's tokens are interleaved
-# with a deterministic trigger + two gazetteer entities chosen so the
-# asked role has exactly one matching entity. Both dialects derive the
-# same sentence; the Spark side then runs the full wordpiece -> [CLS] q
-# [SEP] s [SEP] -> transformer kernel -> decode path, and the oracle
-# recomputes the expected surface relationally.
-# ---------------------------------------------------------------------------
-
-_TRIG_WORDS = sorted(TRIGGER_LEXICON)
-_GAZ_WORDS = sorted(ENTITY_GAZETTEER)
-
-
 def _lexicon_values_as(alias: str) -> str:
     rows = ", ".join(f"('{w}', '{t}')" for w, t in sorted(TRIGGER_LEXICON.items()))
     return f"(VALUES {rows}) AS {alias}(word, lex_event_type)"
@@ -300,6 +286,175 @@ def _gaz_values_as(alias: str) -> str:
         f"('{w}', '{et}')" for w, (et, _e) in sorted(ENTITY_GAZETTEER.items())
     )
     return f"(VALUES {rows}) AS {alias}(gword, gtype)"
+
+
+_EVS_SORTED = sorted(set(TRIGGER_LEXICON.values()))
+_ETS_SORTED = sorted({et for (_ev, et) in ROLE_RULE})
+
+
+def _m10_role_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10: overlapping-mention multi-hot type vectors -> embedding-sum
+    argument kernel (bilstm.encode type_multihot path). Per doc: two
+    synthetic mention spans at filler positions 0 and 2 (the WORDS are
+    out-of-vocab — the type multihot is the only signal), a
+    deterministic event; the kernel must decode role_for(event, type)."""
+    import numpy as np
+    import pandas as pd
+
+    from deepee_spark.functions.featurize import token_ids, token_type_multihot
+    from deepee_spark.kernels.bilstm import decode_roles
+    from deepee_spark.ontology import EVENT_TYPE_TO_ID, ID_TO_ROLE
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.slice(_tokens(), 1, 12).alias("toks")).filter(
+        F.size("toks") >= 5
+    )
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    evs = F.array(*[F.lit(e) for e in _EVS_SORTED])
+    ets = F.array(*[F.lit(t) for t in _ETS_SORTED])
+    d = d.withColumn(
+        "ev", F.element_at(evs, (F.col("doc_id") % len(_EVS_SORTED) + 1).cast("int"))
+    ).withColumn(
+        "et1", F.element_at(ets, (F.col("doc_id") % len(_ETS_SORTED) + 1).cast("int"))
+    ).withColumn(
+        "et2",
+        F.element_at(ets, ((F.col("doc_id") * 3 + 1) % len(_ETS_SORTED) + 1).cast("int")),
+    )
+    entities = F.array(
+        F.struct(F.lit(0).alias("start"), F.lit(1).alias("end"), F.col("et1").alias("entity_type")),
+        F.struct(F.lit(2).alias("start"), F.lit(3).alias("end"), F.col("et2").alias("entity_type")),
+    )
+    feat = d.select(
+        "doc_id",
+        "ev",
+        token_ids(F.col("toks")).alias("token_ids"),
+        token_type_multihot(entities, F.size("toks")).alias("multihot"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("arg_pos", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = len(pdf)
+            lengths = np.fromiter(
+                (len(s) for s in pdf["token_ids"]), dtype=np.int64, count=m
+            )
+            lmax = max(int(lengths.max()), 1)
+            n_ent = len(_ETS_SORTED)
+            ids = np.zeros((m, lmax), dtype=np.int64)
+            mh = np.zeros((m, lmax, n_ent), dtype=np.float32)
+            for j in range(m):
+                k = int(lengths[j])
+                ids[j, :k] = np.asarray(pdf["token_ids"].iat[j], dtype=np.int64)
+                mh[j, :k] = np.array(
+                    [list(v) for v in pdf["multihot"].iat[j]], dtype=np.float32
+                )
+            ev_ids = np.array(
+                [EVENT_TYPE_TO_ID[e] for e in pdf["ev"]], dtype=np.int64
+            )
+            rows = []
+            for pos in (0, 2):
+                roles, _sc = decode_roles(
+                    ids, lengths, ev_ids, np.full(m, pos), type_multihot=mh
+                )
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": pdf["doc_id"].astype("int64"),
+                            "arg_pos": np.int32(pos),
+                            "role": [ID_TO_ROLE[int(r)] for r in roles],
+                        }
+                    )
+                )
+            yield pd.concat(rows)
+
+    return feat.mapInPandas(run, schema=schema)
+
+
+_ETS_ARR_SQL = "[" + ", ".join(f"'{t}'" for t in _ETS_SORTED) + "]"
+_EVS_ARR_SQL = "[" + ", ".join(f"'{e}'" for e in _EVS_SORTED) + "]"
+
+_M10_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         {_EVS_ARR_SQL}[CAST(doc_id % {len(_EVS_SORTED)} + 1 AS INT)] AS ev,
+         {_ETS_ARR_SQL}[CAST(doc_id % {len(_ETS_SORTED)} + 1 AS INT)] AS et1,
+         {_ETS_ARR_SQL}[CAST((doc_id * 3 + 1) % {len(_ETS_SORTED)} + 1 AS INT)] AS et2
+  FROM documents WHERE len(list_slice({_TOKENS_SQL}, 1, 12)) >= 5)
+SELECT doc_id, CAST(0 AS INT) AS arg_pos, rrm.role
+FROM d JOIN {_role_rule_values_as('rrm')}
+  ON rrm.event_type = ev AND rrm.entity_type = et1
+UNION ALL
+SELECT doc_id, CAST(2 AS INT) AS arg_pos, rrn.role
+FROM d JOIN {_role_rule_values_as('rrn')}
+  ON rrn.event_type = ev AND rrn.entity_type = et2
+"""
+
+BAG_K = 5
+
+
+def _bag_truncate_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DMCNN bag semantics (tagger_trigger_bag.py:281-319): per event
+    type, keep the top-K instances (score desc, id tie-break) and PAD
+    the bag to exactly K slots with -1 — as pure expressions."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("user_id"), F.asc("event_id")
+    )
+    ranked = (
+        ev.withColumn("slot", F.row_number().over(w))
+        .filter(F.col("slot") <= BAG_K)
+        .select("event_type", "slot", F.col("user_id").alias("member_id"))
+    )
+    slots = (
+        ev.select("event_type")
+        .distinct()
+        .select("event_type", F.explode(F.sequence(F.lit(1), F.lit(BAG_K))).alias("slot"))
+    )
+    return slots.join(ranked, ["event_type", "slot"], "left").select(
+        "event_type",
+        F.col("slot").cast("int").alias("slot"),
+        F.coalesce("member_id", F.lit(-1)).cast("long").alias("member_id"),
+    )
+
+
+_BAG_SQL = f"""
+WITH ranked AS (
+  SELECT event_type, user_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, user_id ASC, event_id ASC) AS slot
+  FROM events),
+slots AS (
+  SELECT DISTINCT event_type, CAST(s AS INT) AS slot
+  FROM events, range(1, {BAG_K} + 1) AS r(s))
+SELECT slots.event_type, slots.slot,
+       CAST(COALESCE(ranked.user_id, -1) AS BIGINT) AS member_id
+FROM slots LEFT JOIN ranked
+  ON slots.event_type = ranked.event_type AND slots.slot = ranked.slot
+"""
+
+
+# ---------------------------------------------------------------------------
+# M7/M8 BERT-kernel queries. The corpus for these is CONSTRUCTED from the
+# documents table (like _mm_payloads): each doc's tokens are interleaved
+# with a deterministic trigger + two gazetteer entities chosen so the
+# asked role has exactly one matching entity. Both dialects derive the
+# same sentence; the Spark side then runs the full wordpiece -> [CLS] q
+# [SEP] s [SEP] -> transformer kernel -> decode path, and the oracle
+# recomputes the expected surface relationally.
+# ---------------------------------------------------------------------------
+
+_TRIG_WORDS = sorted(TRIGGER_LEXICON)
+_GAZ_WORDS = sorted(ENTITY_GAZETTEER)
 
 
 _TRIG_ARR_SQL = "[" + ", ".join(f"'{w}'" for w in _TRIG_WORDS) + "]"
@@ -2313,33 +2468,33 @@ DUP_COS = 0.2
 
 
 def _dedup_embedding_cosine(spark, sf):
+    """Embedding near-dup through the operator's DEFAULT LSH-bucket
+    blocking (hyperplane sign buckets, 1-bit multi-probe): the oracle
+    re-derives the candidate rule (Hamming distance <= 1 between
+    buckets) relationally, so the bucket boundary behaviour itself is
+    what is checked."""
+    from deepee_spark.operators.dedup import embedding_dup_pairs
+
     emb = _t(spark, sf, "embeddings")
-    d = emb.select("vec_id", F.col("label").alias("blk"), F.col("embedding").alias("v"))
-    a, b = d.alias("a"), d.alias("b")
-    pairs = a.join(
-        F.broadcast(b),
-        (F.col("a.blk") == F.col("b.blk")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    return embedding_dup_pairs(
+        emb, "vec_id", "embedding", dim=64, min_cosine=DUP_COS
     )
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (
-        F.sqrt(_dot(F.col("a.v"), F.col("a.v"))) * F.sqrt(_dot(F.col("b.v"), F.col("b.v")))
-    )
-    return pairs.select(
-        F.col("a.vec_id").alias("id_a"),
-        F.col("b.vec_id").alias("id_b"),
-        F.round(cos, 6).alias("cosine"),
-    ).filter(F.col("cosine") >= DUP_COS)
 
 
 _DEDUP_EMB_SQL = f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND({_DOT_SQL.format(a='a.embedding', b='b.embedding')} /
-             (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')}) *
-              sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')})), 6) AS cosine
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE ROUND({_DOT_SQL.format(a='a.embedding', b='b.embedding')} /
-            (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')}) *
-             sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')})), 6) >= {DUP_COS}
+WITH b AS (
+  SELECT vec_id, embedding,
+         CAST({' + '.join(_LSH_PLANE_TERM.format(p=p, bit=1 << p) for p in range(8))} AS BIGINT) AS bucket
+  FROM embeddings),
+cand AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         ROUND({_DOT_SQL.format(a='a.embedding', b='b2.embedding')} /
+               (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')}) *
+                sqrt({_DOT_SQL.format(a='b2.embedding', b='b2.embedding')})), 6) AS cosine
+  FROM b a JOIN b b2
+    ON a.vec_id < b2.vec_id
+   AND (xor(a.bucket, b2.bucket) & (xor(a.bucket, b2.bucket) - 1)) = 0)
+SELECT id_a, id_b, cosine FROM cand WHERE cosine >= {DUP_COS}
 """
 
 
@@ -2752,6 +2907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ee_trigger_counts_masked": _ee_trigger_counts_masked,
         "bert_trigger_tags": _bert_trigger_tags,
         "qa_span_args": _qa_span_args,
+        "m10_role_decode": _m10_role_decode,
+        "bag_truncate_pad": _bag_truncate_pad,
     }
 
 
@@ -2816,4 +2973,6 @@ def oracle_sql() -> dict[str, str]:
         "ee_trigger_counts_masked": _EE_TRIGGER_SQL,
         "bert_trigger_tags": _BERT_TAGS_SQL,
         "qa_span_args": _QA_SPAN_SQL,
+        "m10_role_decode": _M10_SQL,
+        "bag_truncate_pad": _BAG_SQL,
     }

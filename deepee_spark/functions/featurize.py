@@ -100,3 +100,34 @@ def featurize_sentences(sentences: DataFrame) -> DataFrame:
     return sentences.withColumn(
         "token_ids", token_ids(F.col("tokens"))
     ).withColumn("mentions", mention_positions(F.col("tokens")))
+
+
+def token_type_multihot(entities: Column, length: Column) -> Column:
+    """M10: per-token entity-type MULTI-hot from (possibly overlapping)
+    mention spans — array<array<double>> of shape (length, N_ENT), where
+    a token covered by k mentions of one type gets k in that slot
+    (MOGANED utils.py:117-145: the embedding layer SUMS all covering
+    labels' type embeddings; kernels consume this via
+    bilstm.encode(type_multihot=...)).
+
+    entities: array<struct<start:int, end:int, entity_type:string>>
+    (end exclusive, the S1 scan schema)."""
+    from ..ontology import ENTITY_TYPE_TO_ID
+
+    types_by_id = sorted(ENTITY_TYPE_TO_ID, key=ENTITY_TYPE_TO_ID.get)
+    return F.transform(
+        F.sequence(F.lit(0), length - 1),
+        lambda i: F.array(
+            *[
+                F.size(
+                    F.filter(
+                        entities,
+                        lambda e: (e["start"] <= i)
+                        & (i < e["end"])
+                        & (e["entity_type"] == F.lit(t)),
+                    )
+                ).cast("double")
+                for t in types_by_id
+            ]
+        ),
+    )

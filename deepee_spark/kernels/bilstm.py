@@ -17,12 +17,32 @@ import numpy as np
 from .weights import HIDDEN, argument_weights, embedding_table
 
 
-def encode(ids: np.ndarray, lengths: np.ndarray) -> np.ndarray:
-    """ids (B, L) -> bidirectional states (B, L, 2*HIDDEN)."""
+def encode(
+    ids: np.ndarray,
+    lengths: np.ndarray,
+    type_multihot: np.ndarray | None = None,
+) -> np.ndarray:
+    """ids (B, L) -> bidirectional states (B, L, 2*HIDDEN).
+
+    M10: type_multihot (B, L, N_ENT), when given, is the per-token
+    entity-type MULTI-hot built from (possibly overlapping) mention
+    spans; its scaled embedding is SUMMED into the token embedding's
+    entity block — MOGANED utils.py:117-145 / JMEE EmbeddingLayer
+    semantics, where a token covered by several mentions receives the
+    sum of all their type embeddings. A single-label multihot is exactly
+    the gazetteer word's own embedding wiring (EMB_SCALE one-hot), which
+    the parity test pins."""
+    from .weights import EMB_SCALE, NUM_EVENT_CLASSES
+
     emb = embedding_table()
     w = argument_weights()
     B, L = ids.shape
     x = emb[ids]  # (B, L, D)
+    if type_multihot is not None:
+        x = x.copy()
+        x[:, :, NUM_EVENT_CLASSES:] += (
+            EMB_SCALE * type_multihot.astype(np.float32)
+        )
     proj = x @ w["w_ih"] + w["b_h"]  # (B, L, H)
 
     fwd = np.zeros((B, L, HIDDEN), dtype=np.float32)
@@ -44,13 +64,15 @@ def score_roles(
     lengths: np.ndarray,
     event_ids: np.ndarray,
     arg_pos: np.ndarray,
+    type_multihot: np.ndarray | None = None,
 ) -> np.ndarray:
     """Per (sentence row, its arg candidate): role logits (B, R).
 
     ids (B,L), event_ids (B,), arg_pos (B,) -> logits (B, NUM_ROLE_CLASSES).
+    type_multihot: optional M10 per-token multi-hot (see encode).
     """
     w = argument_weights()
-    states = encode(ids, lengths)  # (B, L, 2H)
+    states = encode(ids, lengths, type_multihot)  # (B, L, 2H)
     b = np.arange(ids.shape[0])
     h_arg = states[b, arg_pos]  # (B, 2H)
     feat = h_arg @ w["w_feat"]  # (B, N_ENT)
@@ -59,9 +81,9 @@ def score_roles(
     return np.einsum("rbe,be->br", a_ev, feat).astype(np.float32)
 
 
-def decode_roles(ids, lengths, event_ids, arg_pos):
+def decode_roles(ids, lengths, event_ids, arg_pos, type_multihot=None):
     """-> (role_ids (B,), scores (B,)) via softmax-argmax."""
-    logits = score_roles(ids, lengths, event_ids, arg_pos)
+    logits = score_roles(ids, lengths, event_ids, arg_pos, type_multihot)
     logits = logits - logits.max(axis=1, keepdims=True)
     np.exp(logits, out=logits)
     probs = logits / logits.sum(axis=1, keepdims=True)

@@ -11,8 +11,9 @@ caller composes them into the DAG. Web-scale notes per operator:
   simhash               same shape as minhash (explode + sum aggs)
   ngram_jaccard_pairs   bounded by a blocking key (lang, length bucket) —
                         never run unblocked at scale
-  embedding_dup_pairs   cosine over a blocking key (here: label) — the
-                        production path blocks by LSH bucket first
+  embedding_dup_pairs   cosine pairs; DEFAULT blocking is hyperplane-LSH
+                        buckets with 1-bit multi-probe (bucket-local join
+                        at any scale); value blocking available opt-in
 
 The rolling string hash matches the engine-wide deterministic fold
 (functions in __spark_entry__ use the same formula for oracle parity).
@@ -198,11 +199,23 @@ def embedding_dup_pairs(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    block_col: str,
     dim: int,
     min_cosine: float = 0.95,
+    block_col: str | None = None,
+    planes: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs within a blocking key."""
+    """Embedding-cosine near-dup candidate pairs.
+
+    DEFAULT blocking (block_col=None) is hyperplane-LSH with 1-bit
+    multi-probe: a pair is a candidate iff the two sign-buckets are
+    within Hamming distance 1 (left side explodes to its bucket + the
+    `planes` one-bit flips; join on right.bucket). Candidates therefore
+    only ever meet inside a hash bucket — the join stays bucket-local at
+    any corpus size, unlike value blocking where one skewed block (e.g.
+    one language = 60% of the corpus) turns quadratic.
+
+    Passing block_col keeps caller-supplied value blocking for the cases
+    where the caller can bound block sizes."""
     def dot(x, y):
         prods = F.transform(
             F.sequence(F.lit(1), F.lit(dim)),
@@ -211,13 +224,42 @@ def embedding_dup_pairs(
         )
         return F.aggregate(prods, F.lit(0.0), lambda a_, v: a_ + v)
 
-    d = df.select(
-        F.col(id_col).alias("pid"), F.col(block_col).alias("blk"), F.col(vec_col).alias("v")
-    )
-    a, b = d.alias("a"), d.alias("b")
-    pairs = a.join(
-        b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.pid") < F.col("b.pid"))
-    )
+    if block_col is not None:
+        d = df.select(
+            F.col(id_col).alias("pid"),
+            F.col(block_col).alias("blk"),
+            F.col(vec_col).alias("v"),
+        )
+        a, b = d.alias("a"), d.alias("b")
+        pairs = a.join(
+            b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.pid") < F.col("b.pid"))
+        )
+    else:
+        from .similarity import hyperplane_bucket
+
+        d = df.select(
+            F.col(id_col).alias("pid"), F.col(vec_col).alias("v")
+        ).withColumn("bucket", hyperplane_bucket(F.col("v"), dim, planes))
+        # each (a, b) with Hamming <= 1 matches on exactly one probe value,
+        # so no post-join distinct is needed
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << p)).cast("long")
+                for p in range(planes)
+            ],
+        )
+        a = (
+            d.withColumn("probe", F.explode(probes))
+            .select(F.col("pid"), F.col("v"), F.col("probe"))
+            .alias("a")
+        )
+        b = d.select("pid", "v", "bucket").alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.probe") == F.col("b.bucket"))
+            & (F.col("a.pid") < F.col("b.pid")),
+        )
     cos = dot(F.col("a.v"), F.col("b.v")) / (
         F.sqrt(dot(F.col("a.v"), F.col("a.v"))) * F.sqrt(dot(F.col("b.v"), F.col("b.v")))
     )

@@ -296,12 +296,31 @@ def triples_from(arguments: DataFrame, linked: DataFrame, canonical: DataFrame) 
 
 class Pipeline:
     """Runs the DAG against a documents DataFrame, checkpointing each
-    stage through a StageCatalog. ``resume=True`` skips current stages."""
+    stage through a StageCatalog. ``resume=True`` skips current stages.
 
-    def __init__(self, spark: SparkSession, catalog: StageCatalog, shuffle_parts: int | None = None):
+    checkpoint:
+      "all"     — every stage is an atomic snapshot (max resume
+                  granularity; the default).
+      "kernels" — snapshot only the data-proportional stages
+                  (documents..arguments); the gazetteer-bounded tail
+                  (linked/canonical) is fused into the single `triples`
+                  commit, held in memory via localCheckpoint instead of
+                  a filesystem commit. A killed run still resumes past
+                  every kernel stage; it recomputes only the
+                  constant-size tail. Measured motivation
+                  (BENCH/BASELINE.md §2): the three tail commits cost a
+                  corpus-size-INDEPENDENT ~12 s — 25% of a sandbox-scale
+                  run — while carrying ~MBs of per-entity aggregates.
+    """
+
+    def __init__(self, spark: SparkSession, catalog: StageCatalog,
+                 shuffle_parts: int | None = None, checkpoint: str = "all"):
+        if checkpoint not in ("all", "kernels"):
+            raise ValueError(f"unknown checkpoint mode {checkpoint!r}")
         self.spark = spark
         self.catalog = catalog
         self.shuffle_parts = shuffle_parts
+        self.checkpoint = checkpoint
         self.ran: list[str] = []
         self.skipped: list[str] = []
 
@@ -347,6 +366,23 @@ class Pipeline:
             resume,
         )
         aliases = alias_df(spark)
+        # crawl-date partitioning on the final table (the days(warc_ts)
+        # Iceberg transform, emulated as a parquet partition column):
+        # time-range queries over the graph prune whole directories
+        if self.checkpoint == "kernels":
+            # fused tail: one commit instead of three; linked/canonical
+            # are dimension-scale, pinned in memory across their reuses
+            def build_triples():
+                linked = link_mentions(
+                    mentions_from_arguments(arguments), aliases
+                ).localCheckpoint()
+                canonical = canonicalize(linked).localCheckpoint()
+                return triples_from(arguments, linked, canonical)
+
+            return self._stage(
+                "triples", fp("triples"), build_triples, resume,
+                partition_by=["day"],
+            )
         linked = self._stage(
             "linked",
             fp("linked"),
@@ -356,9 +392,6 @@ class Pipeline:
         canonical = self._stage(
             "canonical", fp("canonical"), lambda: canonicalize(linked), resume
         )
-        # crawl-date partitioning on the final table (the days(warc_ts)
-        # Iceberg transform, emulated as a parquet partition column):
-        # time-range queries over the graph prune whole directories
         triples = self._stage(
             "triples",
             fp("triples"),

@@ -99,3 +99,51 @@ def test_textstats(spark):
     assert q[1]["stopword_ratio"] > 0.2
     t = {r["doc_id"]: r for r in token_counts(df).collect()}
     assert t[1]["ws_tokens"] == 9 and t[1]["re_tokens"] == 9
+
+
+def test_embedding_dup_pairs_lsh_default_blocking(spark):
+    """Default (no block_col) blocking is hyperplane-LSH with 1-bit
+    multi-probe: same-bucket and Hamming-1 pairs are found; a
+    high-cosine pair whose buckets differ in TWO plane signs is
+    excluded — the candidate rule, not the cosine, decides."""
+    import numpy as np
+
+    from deepee_spark.operators.dedup import embedding_dup_pairs
+
+    dim, planes = 64, 8
+    P = np.array(
+        [
+            [((p * 73856093 + j * 19349663) % 2000 - 1000) / 1000.0
+             for j in range(1, dim + 1)]
+            for p in range(planes)
+        ]
+    )
+    rng = np.random.default_rng(5)
+    v = rng.normal(size=dim)
+    # make v near-orthogonal to planes 0 and 1 (iterate: planes not orthogonal)
+    for _ in range(30):
+        for p in (0, 1):
+            v -= (v @ P[p]) / (P[p] @ P[p]) * P[p]
+    eps = 1e-4 * (P[0] / np.linalg.norm(P[0]) + P[1] / np.linalg.norm(P[1]))
+    v1 = v + eps          # planes 0,1 positive
+    v2 = v - eps          # planes 0,1 negative -> Hamming 2 from v1
+    v3 = v1 + rng.normal(scale=1e-3, size=dim)  # near-dup of v1
+    assert np.sign(v1 @ P[0]) != np.sign(v2 @ P[0])
+    assert np.sign(v1 @ P[1]) != np.sign(v2 @ P[1])
+    cos12 = (v1 @ v2) / np.linalg.norm(v1) / np.linalg.norm(v2)
+    assert cos12 > 0.99  # high cosine yet outside the candidate rule
+
+    df = spark.createDataFrame(
+        [(1, [float(x) for x in v1]),
+         (2, [float(x) for x in v2]),
+         (3, [float(x) for x in v3])],
+        ["vec_id", "embedding"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs(
+            df, "vec_id", "embedding", dim=dim, min_cosine=0.9
+        ).collect()
+    }
+    assert (1, 3) in pairs          # same/adjacent bucket near-dup found
+    assert (1, 2) not in pairs      # Hamming-2 pair excluded by design

@@ -277,3 +277,69 @@ def test_masked_pooling_kernel_bitwise_equals_cummax_path():
         np.array(rows_ids), np.array(rows_len), np.array(mls), np.array(mrs)
     )
     assert np.array_equal(probs, np.array(expect))
+
+
+def test_multilabel_type_multihot_single_label_parity():
+    """M10: a filler token with a single-type multihot decodes the same
+    role as the gazetteer word whose embedding carries that type."""
+    from deepee_spark.kernels.bilstm import decode_roles
+    from deepee_spark.kernels.weights import N_ENT, kernel_vocab
+    from deepee_spark.ontology import (
+        ENTITY_GAZETTEER,
+        ENTITY_TYPE_TO_ID,
+        EVENT_TYPE_TO_ID,
+        TRIGGER_LEXICON,
+        role_for,
+    )
+
+    vocab = kernel_vocab()
+    trig = "merged"
+    ev_id = EVENT_TYPE_TO_ID[TRIGGER_LEXICON[trig]]
+    gaz = "washington"
+    et_id = ENTITY_TYPE_TO_ID[ENTITY_GAZETTEER[gaz][0]]
+    L = 5
+    ids_gaz = np.array([[vocab[trig], vocab[gaz], 1, 1, 1]])
+    ids_fill = np.array([[vocab[trig], 1, 1, 1, 1]])  # UNK at arg pos
+    lengths = np.array([L])
+    mh = np.zeros((1, L, N_ENT), dtype=np.float32)
+    mh[0, 1, et_id] = 1.0
+    role_gaz, _ = decode_roles(ids_gaz, lengths, np.array([ev_id]), np.array([1]))
+    role_mh, _ = decode_roles(
+        ids_fill, lengths, np.array([ev_id]), np.array([1]), type_multihot=mh
+    )
+    expected = role_for(TRIGGER_LEXICON[trig], ENTITY_GAZETTEER[gaz][0])
+    from deepee_spark.ontology import ROLE_TO_ID
+
+    assert role_gaz[0] == role_mh[0] == ROLE_TO_ID[expected]
+
+
+def test_multilabel_overlapping_mentions_sum():
+    """M10: a token covered by TWO mention types scores both types'
+    roles above every other role (summed type embeddings)."""
+    from deepee_spark.kernels.bilstm import score_roles
+    from deepee_spark.kernels.weights import N_ENT, kernel_vocab
+    from deepee_spark.ontology import (
+        EVENT_TYPE_TO_ID,
+        ENTITY_TYPE_TO_ID,
+        ROLE_TO_ID,
+        TRIGGER_LEXICON,
+        role_for,
+    )
+
+    vocab = kernel_vocab()
+    trig = "merged"
+    ev = TRIGGER_LEXICON[trig]
+    ev_id = EVENT_TYPE_TO_ID[ev]
+    et_a, et_b = "GPE", "PER"
+    ra, rb = ROLE_TO_ID[role_for(ev, et_a)], ROLE_TO_ID[role_for(ev, et_b)]
+    assert ra != rb
+    L = 4
+    ids = np.array([[vocab[trig], 1, 1, 1]])
+    mh = np.zeros((1, L, N_ENT), dtype=np.float32)
+    mh[0, 1, ENTITY_TYPE_TO_ID[et_a]] = 1.0
+    mh[0, 1, ENTITY_TYPE_TO_ID[et_b]] = 1.0
+    logits = score_roles(
+        ids, np.array([L]), np.array([ev_id]), np.array([1]), type_multihot=mh
+    )[0]
+    top2 = set(np.argsort(-logits)[:2])
+    assert top2 == {ra, rb}

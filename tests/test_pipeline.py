@@ -127,3 +127,32 @@ def test_triples_partitioned_by_day(spark, main_run):
     one_day = [os.path.basename(d).split("=")[1] for d in day_dirs][0]
     n = triples.filter(F.col("day") == one_day).count()
     assert 0 < n < t1.count()
+
+
+def test_fused_checkpoint_mode_equivalent(spark, tmp_path):
+    """checkpoint='kernels' fuses the linked/canonical tail into the
+    triples commit: same triples as full checkpointing, 6 commits
+    instead of 8, resume still skips every snapshotted stage."""
+    from deepee_spark.corpus import corpus_df
+    from deepee_spark.plans.pipeline import Pipeline
+    from deepee_spark.sources.tables import StageCatalog
+
+    docs = corpus_df(spark, 60)
+    full = Pipeline(spark, StageCatalog(str(tmp_path / "full")))
+    t_full = full.run(docs, "corpus:60", resume=False)
+    fused = Pipeline(
+        spark, StageCatalog(str(tmp_path / "fused")), checkpoint="kernels"
+    )
+    t_fused = fused.run(docs, "corpus:60", resume=False)
+    cols = ["url", "subj", "pred", "obj"]
+    assert t_full.select(cols).exceptAll(t_fused.select(cols)).count() == 0
+    assert t_fused.select(cols).exceptAll(t_full.select(cols)).count() == 0
+    assert fused.ran == [
+        "documents", "extracted", "sentences", "triggers", "arguments",
+        "triples",
+    ]
+    again = Pipeline(
+        spark, StageCatalog(str(tmp_path / "fused")), checkpoint="kernels"
+    )
+    again.run(docs, "corpus:60", resume=True)
+    assert again.ran == [] and len(again.skipped) == 6

@@ -169,3 +169,40 @@ def test_s3_malformed_event_entries_skipped(spark, tmp_path):
     assert len(evs) == 1  # only the well-formed trigger survives
     assert evs[0]["event_type"] == "Justice:Arrest-Jail"
     assert evs[0]["arguments"] == []  # short argument entry dropped
+
+
+def test_s9_examples_pickle_to_parquet(spark, tmp_path):
+    import pickle
+
+    from deepee_spark.sources.pickle_convert import examples_pickle_to_parquet
+
+    recs = [
+        {"words": ["he", "ran"], "sent_id": 0, "event_type": "Conflict:Attack"},
+        {"words": ["x"], "sent_id": 1},  # missing key -> null column
+    ]
+    p = tmp_path / "ex.pkl"
+    p.write_bytes(pickle.dumps(recs))
+    out = examples_pickle_to_parquet(spark, str(p), str(tmp_path / "ex.parquet"))
+    rows = {r["sent_id"]: r for r in out.collect()}
+    assert rows[0]["words"] == ["he", "ran"]
+    assert rows[0]["event_type"] == "Conflict:Attack"
+    assert rows[1]["event_type"] is None
+
+
+def test_s10_vocab_pickle_to_parquet(spark, tmp_path):
+    import pickle
+
+    from deepee_spark.sources.pickle_convert import vocab_pickle_to_parquet
+
+    p1 = tmp_path / "v1.pkl"
+    p1.write_bytes(pickle.dumps({"<pad>": 0, "the": 1, "cat": 2}))
+    out1 = vocab_pickle_to_parquet(spark, str(p1), str(tmp_path / "v1.parquet"))
+    assert {(r["token"], r["id"]) for r in out1.collect()} == {
+        ("<pad>", 0), ("the", 1), ("cat", 2),
+    }
+    p2 = tmp_path / "v2.pkl"
+    p2.write_bytes(pickle.dumps(["<pad>", "a", "b"]))
+    out2 = vocab_pickle_to_parquet(spark, str(p2), str(tmp_path / "v2.parquet"))
+    assert {(r["token"], r["id"]) for r in out2.collect()} == {
+        ("<pad>", 0), ("a", 1), ("b", 2),
+    }

@@ -48,6 +48,10 @@ def main() -> None:
                          "continuously), then time a second identical run "
                          "into a fresh warehouse")
     ap.add_argument("--json", action="store_true", help="print one JSON line")
+    ap.add_argument("--checkpoint", default="all", choices=["all", "kernels"],
+                    help="'all' snapshots every stage; 'kernels' fuses the "
+                         "gazetteer-bounded linked/canonical tail into the "
+                         "single triples commit (resume past kernels only)")
     args = ap.parse_args()
 
     from deepee_spark.corpus import corpus_df
@@ -63,7 +67,7 @@ def main() -> None:
 
         with tempfile.TemporaryDirectory() as wroot:
             wdocs = corpus_df(spark, args.warmup_docs)
-            Pipeline(spark, StageCatalog(wroot)).run(
+            Pipeline(spark, StageCatalog(wroot), checkpoint=args.checkpoint).run(
                 wdocs, f"warmup:{args.warmup_docs}", resume=False
             ).count()
 
@@ -80,12 +84,12 @@ def main() -> None:
         import tempfile
 
         with tempfile.TemporaryDirectory() as wroot:
-            Pipeline(spark, StageCatalog(wroot)).run(
+            Pipeline(spark, StageCatalog(wroot), checkpoint=args.checkpoint).run(
                 documents, fingerprint, resume=False
             ).count()
 
     catalog = StageCatalog(args.warehouse, run_id=args.run_id)
-    pipe = Pipeline(spark, catalog)
+    pipe = Pipeline(spark, catalog, checkpoint=args.checkpoint)
     t0 = time.time()
     triples = pipe.run(documents, fingerprint, resume=args.resume)
     n_triples = triples.count()

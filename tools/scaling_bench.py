@@ -45,7 +45,7 @@ PIN_ENV = {
 }
 
 
-def run_once(cores: int, docs: int, warmup: int) -> dict:
+def run_once(cores: int, docs: int, warmup: int, checkpoint: str = "all") -> dict:
     with tempfile.TemporaryDirectory() as wh:
         cmd = [
             sys.executable,
@@ -56,6 +56,7 @@ def run_once(cores: int, docs: int, warmup: int) -> dict:
             "--warmup-docs", str(warmup),
             "--steady",
             "--json",
+            "--checkpoint", checkpoint,
         ]
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), **PIN_ENV)
         out = subprocess.run(
@@ -65,8 +66,8 @@ def run_once(cores: int, docs: int, warmup: int) -> dict:
         return json.loads(line)
 
 
-def run_level(cores: int, docs: int, warmup: int, trials: int) -> dict:
-    runs = [run_once(cores, docs, warmup) for _ in range(trials)]
+def run_level(cores: int, docs: int, warmup: int, trials: int, checkpoint: str = "all") -> dict:
+    runs = [run_once(cores, docs, warmup, checkpoint) for _ in range(trials)]
     # best-of-N, not median: identical runs on this sandbox vary up to 2x
     # from HOST-level contention invisible to the guest (CPU calibration
     # inside the VM is stable while wall times swing), so the fastest run
@@ -89,14 +90,16 @@ def main() -> None:
     ap.add_argument("--high", type=int, default=16)
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
+    ap.add_argument("--checkpoint", default="all", choices=["all", "kernels"])
     args = ap.parse_args()
 
-    lo = run_level(args.low, args.docs, args.warmup_docs, args.trials)
-    hi = run_level(args.high, args.docs, args.warmup_docs, args.trials)
+    lo = run_level(args.low, args.docs, args.warmup_docs, args.trials, args.checkpoint)
+    hi = run_level(args.high, args.docs, args.warmup_docs, args.trials, args.checkpoint)
 
     ratio = args.high / args.low
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio
     result = {
+        "checkpoint": args.checkpoint,
         "docs": args.docs,
         "low_cores": args.low,
         "high_cores": args.high,
