@@ -202,6 +202,84 @@ def _ee_trigger_counts_gcn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ee_trigger_counts_graph_variant(
+    spark: SparkSession, sf_dir: str, variant: str
+) -> DataFrame:
+    """M4/M5 kernel paths over the same synthesized SC13 dependency-edge
+    dataflow as the M6 query; all three share the lexicon-count oracle —
+    it holds iff the whole graph stack preserves the argmax.
+    variant: 'gated' (JMEE M5) | 'edge_aware' (EEGCN M4)."""
+    import numpy as np
+    import pandas as pd
+
+    from deepee_spark.functions.featurize import token_ids
+    from deepee_spark.kernels.gcn import (
+        decode_triggers_edge_aware,
+        decode_triggers_gated,
+        densify_adjacency_by_type,
+        densify_edge_labels,
+    )
+    from deepee_spark.ontology import ID_TO_EVENT_TYPE
+
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    toks = F.slice(_tokens(), 1, 50)
+    feat = docs.select("doc_id", toks.alias("tokens")).filter(
+        F.size("tokens") >= 5
+    )
+    n = F.size("tokens")
+    edges = F.transform(
+        F.sequence(F.lit(2), n),
+        lambda i: F.struct(
+            F.lit("dep").alias("etype"),
+            (i - 1).cast("int").alias("src"),
+            (F.floor(i / 2) - 1).cast("int").alias("dst"),
+        ),
+    )
+    feat = feat.select(
+        "doc_id",
+        token_ids(F.col("tokens")).alias("token_ids"),
+        edges.alias("edges"),
+    )
+
+    schema = T.StructType([T.StructField("event_type", T.StringType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = len(pdf)
+            lengths = np.fromiter(
+                (len(s) for s in pdf["token_ids"]), dtype=np.int64, count=m
+            )
+            lmax = max(int(lengths.max()), 1)
+            ids = np.zeros((m, lmax), dtype=np.int64)
+            for j, s in enumerate(pdf["token_ids"]):
+                ids[j, : len(s)] = np.asarray(s, dtype=np.int64)
+            if variant == "gated":
+                adj = densify_adjacency_by_type(list(pdf["edges"]), lengths, lmax)
+                _b, _t_, cls, _s = decode_triggers_gated(ids, lengths, adj)
+            else:
+                lab = densify_edge_labels(list(pdf["edges"]), lengths, lmax)
+                _b, _t_, cls, _s = decode_triggers_edge_aware(ids, lengths, lab)
+            yield pd.DataFrame(
+                {"event_type": [ID_TO_EVENT_TYPE[int(c)] for c in cls]}
+            )
+
+    hits = feat.mapInPandas(run, schema=schema)
+    return hits.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def _ee_trigger_counts_gated(spark, sf):
+    return _ee_trigger_counts_graph_variant(spark, sf, "gated")
+
+
+def _ee_trigger_counts_edgeaware(spark, sf):
+    return _ee_trigger_counts_graph_variant(spark, sf, "edge_aware")
+
+
 def _ee_trigger_counts_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3 columnar-mask path: per-(sentence, candidate) rows carrying
     explicit maskL/maskR pooling masks (featurize.part_masks, the
@@ -2905,6 +2983,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ee_trigger_counts": _ee_trigger_counts,
         "ee_trigger_counts_gcn": _ee_trigger_counts_gcn,
         "ee_trigger_counts_masked": _ee_trigger_counts_masked,
+        "ee_trigger_counts_gated": _ee_trigger_counts_gated,
+        "ee_trigger_counts_edgeaware": _ee_trigger_counts_edgeaware,
         "bert_trigger_tags": _bert_trigger_tags,
         "qa_span_args": _qa_span_args,
         "m10_role_decode": _m10_role_decode,
@@ -2971,6 +3051,8 @@ def oracle_sql() -> dict[str, str]:
         "ee_trigger_counts": _EE_TRIGGER_SQL,
         "ee_trigger_counts_gcn": _EE_TRIGGER_SQL,
         "ee_trigger_counts_masked": _EE_TRIGGER_SQL,
+        "ee_trigger_counts_gated": _EE_TRIGGER_SQL,
+        "ee_trigger_counts_edgeaware": _EE_TRIGGER_SQL,
         "bert_trigger_tags": _BERT_TAGS_SQL,
         "qa_span_args": _QA_SPAN_SQL,
         "m10_role_decode": _M10_SQL,

@@ -49,6 +49,9 @@ def main() -> None:
         "ann_ivf_topk",
         "text_quality_score",
         "ee_trigger_counts",
+        "bert_trigger_tags",
+        "qa_span_args",
+        "dedup_embedding_cosine",
     ]
     qs = entry.queries()
     timings: dict[str, float] = {}
@@ -78,6 +81,19 @@ def main() -> None:
         pipe_sec = time.time() - t0
     timings["kg_pipeline"] = round(pipe_sec, 3)
 
+    # same job with the fused tail (checkpoint='kernels': linked/canonical
+    # held in memory, one triples commit) — the production batch profile
+    with tempfile.TemporaryDirectory() as root:
+        t0 = time.time()
+        n_triples_fused = (
+            Pipeline(spark, StageCatalog(root), checkpoint="kernels")
+            .run(docs, f"bench-fused:{n_docs}", resume=False)
+            .count()
+        )
+        fused_sec = time.time() - t0
+    assert n_triples_fused == n_triples
+    timings["kg_pipeline_fused"] = round(fused_sec, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -91,6 +107,8 @@ def main() -> None:
                 "pipeline_triples": n_triples,
                 "docs_per_sec": round(n_docs / pipe_sec, 2),
                 "triples_per_sec": round(n_triples / pipe_sec, 2),
+                "docs_per_sec_fused": round(n_docs / fused_sec, 2),
+                "triples_per_sec_fused": round(n_triples / fused_sec, 2),
                 "cpus": cpus,
             }
         )

@@ -7,10 +7,10 @@ becomes '$' (loader.py:19-21) and '...' noise tokens are dropped
 (loader.py:96).
 
 Spark-first: the grouping key is the running count of blank lines BEFORE
-each line — a single global window over the line index (the same
-construction as the s4_conll_scan contract query), then one groupBy
-rebuilds sentence rows with arrays ordered by line position. Two
-shuffles total (window + group), both on the sentence key.
+each line, computed as a TWO-LEVEL prefix sum (per-read-partition window
++ a prefix over the tiny per-partition totals — no single task ever sees
+the whole stream), then one groupBy rebuilds sentence rows with arrays
+ordered by line position.
 """
 
 from __future__ import annotations
@@ -107,4 +107,38 @@ def read_conll(spark: SparkSession, path: str) -> DataFrame:
         F.col("event_tags"),
         F.col("dep_labels"),
         F.transform("dep_heads", lambda h: h.cast("int")).alias("dep_heads"),
+    )
+
+
+def write_conll_results(
+    df: DataFrame,
+    path: str,
+    tokens_col: str = "tokens",
+    gold_col: str = "gold_tags",
+    pred_col: str = "pred_tags",
+    sort_col: str = "sent_id",
+) -> None:
+    """K2: prediction sink in conlleval's input format — one
+    `token gold pred` line per token, blank line between sentences
+    (EEGCN main.py:105-113 result files). One output row per sentence
+    becomes one text block; files are sorted by sort_col WITHIN each
+    partition (a global order would serialize the write; conlleval's
+    chunk metrics are order-insensitive across sentences)."""
+    body = F.array_join(
+        F.zip_with(
+            F.zip_with(
+                F.col(tokens_col),
+                F.col(gold_col),
+                lambda t, g: F.concat_ws(" ", t, g),
+            ),
+            F.col(pred_col),
+            lambda x, p: F.concat_ws(" ", x, p),
+        ),
+        "\n",
+    )
+    (
+        df.sortWithinPartitions(sort_col)
+        .select(F.concat(body, F.lit("\n")).alias("value"))
+        .write.mode("overwrite")
+        .text(path)
     )

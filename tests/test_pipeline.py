@@ -156,3 +156,30 @@ def test_fused_checkpoint_mode_equivalent(spark, tmp_path):
     )
     again.run(docs, "corpus:60", resume=True)
     assert again.ran == [] and len(again.skipped) == 6
+
+
+def test_merge_accumulate_counters(spark, tmp_path):
+    """A9: multi-round MERGE accumulation — each round's delta is merged
+    into the counter table (sum on key match, insert on miss), one
+    snapshot per round."""
+    from deepee_spark.sources.tables import StageCatalog
+
+    cat = StageCatalog(str(tmp_path))
+    rounds = [
+        [("Conflict:Attack", 3, 1), ("Life:Die", 2, 2)],
+        [("Conflict:Attack", 1, 0), ("Life:Marry", 5, 5)],
+        [("Life:Die", 4, 1)],
+    ]
+    for i, rows in enumerate(rounds):
+        delta = spark.createDataFrame(rows, ["event_type", "n_pred", "n_correct"])
+        out = cat.merge_accumulate(
+            spark, delta, "eval_counters", ["event_type"],
+            ["n_pred", "n_correct"], f"round:{i}",
+        )
+    got = {r["event_type"]: (r["n_pred"], r["n_correct"]) for r in out.collect()}
+    assert got == {
+        "Conflict:Attack": (4, 1),
+        "Life:Die": (6, 3),
+        "Life:Marry": (5, 5),
+    }
+    assert len(cat._snapshots("eval_counters")) == 3

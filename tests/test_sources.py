@@ -206,3 +206,34 @@ def test_s10_vocab_pickle_to_parquet(spark, tmp_path):
     assert {(r["token"], r["id"]) for r in out2.collect()} == {
         ("<pad>", 0), ("a", 1), ("b", 2),
     }
+
+
+def test_k2_conll_result_sink_roundtrip(spark, tmp_path):
+    """K2: the conlleval-format sink writes `token gold pred` lines with
+    blank sentence separators that read_conll-style grouping recovers."""
+    from deepee_spark.sources.conll import write_conll_results
+
+    df = spark.createDataFrame(
+        [
+            (0, ["He", "ran"], ["B-PER", "O"], ["B-PER", "O"]),
+            (1, ["Stop"], ["O"], ["B-ORG"]),
+        ],
+        ["sent_id", "tokens", "gold_tags", "pred_tags"],
+    )
+    out = str(tmp_path / "results")
+    write_conll_results(df, out)
+    text = spark.sparkContext.textFile(out).collect()
+    sentences, cur = [], []
+    for ln in text:
+        if ln.strip() == "":
+            if cur:
+                sentences.append(cur)
+                cur = []
+        else:
+            cur.append(ln.split(" "))
+    if cur:
+        sentences.append(cur)
+    parsed = {tuple(t[0] for t in s): s for s in sentences}
+    assert ("He", "ran") in parsed and ("Stop",) in parsed
+    assert parsed[("Stop",)][0] == ["Stop", "O", "B-ORG"]
+    assert parsed[("He", "ran")][0] == ["He", "B-PER", "B-PER"]
