@@ -2850,9 +2850,17 @@ def _mm_image_features(spark, sf):
     from deepee_spark.operators.multimodal import image_features
 
     # luma_hist is array-typed in the operator API; the contract surface
-    # serializes it (driver canonicalization can't sort list cells)
-    return image_features(_mm_payloads(spark, sf)).withColumn(
-        "luma_hist", F.to_json("luma_hist")
+    # serializes it (driver canonicalization can't sort list cells).
+    # Means/std round to 6dp: both sides compute in float64, so the only
+    # divergence is summation order (~1e-13), far inside the rounding.
+    out = image_features(_mm_payloads(spark, sf))
+    return out.select(
+        "media_id",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("std_luma", 6).alias("std_luma"),
+        F.concat_ws(",", "luma_hist").alias("luma_hist"),
     )
 
 
@@ -2910,6 +2918,43 @@ SELECT media_id,
                              THEN 1.0 ELSE 0.0 END)), 6)
             ELSE 0.0 END AS zcr
 FROM s
+"""
+
+# Replicates the sha256-tiled fake decode (operators/multimodal.py
+# decode_image) relationally: sha256(text-bytes) -> 32 digest bytes ->
+# tiled to the 12x16x3 pixel block -> channel means / luma std /
+# 8-bin luma histogram, all in float64 like the kernel.
+_MM_IMAGE_SQL = f"""
+WITH img AS (
+  SELECT doc_id AS media_id, {_MM_TEXT_SQL} AS t
+  FROM documents WHERE doc_id % 3 = 0),
+hx AS (SELECT media_id, lower(sha256(t)) AS h FROM img),
+db AS (
+  SELECT media_id,
+         list_transform(range(0, 32),
+           i -> (strpos('0123456789abcdef', h[2*i+1]) - 1) * 16
+              + (strpos('0123456789abcdef', h[2*i+2]) - 1)) AS b
+  FROM hx),
+px AS (
+  -- 12 rows x 16 cols x 3 channels = 576 bytes, digest tiled mod 32
+  SELECT media_id, list_transform(range(0, 576), i -> b[i % 32 + 1]) AS p
+  FROM db),
+lum AS (
+  SELECT media_id, p,
+         list_transform(range(0, 192),
+           k -> (p[3*k+1] + p[3*k+2] + p[3*k+3]) / 3.0) AS l
+  FROM px)
+SELECT media_id,
+  ROUND(list_avg(list_transform(range(0, 192), k -> p[3*k+1])), 6) AS mean_r,
+  ROUND(list_avg(list_transform(range(0, 192), k -> p[3*k+2])), 6) AS mean_g,
+  ROUND(list_avg(list_transform(range(0, 192), k -> p[3*k+3])), 6) AS mean_b,
+  ROUND(sqrt(list_avg(list_transform(l, v -> v * v))
+             - list_avg(l) * list_avg(l)), 6) AS std_luma,
+  array_to_string(
+    list_transform(range(0, 8),
+      bin -> len(list_filter(l, v -> CAST(floor(v / 32) AS INT) = bin))),
+    ',') AS luma_hist
+FROM lum
 """
 
 _MM_VIDEO_SQL = """
@@ -3039,8 +3084,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": _DEDUP_EMB_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "ann_ivf_topk": _IVF_SQL,
-        # mm_image_features stays rows-only (sha256-seeded fake decode);
-        # audio/video are hard-oracled below
+        "mm_image_features": _MM_IMAGE_SQL,
         "mm_audio_features": _MM_AUDIO_SQL,
         "mm_video_frames": _MM_VIDEO_SQL,
         "lsh_hyperplane_buckets": _LSH_SQL,

@@ -72,16 +72,21 @@ def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     """-> (height, width, 3) uint8.
 
     REAL decode is not available in this container (no PIL/libjpeg);
-    the deterministic fake derives every pixel from sha256(payload) so
-    tests exercise true array shapes end-to-end.
-    """
+    the deterministic fake tiles sha256(payload) over the metadata's
+    true pixel shape, so tests exercise real array shapes end-to-end
+    AND the feature math is replicable relationally (the contract
+    oracle recomputes sha256 + tiling in DuckDB — an RNG-based fake
+    would have no SQL equivalent)."""
     if not DETERMINISTIC_FAKE_DECODE:
         raise NotImplementedError(
             "image codec not available in this environment; "
             "install pillow and set DETERMINISTIC_FAKE_DECODE=False"
         )
-    rng = np.random.default_rng(_seed_from(payload))
-    return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+    digest = hashlib.sha256(payload).digest()
+    n = height * width * 3
+    reps = -(-n // len(digest))
+    flat = np.frombuffer(digest * reps, dtype=np.uint8)[:n]
+    return flat.reshape(height, width, 3)
 
 
 def decode_pcm16(payload: bytes) -> np.ndarray:
@@ -135,17 +140,21 @@ def synth_media_df(spark, n: int, kinds=("image", "audio", "video")) -> DataFram
 _IMG_FEAT_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
-        T.StructField("mean_r", T.FloatType()),
-        T.StructField("mean_g", T.FloatType()),
-        T.StructField("mean_b", T.FloatType()),
-        T.StructField("std_luma", T.FloatType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("std_luma", T.DoubleType()),
         T.StructField("luma_hist", T.ArrayType(T.IntegerType())),
     ]
 )
 
 
 def image_features(media: DataFrame) -> DataFrame:
-    """Channel means + luma std + 8-bin luma histogram per image."""
+    """Channel means + luma std + 8-bin luma histogram per image.
+
+    Stats run in float64 (uint8 pixels are exact in either width, and
+    double outputs are what the SQL oracle reproduces at round-6
+    agreement — see audio_features for the same rationale)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -159,7 +168,7 @@ def image_features(media: DataFrame) -> DataFrame:
                 img = decode_image(
                     bytes(row["payload"]), int(m["width"]), int(m["height"])
                 )
-                luma = img.astype(np.float32).mean(axis=2)
+                luma = img.astype(np.float64).mean(axis=2)
                 hist = np.histogram(luma, bins=8, range=(0, 256))[0]
                 out.append(
                     (
