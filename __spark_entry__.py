@@ -2543,6 +2543,9 @@ FROM events GROUP BY user_id HAVING COUNT(*) >= {F3_MIN_EVENTS}
 # ---------------------------------------------------------------------------
 
 DUP_COS = 0.2
+# tighter threshold for the CLUSTER query: at 0.2 the sf0.01 graph is one
+# giant component; 0.4 yields ~12 distinct clusters — a real CC exercise
+CLUSTER_COS = 0.4
 
 
 def _dedup_embedding_cosine(spark, sf):
@@ -2573,6 +2576,62 @@ cand AS (
     ON a.vec_id < b2.vec_id
    AND (xor(a.bucket, b2.bucket) & (xor(a.bucket, b2.bucket) - 1)) = 0)
 SELECT id_a, id_b, cosine FROM cand WHERE cosine >= {DUP_COS}
+"""
+
+
+def _dedup_cluster_assign(spark, sf):
+    """Near-dup CLUSTERS: embedding dup pairs as coreference edges ->
+    connected components -> (node, component=min id of its component).
+
+    This puts the canonicalization-stage CC operator
+    (operators/components.py, Kiveris star-contraction with the
+    adaptive driver union-find path for dimension-scale graphs) under
+    the hard driver oracle — the DuckDB twin recomputes the same
+    components via a recursive transitive closure."""
+    from deepee_spark.operators.components import connected_components
+    from deepee_spark.operators.dedup import embedding_dup_pairs
+
+    emb = _t(spark, sf, "embeddings")
+    pairs = embedding_dup_pairs(
+        emb, "vec_id", "embedding", dim=64, min_cosine=CLUSTER_COS
+    )
+    edges = pairs.select(
+        F.col("id_a").cast("bigint").alias("src"),
+        F.col("id_b").cast("bigint").alias("dst"),
+    )
+    return connected_components(edges).select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("component").cast("bigint").alias("component"),
+    )
+
+
+# same candidate/threshold rule as _DEDUP_EMB_SQL, then min-reachable-id
+# per node via a recursive closure (exact on the oracle's small scale;
+# the Spark side is the distributed star-contraction / union-find op)
+_DEDUP_CLUSTER_SQL = f"""
+WITH RECURSIVE b AS (
+  SELECT vec_id, embedding,
+         CAST({' + '.join(_LSH_PLANE_TERM.format(p=p, bit=1 << p) for p in range(8))} AS BIGINT) AS bucket
+  FROM embeddings),
+cand AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         ROUND({_DOT_SQL.format(a='a.embedding', b='b2.embedding')} /
+               (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')}) *
+                sqrt({_DOT_SQL.format(a='b2.embedding', b='b2.embedding')})), 6) AS cosine
+  FROM b a JOIN b b2
+    ON a.vec_id < b2.vec_id
+   AND (xor(a.bucket, b2.bucket) & (xor(a.bucket, b2.bucket) - 1)) = 0),
+edges AS (
+  SELECT CAST(id_a AS BIGINT) AS u, CAST(id_b AS BIGINT) AS v
+  FROM cand WHERE cosine >= {CLUSTER_COS}
+  UNION
+  SELECT CAST(id_b AS BIGINT), CAST(id_a AS BIGINT)
+  FROM cand WHERE cosine >= {CLUSTER_COS}),
+reach(node, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node)
+SELECT node, MIN(r) AS component FROM reach GROUP BY node
 """
 
 
@@ -3015,6 +3074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _simhash,
         "dedup_ngram_jaccard": _ngram_jaccard,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
+        "dedup_cluster_assign": _dedup_cluster_assign,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "mm_image_features": _mm_image_features,
@@ -3082,6 +3142,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_embedding_cosine": _DEDUP_EMB_SQL,
+        "dedup_cluster_assign": _DEDUP_CLUSTER_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "ann_ivf_topk": _IVF_SQL,
         "mm_image_features": _MM_IMAGE_SQL,
