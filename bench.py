@@ -94,6 +94,19 @@ def main() -> None:
     assert n_triples_fused == n_triples
     timings["kg_pipeline_fused"] = round(fused_sec, 3)
 
+    # flow-through (checkpoint='final': one commit, Spark-native task
+    # retry as the fault model) — the one-shot batch-job profile
+    with tempfile.TemporaryDirectory() as root:
+        t0 = time.time()
+        n_triples_flow = (
+            Pipeline(spark, StageCatalog(root), checkpoint="final")
+            .run(docs, f"bench-flow:{n_docs}", resume=False)
+            .count()
+        )
+        flow_sec = time.time() - t0
+    assert n_triples_flow == n_triples
+    timings["kg_pipeline_flow"] = round(flow_sec, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -109,6 +122,8 @@ def main() -> None:
                 "triples_per_sec": round(n_triples / pipe_sec, 2),
                 "docs_per_sec_fused": round(n_docs / fused_sec, 2),
                 "triples_per_sec_fused": round(n_triples / fused_sec, 2),
+                "docs_per_sec_flow": round(n_docs / flow_sec, 2),
+                "triples_per_sec_flow": round(n_triples / flow_sec, 2),
                 "cpus": cpus,
             }
         )

@@ -311,11 +311,19 @@ class Pipeline:
                   (BENCH/BASELINE.md §2): the three tail commits cost a
                   corpus-size-INDEPENDENT ~12 s — 25% of a sandbox-scale
                   run — while carrying ~MBs of per-entity aggregates.
+      "final"   — flow-through: ONLY the final triples table is
+                  committed; every intermediate stage stays a lazy
+                  DataFrame inside one Spark job graph (arguments is
+                  localCheckpoint-pinned because the tail consumes it
+                  three times). Fault tolerance is Spark's native
+                  task/stage retry — the semantics a one-shot cluster
+                  batch job runs with; durable per-stage snapshots
+                  ("all") are for job-level kill/resume. No resume.
     """
 
     def __init__(self, spark: SparkSession, catalog: StageCatalog,
                  shuffle_parts: int | None = None, checkpoint: str = "all"):
-        if checkpoint not in ("all", "kernels"):
+        if checkpoint not in ("all", "kernels", "final"):
             raise ValueError(f"unknown checkpoint mode {checkpoint!r}")
         self.spark = spark
         self.catalog = catalog
@@ -336,9 +344,40 @@ class Pipeline:
     def run(self, documents: DataFrame, input_fingerprint: str, resume: bool = True) -> DataFrame:
         fp = lambda s: f"{input_fingerprint}/{s}/v1"  # noqa: E731
         cat, spark = self.catalog, self.spark
+        n_parts = self.shuffle_parts or spark.sparkContext.defaultParallelism
+
+        if self.checkpoint == "final":
+            # one job graph, no intermediate materialization; Catalyst
+            # fuses extraction->segmentation->featurize into the kernel
+            # stages' narrow pipeline. arguments feeds triples_from,
+            # mentions_from_arguments, AND the stage-2 join — pin it
+            # once rather than recompute the kernels three times.
+            arguments = arguments_from_triggers(
+                triggers_from_sentences(
+                    featurize_sentences(
+                        sentences_stage(
+                            documents_stage(
+                                documents.repartition(
+                                    n_parts, F.xxhash64("url")
+                                )
+                            )
+                        )
+                    )
+                )
+            ).localCheckpoint()
+            linked = link_mentions(
+                mentions_from_arguments(arguments), alias_df(spark)
+            ).localCheckpoint()
+            canonical = canonicalize(linked).localCheckpoint()
+            return self._stage(
+                "triples",
+                fp("triples"),
+                lambda: triples_from(arguments, linked, canonical),
+                resume,
+                partition_by=["day"],
+            )
 
         docs = self._stage("documents", fp("documents"), lambda: documents, resume)
-        n_parts = self.shuffle_parts or spark.sparkContext.defaultParallelism
         extracted = self._stage(
             "extracted",
             fp("extracted"),

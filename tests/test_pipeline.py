@@ -158,6 +158,41 @@ def test_fused_checkpoint_mode_equivalent(spark, tmp_path):
     assert again.ran == [] and len(again.skipped) == 6
 
 
+def test_final_checkpoint_mode_equivalent(spark, tmp_path):
+    """checkpoint='final' (flow-through: one commit, Spark-native task
+    retry as the fault model): same triple KEY SET as full
+    checkpointing. Confidences may differ by float32 reduction-order
+    noise (~1e-7): batch-max padding means different Arrow batch shapes
+    pick different BLAS reduction orders — asserted tight, not exact."""
+    from deepee_spark.corpus import corpus_df
+    from deepee_spark.plans.pipeline import Pipeline
+    from deepee_spark.sources.tables import StageCatalog
+
+    docs = corpus_df(spark, 60)
+    t_full = Pipeline(spark, StageCatalog(str(tmp_path / "full2"))).run(
+        docs, "corpus:60", resume=False
+    )
+    flow = Pipeline(
+        spark, StageCatalog(str(tmp_path / "flow")), checkpoint="final"
+    )
+    t_flow = flow.run(docs, "corpus:60", resume=False)
+    assert flow.ran == ["triples"]
+    cols = ["url", "subj", "pred", "obj", "day"]
+    assert t_full.select(cols).exceptAll(t_flow.select(cols)).count() == 0
+    assert t_flow.select(cols).exceptAll(t_full.select(cols)).count() == 0
+    joined = (
+        t_full.select(*cols, F.col("confidence").alias("ca"))
+        .join(t_flow.select(*cols, F.col("confidence").alias("cb")), cols)
+    )
+    assert joined.filter(F.abs(F.col("ca") - F.col("cb")) > 1e-5).count() == 0
+    # the one committed table resumes like any snapshot
+    again = Pipeline(
+        spark, StageCatalog(str(tmp_path / "flow")), checkpoint="final"
+    )
+    again.run(docs, "corpus:60", resume=True)
+    assert again.ran == [] and again.skipped == ["triples"]
+
+
 def test_merge_accumulate_counters(spark, tmp_path):
     """A9: multi-round MERGE accumulation — each round's delta is merged
     into the counter table (sum on key match, insert on miss), one

@@ -48,10 +48,13 @@ def main() -> None:
                          "continuously), then time a second identical run "
                          "into a fresh warehouse")
     ap.add_argument("--json", action="store_true", help="print one JSON line")
-    ap.add_argument("--checkpoint", default="all", choices=["all", "kernels"],
+    ap.add_argument("--checkpoint", default="all",
+                    choices=["all", "kernels", "final"],
                     help="'all' snapshots every stage; 'kernels' fuses the "
                          "gazetteer-bounded linked/canonical tail into the "
-                         "single triples commit (resume past kernels only)")
+                         "single triples commit (resume past kernels only); "
+                         "'final' is flow-through — one commit, Spark-native "
+                         "task retry as the fault model, no stage resume")
     args = ap.parse_args()
 
     from deepee_spark.corpus import corpus_df

@@ -107,7 +107,8 @@ def main() -> None:
     ap.add_argument("--high", type=int, default=16)
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
-    ap.add_argument("--checkpoint", default="all", choices=["all", "kernels"])
+    ap.add_argument("--checkpoint", default="all",
+                    choices=["all", "kernels", "final"])
     args = ap.parse_args()
     hi_docs = args.high_docs or args.docs
 
