@@ -17,13 +17,17 @@ Each level runs tools/run_pipeline.py (the spark-submit entry) in its own
 subprocess with BLAS pinned to one thread per worker (cluster task-slot
 semantics) and --steady (one full warm run of the same job inside the JVM
 before the timed run: a production pipeline runs continuously, so driver
-plan/codegen warm-up is not part of marginal throughput). We report the
-BEST of --trials runs per level: identical runs vary up to 2x from
-host-level contention invisible to the guest (in-VM CPU calibration stays
-stable while wall times swing), so the fastest run is the closest
-estimate of uncontended capability. Results overwrite BENCH/BASELINE.md.
+plan/codegen warm-up is not part of marginal throughput). Trials run as
+back-to-back interleaved (lo, hi) PAIRS and the headline efficiency is
+the MEDIAN of per-pair ratios: identical runs vary up to 2.5x from
+host-level contention invisible to the guest (in-VM CPU calibration
+stays stable while wall times swing), and a burst moves one pair's
+ratio, not the median. Per-level best-of is also reported as the
+uncontended-capability estimate. Results overwrite BENCH/BASELINE.md.
 
     python tools/scaling_bench.py [--docs 400000] [--trials 3]
+        [--high-docs N]            # weak scaling: 4x docs on 4x cores
+        [--checkpoint all|kernels|final]
 """
 
 from __future__ import annotations
