@@ -84,22 +84,6 @@ def run_once(cores: int, docs: int, warmup: int, checkpoint: str = "all",
         )
 
 
-def run_level(cores: int, docs: int, warmup: int, trials: int, checkpoint: str = "all") -> dict:
-    runs = [run_once(cores, docs, warmup, checkpoint) for _ in range(trials)]
-    # best-of-N, not median: identical runs on this sandbox vary up to 2x
-    # from HOST-level contention invisible to the guest (CPU calibration
-    # inside the VM is stable while wall times swing), so the fastest run
-    # is the closest estimate of uncontended capability at each level.
-    best = max(runs, key=lambda r: r["docs_per_sec"])
-    best["all_docs_per_sec"] = [r["docs_per_sec"] for r in runs]
-    print(
-        f"local[{cores}]: best {best['docs_per_sec']} docs/s over {trials} "
-        f"trials {best['all_docs_per_sec']}, triples={best['triples']}",
-        flush=True,
-    )
-    return best
-
-
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=400_000)
