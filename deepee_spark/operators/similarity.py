@@ -15,6 +15,8 @@ are bit-deterministic across partitionings (and match the DuckDB oracle).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -32,26 +34,36 @@ def cosine(x, y, dim: int):
     return dot(x, y, dim) / (F.sqrt(dot(x, x, dim)) * F.sqrt(dot(y, y, dim)))
 
 
-def _hyperplane(p: int, dim: int):
-    """Deterministic pseudo-random hyperplane p as an expression."""
-    return F.transform(
-        F.sequence(F.lit(1), F.lit(dim)),
-        lambda j: ((F.lit(p) * 73856093 + j * 19349663) % F.lit(2000) - 1000).cast(
-            "double"
-        )
-        / 1000.0,
-    )
+def hyperplane_plane(p: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane p (matches the SQL twin:
+    plane[p][j] = ((p*73856093 + j*19349663) % 2000 - 1000)/1000, j=1..dim)."""
+    return [
+        ((p * 73856093 + j * 19349663) % 2000 - 1000) / 1000.0
+        for j in range(1, dim + 1)
+    ]
 
 
 def hyperplane_bucket(vec, dim: int, planes: int = 8):
-    """-> bigint LSH bucket: bit p = sign(vec . plane_p)."""
-    bucket = None
-    for p in range(planes):
-        bit = F.when(dot(vec, _hyperplane(p, dim), dim) > 0, F.lit(1 << p)).otherwise(
-            F.lit(0)
-        )
-        bucket = bit if bucket is None else bucket + bit
-    return bucket.cast("long")
+    """-> bigint LSH bucket: bit p = sign(vec . plane_p).
+
+    One float64 gemm per Arrow batch (n x dim @ dim x planes) instead of
+    `planes` interpreted Catalyst folds per row — the fold version cost
+    ~4ms/row at dim=64/planes=8, which dominated every LSH consumer."""
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.array(
+        [hyperplane_plane(p, dim) for p in range(planes)], dtype=np.float64
+    ).T  # dim x planes
+    weights = (1 << np.arange(planes)).astype(np.int64)
+
+    @pandas_udf("long")
+    def _bucket(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype="int64")
+        A = np.stack(s.to_numpy()).astype(np.float64)
+        return pd.Series(((A @ P > 0).astype(np.int64) @ weights))
+
+    return _bucket(vec)
 
 
 def brute_force_topk(
