@@ -318,7 +318,9 @@ class Pipeline:
                   three times). Fault tolerance is Spark's native
                   task/stage retry — the semantics a one-shot cluster
                   batch job runs with; durable per-stage snapshots
-                  ("all") are for job-level kill/resume. No resume.
+                  ("all") are for job-level kill/resume. Resume is
+                  all-or-nothing: a current `triples` snapshot skips
+                  the entire job; anything less recomputes everything.
     """
 
     def __init__(self, spark: SparkSession, catalog: StageCatalog,
@@ -351,28 +353,35 @@ class Pipeline:
             # fuses extraction->segmentation->featurize into the kernel
             # stages' narrow pipeline. arguments feeds triples_from,
             # mentions_from_arguments, AND the stage-2 join — pin it
-            # once rather than recompute the kernels three times.
-            arguments = arguments_from_triggers(
-                triggers_from_sentences(
-                    featurize_sentences(
-                        sentences_stage(
-                            documents_stage(
-                                documents.repartition(
-                                    n_parts, F.xxhash64("url")
+            # once rather than recompute the kernels three times. The
+            # WHOLE graph (including the eager localCheckpoint pins)
+            # lives inside the build closure so that run(resume=True)
+            # against a current triples snapshot skips all compute, not
+            # just the final write.
+            def build_triples_flow():
+                arguments = arguments_from_triggers(
+                    triggers_from_sentences(
+                        featurize_sentences(
+                            sentences_stage(
+                                documents_stage(
+                                    documents.repartition(
+                                        n_parts, F.xxhash64("url")
+                                    )
                                 )
                             )
                         )
                     )
-                )
-            ).localCheckpoint()
-            linked = link_mentions(
-                mentions_from_arguments(arguments), alias_df(spark)
-            ).localCheckpoint()
-            canonical = canonicalize(linked).localCheckpoint()
+                ).localCheckpoint()
+                linked = link_mentions(
+                    mentions_from_arguments(arguments), alias_df(spark)
+                ).localCheckpoint()
+                canonical = canonicalize(linked).localCheckpoint()
+                return triples_from(arguments, linked, canonical)
+
             return self._stage(
                 "triples",
                 fp("triples"),
-                lambda: triples_from(arguments, linked, canonical),
+                build_triples_flow,
                 resume,
                 partition_by=["day"],
             )

@@ -185,11 +185,18 @@ def test_final_checkpoint_mode_equivalent(spark, tmp_path):
         .join(t_flow.select(*cols, F.col("confidence").alias("cb")), cols)
     )
     assert joined.filter(F.abs(F.col("ca") - F.col("cb")) > 1e-5).count() == 0
-    # the one committed table resumes like any snapshot
+    # the one committed table resumes like any snapshot — and the resume
+    # must short-circuit the COMPUTE, not just the final write: hand the
+    # resume run a poisoned input whose evaluation raises, so any eager
+    # kernel recompute (e.g. the localCheckpoint pins) fails the test
+    def _boom(s):
+        raise RuntimeError("final-mode resume recomputed the pipeline")
+
+    poisoned = docs.withColumn("text", F.udf(_boom, "string")("text"))
     again = Pipeline(
         spark, StageCatalog(str(tmp_path / "flow")), checkpoint="final"
     )
-    again.run(docs, "corpus:60", resume=True)
+    again.run(poisoned, "corpus:60", resume=True)
     assert again.ran == [] and again.skipped == ["triples"]
 
 

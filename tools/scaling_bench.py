@@ -51,37 +51,39 @@ PIN_ENV = {
 
 def run_once(cores: int, docs: int, warmup: int, checkpoint: str = "all",
              retries: int = 1) -> dict:
-    with tempfile.TemporaryDirectory() as wh:
-        cmd = [
-            sys.executable,
-            os.path.join(REPO, "tools", "run_pipeline.py"),
-            "--docs", str(docs),
-            "--warehouse", wh,
-            "--master", f"local[{cores}]",
-            "--warmup-docs", str(warmup),
-            "--steady",
-            "--json",
-            "--checkpoint", checkpoint,
-        ]
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), **PIN_ENV)
-        for attempt in range(retries + 1):
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), **PIN_ENV)
+    # a transient JVM death must not kill a multi-hour campaign: retry
+    # once, with the TemporaryDirectory INSIDE the attempt loop so the
+    # retry gets a genuinely fresh warehouse (no partial snapshots
+    # lingering from the crashed attempt)
+    for attempt in range(retries + 1):
+        with tempfile.TemporaryDirectory() as wh:
+            cmd = [
+                sys.executable,
+                os.path.join(REPO, "tools", "run_pipeline.py"),
+                "--docs", str(docs),
+                "--warehouse", wh,
+                "--master", f"local[{cores}]",
+                "--warmup-docs", str(warmup),
+                "--steady",
+                "--json",
+                "--checkpoint", checkpoint,
+            ]
             out = subprocess.run(
                 cmd, capture_output=True, text=True, env=env, cwd=REPO
             )
             if out.returncode == 0:
                 line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
                 return json.loads(line)
-            # a transient JVM death must not kill a multi-hour campaign;
-            # surface the cause and retry once with a fresh warehouse
             print(
                 f"run_once(local[{cores}], {docs} docs) attempt {attempt} "
                 f"failed rc={out.returncode}; stderr tail:\n"
                 + "\n".join(out.stderr.splitlines()[-15:]),
                 flush=True,
             )
-        raise RuntimeError(
-            f"pipeline run failed {retries + 1}x at local[{cores}], {docs} docs"
-        )
+    raise RuntimeError(
+        f"pipeline run failed {retries + 1}x at local[{cores}], {docs} docs"
+    )
 
 
 def main() -> None:
