@@ -65,47 +65,50 @@ def main() -> None:
         qs[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
 
-    # KG pipeline: documents -> triples including stage checkpoints.
-    # One small warm run first (JIT/codegen/python-worker spawn): the
-    # steady-state protocol — a production pipeline runs continuously.
+    # KG pipeline: documents -> triples under all three durability
+    # profiles ("all" = per-stage snapshots, "kernels" = fused tail,
+    # "final" = flow-through). One small warm run first (JIT/codegen/
+    # python-worker spawn): the steady-state protocol — a production
+    # pipeline runs continuously.
+    #
+    # PAIRED INTERLEAVED trials (all, kernels, final) x N, report per
+    # profile the BEST trial: host-contention bursts on this box swing
+    # identical runs up to 2.5x (BENCH/BASELINE.md §1), and a burst
+    # inflates whichever single-shot run it overlaps — interleaving
+    # spreads the exposure across profiles and min() discards it
+    # (contention only ever adds time). Raw trials are also emitted so
+    # round-over-round comparisons can see the spread.
     with tempfile.TemporaryDirectory() as wroot:
         Pipeline(spark, StageCatalog(wroot)).run(
             corpus_df(spark, 2000), "bench:warm", resume=False
         ).count()
     docs = corpus_df(spark, n_docs)
-    with tempfile.TemporaryDirectory() as root:
-        cat = StageCatalog(root)
-        t0 = time.time()
-        triples = Pipeline(spark, cat).run(docs, f"bench:{n_docs}", resume=False)
-        n_triples = triples.count()
-        pipe_sec = time.time() - t0
-    timings["kg_pipeline"] = round(pipe_sec, 3)
-
-    # same job with the fused tail (checkpoint='kernels': linked/canonical
-    # held in memory, one triples commit) — the production batch profile
-    with tempfile.TemporaryDirectory() as root:
-        t0 = time.time()
-        n_triples_fused = (
-            Pipeline(spark, StageCatalog(root), checkpoint="kernels")
-            .run(docs, f"bench-fused:{n_docs}", resume=False)
-            .count()
-        )
-        fused_sec = time.time() - t0
-    assert n_triples_fused == n_triples
-    timings["kg_pipeline_fused"] = round(fused_sec, 3)
-
-    # flow-through (checkpoint='final': one commit, Spark-native task
-    # retry as the fault model) — the one-shot batch-job profile
-    with tempfile.TemporaryDirectory() as root:
-        t0 = time.time()
-        n_triples_flow = (
-            Pipeline(spark, StageCatalog(root), checkpoint="final")
-            .run(docs, f"bench-flow:{n_docs}", resume=False)
-            .count()
-        )
-        flow_sec = time.time() - t0
-    assert n_triples_flow == n_triples
-    timings["kg_pipeline_flow"] = round(flow_sec, 3)
+    profiles = [
+        ("kg_pipeline", "all"),
+        ("kg_pipeline_fused", "kernels"),
+        ("kg_pipeline_flow", "final"),
+    ]
+    n_cycles = int(os.environ.get("BENCH_PIPELINE_TRIALS", "2"))
+    trials: dict[str, list[float]] = {name: [] for name, _ in profiles}
+    n_triples = None
+    for cycle in range(n_cycles):
+        for name, mode in profiles:
+            with tempfile.TemporaryDirectory() as root:
+                t0 = time.time()
+                n_out = (
+                    Pipeline(spark, StageCatalog(root), checkpoint=mode)
+                    .run(docs, f"bench-{mode}-{cycle}:{n_docs}", resume=False)
+                    .count()
+                )
+                trials[name].append(time.time() - t0)
+            if n_triples is None:
+                n_triples = n_out
+            assert n_out == n_triples, (name, cycle, n_out, n_triples)
+    for name, _ in profiles:
+        timings[name] = round(min(trials[name]), 3)
+    pipe_sec = timings["kg_pipeline"]
+    fused_sec = timings["kg_pipeline_fused"]
+    flow_sec = timings["kg_pipeline_flow"]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -124,6 +127,9 @@ def main() -> None:
                 "triples_per_sec_fused": round(n_triples / fused_sec, 2),
                 "docs_per_sec_flow": round(n_docs / flow_sec, 2),
                 "triples_per_sec_flow": round(n_triples / flow_sec, 2),
+                "pipeline_trials": {
+                    k: [round(v, 3) for v in vs] for k, vs in trials.items()
+                },
                 "cpus": cpus,
             }
         )
