@@ -710,24 +710,17 @@ GROUP BY 1
 """
 
 
-def _qa_span_args(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M8 + the QAEE two-stage flow (J4, script_args_qa.sh): stage 1 runs
-    the M7 tagger kernel to find each sentence's first trigger; stage 2
-    builds role questions from the PREDICTED trigger ([CLS] q [SEP] s
-    [SEP], SC16), runs the span-QA kernel and the n-best start/end
-    decode, and emits the answer surface ('' = no-answer). Per doc: one
-    answerable question (ent1's role) and one unanswerable (a role no
-    sentence entity fills)."""
+def _qa_qrows(spark: SparkSession, sf_dir: str, with_maps: bool = False) -> DataFrame:
+    """Shared QAEE front half (stage 1 of the two-stage J4 flow): M7
+    tagger kernel -> per-sentence first predicted trigger -> one
+    answerable ('hit') and one unanswerable ('miss') role question per
+    doc. Output: (doc_id, event_type, trig_word, subs, kind, role);
+    with_maps additionally threads tok_to_orig + orig token arrays for
+    decoders that post-process in ORIG-token space (RCEE refinement)."""
     import pandas as pd
 
     from deepee_spark.functions.wordpiece import tokenize_column
-    from deepee_spark.kernels.bert import (
-        answer_text,
-        bert_wordpiece_vocab,
-        qa_spans,
-        question_tokens,
-        tag_triggers,
-    )
+    from deepee_spark.kernels.bert import bert_wordpiece_vocab, tag_triggers
     from deepee_spark.ontology import ID_TO_EVENT_TYPE
 
     rr_map = _bert_rr_map()
@@ -737,23 +730,33 @@ def _qa_span_args(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = d.withColumn(
         "tk", tokenize_column(F.concat_ws(" ", "sentence"), bert_wordpiece_vocab())
     )
-    stage1_in = d.select(
-        "doc_id",
-        "et1",
-        "et2",
+    in_cols = [
+        F.col("doc_id"),
+        F.col("et1"),
+        F.col("et2"),
         F.col("tk.sub_tokens").alias("subs"),
         F.col("tk.orig_to_tok").alias("o2t"),
-    )
-    schema1 = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("et1", T.StringType()),
-            T.StructField("et2", T.StringType()),
-            T.StructField("subs", T.ArrayType(T.StringType())),
-            T.StructField("trig_word", T.StringType()),
-            T.StructField("event_type", T.StringType()),
+    ]
+    fields = [
+        ("doc_id", T.LongType()),
+        ("et1", T.StringType()),
+        ("et2", T.StringType()),
+        ("subs", T.ArrayType(T.StringType())),
+        ("trig_word", T.StringType()),
+        ("event_type", T.StringType()),
+    ]
+    if with_maps:
+        in_cols += [
+            F.col("tk.tok_to_orig").alias("t2o"),
+            F.col("tk.orig_tokens").alias("orig"),
         ]
-    )
+        fields += [
+            ("t2o", T.ArrayType(T.IntegerType())),
+            ("orig", T.ArrayType(T.StringType())),
+        ]
+    stage1_in = d.select(*in_cols)
+    schema1 = T.StructType([T.StructField(n, t) for n, t in fields])
+    out_names = [n for n, _ in fields]
 
     def run1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -771,20 +774,21 @@ def _qa_span_args(spark: SparkSession, sf_dir: str) -> DataFrame:
                         break  # hits are position-ordered: first trigger
                 if pick is None:
                     continue
-                rows.append(
-                    (
-                        int(pdf["doc_id"].iat[i]),
-                        pdf["et1"].iat[i],
-                        pdf["et2"].iat[i],
-                        subs_all[i],
-                        subs_all[i][pick[0]],
-                        ID_TO_EVENT_TYPE[pick[1]],
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "et1", "et2", "subs", "trig_word", "event_type"],
-            )
+                row = [
+                    int(pdf["doc_id"].iat[i]),
+                    pdf["et1"].iat[i],
+                    pdf["et2"].iat[i],
+                    subs_all[i],
+                    subs_all[i][pick[0]],
+                    ID_TO_EVENT_TYPE[pick[1]],
+                ]
+                if with_maps:
+                    row += [
+                        [int(x) for x in pdf["t2o"].iat[i]],
+                        list(pdf["orig"].iat[i]),
+                    ]
+                rows.append(tuple(row))
+            yield pd.DataFrame(rows, columns=out_names)
 
     s1 = stage1_in.mapInPandas(run1, schema1)
     s1 = s1.withColumn(
@@ -803,11 +807,11 @@ def _qa_span_args(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ),
     )
-    qrows = s1.select(
-        "doc_id",
-        "event_type",
-        "trig_word",
-        "subs",
+    keep = ["doc_id", "event_type", "trig_word", "subs"] + (
+        ["t2o", "orig"] if with_maps else []
+    )
+    return s1.select(
+        *keep,
         F.explode(
             F.array(
                 F.struct(
@@ -818,7 +822,22 @@ def _qa_span_args(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("q"),
-    ).select("doc_id", "event_type", "trig_word", "subs", "q.kind", "q.role")
+    ).select(*keep, "q.kind", "q.role")
+
+
+def _qa_span_args(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 + the QAEE two-stage flow (J4, script_args_qa.sh): stage 1 runs
+    the M7 tagger kernel to find each sentence's first trigger; stage 2
+    builds role questions from the PREDICTED trigger ([CLS] q [SEP] s
+    [SEP], SC16), runs the span-QA kernel and the n-best start/end
+    decode, and emits the answer surface ('' = no-answer). Per doc: one
+    answerable question (ent1's role) and one unanswerable (a role no
+    sentence entity fills)."""
+    import pandas as pd
+
+    from deepee_spark.kernels.bert import answer_text, qa_spans, question_tokens
+
+    qrows = _qa_qrows(spark, sf_dir)
 
     schema2 = T.StructType(
         [
@@ -867,6 +886,234 @@ final AS (
           WHERE g3.gword = s.ent2) AS role2
   FROM sents s)
 SELECT doc_id, 'hit' AS kind, ev AS event_type, role1 AS role, ent1 AS answer
+FROM final
+UNION ALL
+SELECT doc_id, 'miss' AS kind, ev AS event_type,
+       (SELECT min(r) FROM (VALUES {", ".join("('" + r + "')" for r in sorted(ROLE_TO_ID))}) AS roles(r)
+        WHERE r != final.role1 AND r != final.role2) AS role,
+       '' AS answer
+FROM final
+"""
+
+
+def _qa_question_templates(spark, sf):
+    """QAEE's 6-per-role question-template variants (run_args_qa.py:
+    181-214: role name / normal query / description query, each with
+    and without '... in [trigger]'; [trigger] substituted at
+    instance-forming time, :111-112). Fans out trigger-lexicon x
+    role-rule x variant 0..5 and assembles the question STRING with
+    JVM-side expressions; kernels/bert.question_tokens_variant builds
+    the same strings token-wise (pytest pins the two equal)."""
+    lex = spark.createDataFrame(
+        sorted(TRIGGER_LEXICON.items()), ["word", "event_type"]
+    )
+    rr = spark.createDataFrame(
+        [(ev, et, r) for (ev, et), r in sorted(ROLE_RULE.items())],
+        ["event_type", "entity_type", "role"],
+    )
+    j = lex.join(rr, "event_type").crossJoin(
+        spark.range(6).select(F.col("id").cast("int").alias("variant"))
+    )
+    r = F.lower("role")
+    tail = F.concat(F.lit(" in [ "), F.col("word"), F.lit(" ]"))
+    normal = F.concat(F.lit("what is the "), r)
+    des = F.concat(F.lit("what is the "), r, F.lit(" of the event"))
+    question = (
+        F.when(F.col("variant") == 0, r)
+        .when(F.col("variant") == 1, F.concat(r, tail))
+        .when(F.col("variant") == 2, F.concat(normal, F.lit(" ?")))
+        .when(F.col("variant") == 3, F.concat(normal, tail, F.lit(" ?")))
+        .when(F.col("variant") == 4, F.concat(des, F.lit(" ?")))
+        .otherwise(F.concat(des, tail, F.lit(" ?")))
+    )
+    return j.select(
+        "word", "event_type", "entity_type", "role", "variant",
+        question.alias("question"),
+    )
+
+
+_QA_TEMPLATES_SQL = f"""
+SELECT word, lex_event_type AS event_type, entity_type, role, variant,
+       CASE variant
+         WHEN 0 THEN lower(role)
+         WHEN 1 THEN lower(role) || ' in [ ' || word || ' ]'
+         WHEN 2 THEN 'what is the ' || lower(role) || ' ?'
+         WHEN 3 THEN 'what is the ' || lower(role) || ' in [ ' || word || ' ] ?'
+         WHEN 4 THEN 'what is the ' || lower(role) || ' of the event ?'
+         ELSE 'what is the ' || lower(role) || ' of the event in [ ' || word || ' ] ?'
+       END AS question
+FROM {_lexicon_values()}
+JOIN {_role_rule_values()} ON lex_event_type = rr.event_type
+CROSS JOIN (VALUES (CAST(0 AS INT)), (1), (2), (3), (4), (5)) AS v(variant)
+"""
+
+
+def _qa_span_args_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The QAEE flow with per-doc TEMPLATE-VARIANT SELECTION: each doc
+    asks its questions through one of the trigger-ful template forms
+    (variant 1/3/5 keyed by doc_id — the trigger-less forms 0/2/4 carry
+    no event identity, mirroring why QAEE's '+ in [trigger]' templates
+    are the performing ones). The decoded answers are template-
+    invariant across 1/3/5; the variant column pins which form ran."""
+    import pandas as pd
+
+    from deepee_spark.kernels.bert import (
+        answer_text,
+        qa_spans,
+        question_tokens_variant,
+    )
+
+    qrows = _qa_qrows(spark, sf_dir).withColumn(
+        "variant",
+        F.element_at(
+            F.array(F.lit(1), F.lit(3), F.lit(5)),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ),
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("variant", T.IntegerType()),
+            T.StructField("answer", T.StringType()),
+        ]
+    )
+
+    def run2(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qs = [
+                question_tokens_variant(r, t, int(v))
+                for r, t, v in zip(pdf["role"], pdf["trig_word"], pdf["variant"])
+            ]
+            sents = [list(s) for s in pdf["subs"]]
+            res = qa_spans(qs, sents)
+            ans = [
+                answer_text(s, lo, hi)
+                for s, (lo, hi, _sc, _nu) in zip(sents, res)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "kind": list(pdf["kind"]),
+                    "event_type": list(pdf["event_type"]),
+                    "role": list(pdf["role"]),
+                    "variant": pdf["variant"].astype("int32"),
+                    "answer": ans,
+                }
+            )
+
+    return qrows.mapInPandas(run2, schema)
+
+
+_QA_VARIANTS_SQL = f"""
+WITH {_BERT_CONSTRUCT_SQL},
+final AS (
+  SELECT s.doc_id, s.ev, s.role1, s.ent1,
+         CAST([1, 3, 5][CAST(s.doc_id % 3 + 1 AS INT)] AS INT) AS variant,
+         (SELECT rr3.role FROM {_gaz_values_as('g3')}
+          JOIN {_role_rule_values_as('rr3')}
+            ON rr3.event_type = s.ev AND rr3.entity_type = g3.gtype
+          WHERE g3.gword = s.ent2) AS role2
+  FROM sents s)
+SELECT doc_id, 'hit' AS kind, ev AS event_type, role1 AS role, variant,
+       ent1 AS answer
+FROM final
+UNION ALL
+SELECT doc_id, 'miss' AS kind, ev AS event_type,
+       (SELECT min(r) FROM (VALUES {", ".join("('" + r + "')" for r in sorted(ROLE_TO_ID))}) AS roles(r)
+        WHERE r != final.role1 AND r != final.role2) AS role,
+       variant, '' AS answer
+FROM final
+"""
+
+
+def _qa_span_args_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RCEE entity refinement inside QA decode (RCEE/QuestionAnswering/
+    util.py:230-248): the n-best span is mapped to ORIG-token space and
+    snapped to the overlapping entity span — same-start, same-end, or
+    an endpoint strictly inside — emitting the FULL entity surface; no
+    overlapping entity -> no prediction. Entity mentions here are the
+    2-token spans (preceding token + gazetteer word), so refinement
+    visibly extends the raw single-token answer; the oracle re-derives
+    the refined surface (last base token || ' ' || ent1) relationally."""
+    import pandas as pd
+
+    from deepee_spark.kernels.bert import (
+        qa_spans,
+        question_tokens,
+        refine_span,
+    )
+    from deepee_spark.ontology import ENTITY_GAZETTEER as _GAZ
+
+    qrows = _qa_qrows(spark, sf_dir, with_maps=True)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("answer", T.StringType()),
+        ]
+    )
+
+    def run2(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qs = [
+                question_tokens(r, t)
+                for r, t in zip(pdf["role"], pdf["trig_word"])
+            ]
+            sents = [list(s) for s in pdf["subs"]]
+            res = qa_spans(qs, sents)
+            ans = []
+            for i, (lo, hi, _sc, _nu) in enumerate(res):
+                if lo < 0:
+                    ans.append("")
+                    continue
+                t2o = [int(x) for x in pdf["t2o"].iat[i]]
+                orig = list(pdf["orig"].iat[i])
+                spans = [
+                    (max(0, j - 1), j)
+                    for j, tok in enumerate(orig)
+                    if tok in _GAZ
+                ]
+                snapped = refine_span(t2o[lo], t2o[hi], spans)
+                ans.append(
+                    "" if snapped is None
+                    else " ".join(orig[snapped[0] : snapped[1] + 1])
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "kind": list(pdf["kind"]),
+                    "event_type": list(pdf["event_type"]),
+                    "role": list(pdf["role"]),
+                    "answer": ans,
+                }
+            )
+
+    return qrows.mapInPandas(run2, schema)
+
+
+_QA_REFINED_SQL = f"""
+WITH {_BERT_CONSTRUCT_SQL},
+final AS (
+  SELECT s.doc_id, s.ev, s.role1, s.ent1,
+         s.base[len(s.base)] AS prev_tok,
+         (SELECT rr3.role FROM {_gaz_values_as('g3')}
+          JOIN {_role_rule_values_as('rr3')}
+            ON rr3.event_type = s.ev AND rr3.entity_type = g3.gtype
+          WHERE g3.gword = s.ent2) AS role2
+  FROM s7 s)
+SELECT doc_id, 'hit' AS kind, ev AS event_type, role1 AS role,
+       prev_tok || ' ' || ent1 AS answer
 FROM final
 UNION ALL
 SELECT doc_id, 'miss' AS kind, ev AS event_type,
@@ -3076,6 +3323,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ee_trigger_counts_edgeaware": _ee_trigger_counts_edgeaware,
         "bert_trigger_tags": _bert_trigger_tags,
         "qa_span_args": _qa_span_args,
+        "qa_question_templates": _qa_question_templates,
+        "qa_span_args_variants": _qa_span_args_variants,
+        "qa_span_args_refined": _qa_span_args_refined,
         "m10_role_decode": _m10_role_decode,
         "bag_truncate_pad": _bag_truncate_pad,
         "text_lang_id": _lang_id,
@@ -3087,12 +3337,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_prf_counters": _a3_prf,
         "w1_pr_curve": _w1_pr_curve,
         "w3_topk_per_type": _w3_topk,
-        "w5_threshold_sweep": _w5_thresh_sweep,
         "j1_vocab_lookup": _j1_vocab_lookup,
         "j5_template_fanout": _j5_template_fanout,
         "j9_interval_join": _j9_interval,
-        "j10_eval_intersection": _j10_intersection,
-        "u2_confidence_transfer": _u2_transfer,
         "f4_negative_cap": _f4_negative_cap,
         "s4_conll_scan": _s4_conll_scan,
         "s7_embedding_scan": _s7_embedding_scan,
@@ -3119,6 +3366,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_video_frames": _mm_video_frames,
         # -- demoted past 50: twice driver-green, still locally checked --
         "q_top_orders": _q_top_orders,
+        "u2_confidence_transfer": _u2_transfer,
+        "j10_eval_intersection": _j10_intersection,
+        "w5_threshold_sweep": _w5_thresh_sweep,
         "a7_sample_weight": _a7_weight,
         "a8_max_length": _a8_maxlen,
         "w4_fold_slice": _w4_fold,
@@ -3147,6 +3397,9 @@ def oracle_sql() -> dict[str, str]:
         "ee_trigger_counts_edgeaware": _EE_TRIGGER_SQL,
         "bert_trigger_tags": _BERT_TAGS_SQL,
         "qa_span_args": _QA_SPAN_SQL,
+        "qa_question_templates": _QA_TEMPLATES_SQL,
+        "qa_span_args_variants": _QA_VARIANTS_SQL,
+        "qa_span_args_refined": _QA_REFINED_SQL,
         "m10_role_decode": _M10_SQL,
         "bag_truncate_pad": _BAG_SQL,
         "text_lang_id": _LANG_SQL,
@@ -3157,12 +3410,9 @@ def oracle_sql() -> dict[str, str]:
         "a3_prf_counters": _A3_SQL,
         "w1_pr_curve": _W1_SQL,
         "w3_topk_per_type": _W3_SQL,
-        "w5_threshold_sweep": _W5_SQL,
         "j1_vocab_lookup": _J1_SQL,
         "j5_template_fanout": _J5_SQL,
         "j9_interval_join": _J9_SQL,
-        "j10_eval_intersection": _J10_SQL,
-        "u2_confidence_transfer": _U2_SQL,
         "f4_negative_cap": _F4_SQL,
         "s4_conll_scan": _S4_SQL,
         "s7_embedding_scan": _S7_SQL,
@@ -3188,6 +3438,9 @@ def oracle_sql() -> dict[str, str]:
         "mm_audio_features": _MM_AUDIO_SQL,
         "mm_video_frames": _MM_VIDEO_SQL,
         "q_top_orders": _Q_TOP_ORDERS_SQL,
+        "u2_confidence_transfer": _U2_SQL,
+        "j10_eval_intersection": _J10_SQL,
+        "w5_threshold_sweep": _W5_SQL,
         "a7_sample_weight": _A7_SQL,
         "a8_max_length": _A8_SQL,
         "w4_fold_slice": _W4_SQL,

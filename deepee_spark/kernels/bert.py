@@ -90,7 +90,7 @@ NOISE = 1e-3
 
 PAD, UNK, CLS, SEP = "[PAD]", "[UNK]", "[CLS]", "[SEP]"
 
-TEMPLATE_WORDS = ["what", "is", "the", "of", "event", "triggered", "by"]
+TEMPLATE_WORDS = ["what", "is", "the", "of", "event", "triggered", "by", "in"]
 
 
 def question_tokens(role: str, trigger_word: str) -> list[str]:
@@ -101,6 +101,58 @@ def question_tokens(role: str, trigger_word: str) -> list[str]:
         ["what", "is", "the", role.lower(), "of", "the", "event",
          "triggered", "by", "[", trigger_word, "]", "?"]
     )
+
+
+def question_tokens_variant(
+    role: str, trigger_word: str, variant: int
+) -> list[str]:
+    """QAEE's 6-per-role question-template variants, mapped to this
+    engine's closed question vocabulary (QAEE run_args_qa.py:181-214
+    builds 6 forms per role from arg_queries.csv: the role name, the
+    normal query, the description query, each with and without
+    '... in [trigger]'; [trigger] is substituted at instance-forming
+    time, run_args_qa.py:111-112). Trigger-ful forms follow the
+    reference's derivation rule exactly: strip the trailing '?', append
+    'in [ trigger ] ?'. The default flow form (question_tokens) keeps
+    the richest 'triggered by' phrasing."""
+    r = role.lower()
+    trig_tail = ["in", "[", trigger_word, "]"]
+    if variant == 0:                       # 0: role name
+        return [r]
+    if variant == 1:                       # 1: role name + trigger
+        return [r] + trig_tail
+    if variant == 2:                       # 2: normal query
+        return ["what", "is", "the", r, "?"]
+    if variant == 3:                       # 3: normal query + trigger
+        return ["what", "is", "the", r] + trig_tail + ["?"]
+    if variant == 4:                       # 4: description query
+        return ["what", "is", "the", r, "of", "the", "event", "?"]
+    if variant == 5:                       # 5: description query + trigger
+        return (
+            ["what", "is", "the", r, "of", "the", "event"]
+            + trig_tail
+            + ["?"]
+        )
+    raise ValueError(f"template variant must be 0..5, got {variant}")
+
+
+def refine_span(
+    orig_start: int, orig_end: int, entity_spans: list[tuple[int, int]]
+) -> tuple[int, int] | None:
+    """RCEE entity refinement (RCEE/QuestionAnswering/util.py:230-248):
+    snap a predicted answer span (ORIG-token space) to the first entity
+    span it touches — same-start, same-end, or either endpoint strictly
+    inside — returning the FULL entity span; None when no entity
+    overlaps (the reference emits no prediction in that case)."""
+    for s, t in entity_spans:
+        if (
+            orig_start == s
+            or orig_end == t
+            or s < orig_start < t
+            or s < orig_end < t
+        ):
+            return (s, t)
+    return None
 
 
 @lru_cache(maxsize=1)

@@ -71,17 +71,34 @@ def _seed_from(payload: bytes) -> int:
 def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     """-> (height, width, 3) uint8.
 
-    REAL decode is not available in this container (no PIL/libjpeg);
-    the deterministic fake tiles sha256(payload) over the metadata's
+    With DETERMINISTIC_FAKE_DECODE (the default here — this container
+    ships no codec), the fake tiles sha256(payload) over the metadata's
     true pixel shape, so tests exercise real array shapes end-to-end
     AND the feature math is replicable relationally (the contract
     oracle recomputes sha256 + tiling in DuckDB — an RNG-based fake
-    would have no SQL equivalent)."""
+    would have no SQL equivalent).
+
+    With the flag off, the REAL codec path decodes via Pillow and
+    enforces the metadata shape as the contract (a decoded image that
+    disagrees with its meta is a corrupt row, not a resize request);
+    a conditional pytest proves this path wherever PIL exists."""
     if not DETERMINISTIC_FAKE_DECODE:
-        raise NotImplementedError(
-            "image codec not available in this environment; "
-            "install pillow and set DETERMINISTIC_FAKE_DECODE=False"
-        )
+        try:
+            from PIL import Image
+        except ImportError as exc:
+            raise NotImplementedError(
+                "image codec not available in this environment; "
+                "install pillow or set DETERMINISTIC_FAKE_DECODE=True"
+            ) from exc
+        import io
+
+        arr = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+        if arr.shape != (height, width, 3):
+            raise ValueError(
+                f"decoded shape {arr.shape} != metadata "
+                f"({height}, {width}, 3)"
+            )
+        return arr
     digest = hashlib.sha256(payload).digest()
     n = height * width * 3
     reps = -(-n // len(digest))

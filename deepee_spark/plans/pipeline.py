@@ -333,13 +333,18 @@ class Pipeline:
         self.checkpoint = checkpoint
         self.ran: list[str] = []
         self.skipped: list[str] = []
+        self.stage_seconds: dict[str, float] = {}
 
     def _stage(self, name: str, fingerprint: str, build, resume: bool,
                partition_by: list[str] | None = None) -> DataFrame:
         if resume and self.catalog.is_current(name, fingerprint):
             self.skipped.append(name)
         else:
+            import time as _time
+
+            t0 = _time.time()
             self.catalog.write(build(), name, fingerprint, partition_by)
+            self.stage_seconds[name] = round(_time.time() - t0, 3)
             self.ran.append(name)
         return self.catalog.read(self.spark, name)
 

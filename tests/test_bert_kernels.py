@@ -117,3 +117,96 @@ def test_nbest_length_cap():
 def test_answer_text_joins_wordpieces():
     assert answer_text(["att", "##ack", "plan"], 0, 2) == "attack plan"
     assert answer_text(["x"], -1, -1) == ""
+
+
+def test_question_template_variants_follow_qaee_derivation():
+    """The 6 forms mirror QAEE run_args_qa.py:181-214: v1/v3/v5 are
+    v0/v2/v4 with the trailing '?' stripped and 'in [ trigger ] ?'
+    appended ([trigger] substituted at instance time, :111-112)."""
+    from deepee_spark.kernels.bert import question_tokens_variant
+
+    tail = ["in", "[", "merged", "]"]
+    v = [question_tokens_variant("Place", "merged", i) for i in range(6)]
+    assert v[0] == ["place"]
+    assert v[1] == v[0] + tail
+    assert v[2] == ["what", "is", "the", "place", "?"]
+    assert v[3] == v[2][:-1] + tail + ["?"]
+    assert v[4] == ["what", "is", "the", "place", "of", "the", "event", "?"]
+    assert v[5] == v[4][:-1] + tail + ["?"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        question_tokens_variant("Place", "merged", 6)
+
+
+def test_question_template_strings_match_contract_query():
+    """' '.join(question_tokens_variant(...)) must equal the string the
+    qa_question_templates contract query assembles JVM-side (and its
+    DuckDB twin) for every (role, trigger, variant) combination."""
+    from deepee_spark.kernels.bert import question_tokens_variant
+    from deepee_spark.ontology import ROLE_RULE
+
+    def sql_form(role, word, variant):
+        r = role.lower()
+        t = f" in [ {word} ] "
+        return [
+            r,
+            f"{r} in [ {word} ]",
+            f"what is the {r} ?",
+            f"what is the {r}{t}?",
+            f"what is the {r} of the event ?",
+            f"what is the {r} of the event{t}?",
+        ][variant]
+
+    roles = sorted({r for r in ROLE_RULE.values()})
+    for role in roles:
+        for word in ["merged", "attacked"]:
+            for variant in range(6):
+                assert (
+                    " ".join(question_tokens_variant(role, word, variant))
+                    == sql_form(role, word, variant)
+                ), (role, word, variant)
+
+
+def test_qa_variant_selection_trigger_ful_forms_agree():
+    """Template-variant selection: the trigger-ful forms (1/3/5) decode
+    the same answer as the default phrasing; the trigger-less forms
+    (0/2/4) carry no event identity and abstain — the constructed-
+    kernel analogue of QAEE's '+ in [trigger]' templates performing
+    best."""
+    from deepee_spark.kernels.bert import question_tokens_variant
+
+    trig = "attacked"
+    ev = TRIGGER_LEXICON[trig]
+    r = role_for(ev, ENTITY_GAZETTEER["washington"][0])
+    sent = _pieces(
+        "alpha beta gamma delta attacked eps zeta eta theta washington iota"
+    )
+    (def_lo, def_hi, _s, _n), = qa_spans([question_tokens(r, trig)], [sent])
+    assert answer_text(sent, def_lo, def_hi) == "washington"
+    for variant in (1, 3, 5):
+        (lo, hi, _sc, _nu), = qa_spans(
+            [question_tokens_variant(r, trig, variant)], [sent]
+        )
+        assert (lo, hi) == (def_lo, def_hi), variant
+    for variant in (0, 2, 4):
+        (lo, hi, _sc, _nu), = qa_spans(
+            [question_tokens_variant(r, trig, variant)], [sent]
+        )
+        assert lo == -1, variant
+
+
+def test_refine_span_reference_semantics():
+    """RCEE util.py:230-248: snap on same-start, same-end, or an
+    endpoint strictly inside; full entity span returned; None when no
+    entity overlaps."""
+    from deepee_spark.kernels.bert import refine_span
+
+    spans = [(3, 5), (8, 9)]
+    assert refine_span(3, 3, spans) == (3, 5)   # same start
+    assert refine_span(2, 5, spans) == (3, 5)   # same end
+    assert refine_span(4, 6, spans) == (3, 5)   # start strictly inside
+    assert refine_span(1, 4, spans) == (3, 5)   # end strictly inside
+    assert refine_span(9, 9, spans) == (8, 9)   # same end, 2nd entity
+    assert refine_span(6, 7, spans) is None     # touches nothing
+    assert refine_span(0, 1, spans) is None

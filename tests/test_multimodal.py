@@ -103,3 +103,37 @@ def test_payload_pruned_for_metadata_only_query(media, tmp_path):
     assert read_schema, plan
     assert "payload" not in read_schema[0]
     assert "media_id" in read_schema[0]
+
+
+def test_real_codec_path_guard_or_roundtrip(monkeypatch):
+    """The real-codec branch (DETERMINISTIC_FAKE_DECODE=False): where
+    Pillow exists, a PNG round-trips through decode_image with the
+    metadata shape enforced; where it doesn't (this container), the
+    documented NotImplementedError guard fires."""
+    import numpy as np
+    import pytest
+
+    from deepee_spark.operators import multimodal as mm
+
+    monkeypatch.setattr(mm, "DETERMINISTIC_FAKE_DECODE", False)
+    try:
+        from PIL import Image  # noqa: F401
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    if not have_pil:
+        with pytest.raises(NotImplementedError):
+            mm.decode_image(b"\x89PNG\r\n", 4, 3)
+        return
+
+    import io
+
+    rng = np.random.default_rng(20260817)
+    pixels = rng.integers(0, 256, size=(3, 4, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(pixels, "RGB").save(buf, format="PNG")
+    decoded = mm.decode_image(buf.getvalue(), width=4, height=3)
+    assert np.array_equal(decoded, pixels)
+    with pytest.raises(ValueError):
+        mm.decode_image(buf.getvalue(), width=3, height=4)  # meta mismatch
