@@ -107,6 +107,7 @@ def main() -> None:
         "triples_per_sec": round(n_triples / wall, 2),
         "ran": pipe.ran,
         "skipped": pipe.skipped,
+        "stage_seconds": pipe.stage_seconds,
     }
     if args.json:
         print(json.dumps(out))
