@@ -301,16 +301,22 @@ class Pipeline:
     checkpoint:
       "all"     — every stage is an atomic snapshot (max resume
                   granularity; the default).
-      "kernels" — snapshot only the data-proportional stages
-                  (documents..arguments); the gazetteer-bounded tail
-                  (linked/canonical) is fused into the single `triples`
-                  commit, held in memory via localCheckpoint instead of
-                  a filesystem commit. A killed run still resumes past
-                  every kernel stage; it recomputes only the
-                  constant-size tail. Measured motivation
-                  (BENCH/BASELINE.md §2): the three tail commits cost a
-                  corpus-size-INDEPENDENT ~12 s — 25% of a sandbox-scale
-                  run — while carrying ~MBs of per-entity aggregates.
+      "kernels" — snapshot only at the boundaries that buy real resume
+                  value: `documents` (the input pin), `sentences`
+                  (extraction+segmentation+featurize fused — one narrow
+                  chain after the single url-hash shuffle), `arguments`
+                  (trigger+argument kernels fused — the expensive NumPy
+                  compute, also shuffle-free between them), and the
+                  `triples` commit with the gazetteer-bounded tail
+                  (linked/canonical) held in memory via localCheckpoint.
+                  4 commits instead of 8: a killed run still resumes
+                  past every kernel stage, but the `extracted` and
+                  `triggers` intermediates never round-trip through
+                  parquet. Measured motivation (BENCH/BASELINE.md §2-3):
+                  each commit costs a corpus-size-INDEPENDENT ~2.4 s of
+                  job latency plus a data-proportional write+read of the
+                  intermediate — the former bounds strong scaling, the
+                  latter burns shared disk bandwidth.
       "final"   — flow-through: ONLY the final triples table is
                   committed; every intermediate stage stays a lazy
                   DataFrame inside one Spark job graph (arguments is
@@ -392,6 +398,47 @@ class Pipeline:
             )
 
         docs = self._stage("documents", fp("documents"), lambda: documents, resume)
+        if self.checkpoint == "kernels":
+            # fused chains: documents->sentences and sentences->arguments
+            # are narrow after the one url-hash shuffle (sortWithinPartitions
+            # and the mention explode stay partition-local), so the extra
+            # commits in "all" mode buy resume granularity, not safety —
+            # here each chain runs as ONE job into one snapshot
+            sentences = self._stage(
+                "sentences",
+                fp("sentences"),
+                lambda: featurize_sentences(
+                    sentences_stage(
+                        documents_stage(
+                            docs.repartition(n_parts, F.xxhash64("url"))
+                        )
+                    )
+                ),
+                resume,
+            )
+            arguments = self._stage(
+                "arguments",
+                fp("arguments"),
+                lambda: arguments_from_triggers(
+                    triggers_from_sentences(sentences)
+                ),
+                resume,
+            )
+            aliases = alias_df(spark)
+
+            # fused tail: one commit instead of three; linked/canonical
+            # are dimension-scale, pinned in memory across their reuses
+            def build_triples():
+                linked = link_mentions(
+                    mentions_from_arguments(arguments), aliases
+                ).localCheckpoint()
+                canonical = canonicalize(linked).localCheckpoint()
+                return triples_from(arguments, linked, canonical)
+
+            return self._stage(
+                "triples", fp("triples"), build_triples, resume,
+                partition_by=["day"],
+            )
         extracted = self._stage(
             "extracted",
             fp("extracted"),
@@ -422,20 +469,6 @@ class Pipeline:
         # crawl-date partitioning on the final table (the days(warc_ts)
         # Iceberg transform, emulated as a parquet partition column):
         # time-range queries over the graph prune whole directories
-        if self.checkpoint == "kernels":
-            # fused tail: one commit instead of three; linked/canonical
-            # are dimension-scale, pinned in memory across their reuses
-            def build_triples():
-                linked = link_mentions(
-                    mentions_from_arguments(arguments), aliases
-                ).localCheckpoint()
-                canonical = canonicalize(linked).localCheckpoint()
-                return triples_from(arguments, linked, canonical)
-
-            return self._stage(
-                "triples", fp("triples"), build_triples, resume,
-                partition_by=["day"],
-            )
         linked = self._stage(
             "linked",
             fp("linked"),

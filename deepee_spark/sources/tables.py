@@ -130,17 +130,19 @@ class StageCatalog:
         if not snaps:
             raise FileNotFoundError(f"no snapshot for stage table {name!r}")
         path = os.path.join(self._table_dir(name), snaps[-1])
-        try:
-            return spark.read.parquet(path)
-        except Exception:
-            # empty snapshot (no data files): rebuild from the stored schema
+        # Every snapshot carries its schema in _meta.json; supplying it to
+        # the reader skips the footer-sampling inference job Spark would
+        # otherwise run per read — one fewer driver round-trip per stage
+        # (the corpus-size-constant latency BENCH/BASELINE.md §3 measures)
+        # — and it is what makes EMPTY partitioned snapshots readable at
+        # all (no data files -> nothing to infer from).
+        meta = self.latest_meta(name) or {}
+        if "schema" in meta:
             from pyspark.sql import types as T
 
-            meta = self.latest_meta(name) or {}
-            if "schema" not in meta:
-                raise
             schema = T.StructType.fromJson(json.loads(meta["schema"]))
             return spark.read.schema(schema).parquet(path)
+        return spark.read.parquet(path)
 
     def merge_accumulate(
         self,

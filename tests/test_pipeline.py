@@ -130,9 +130,13 @@ def test_triples_partitioned_by_day(spark, main_run):
 
 
 def test_fused_checkpoint_mode_equivalent(spark, tmp_path):
-    """checkpoint='kernels' fuses the linked/canonical tail into the
-    triples commit: same triples as full checkpointing, 6 commits
-    instead of 8, resume still skips every snapshotted stage."""
+    """checkpoint='kernels' fuses the narrow chains (extraction+
+    segmentation+featurize -> one `sentences` commit; trigger+argument
+    kernels -> one `arguments` commit) and the linked/canonical tail
+    into the triples commit: same triples as full checkpointing, 4
+    commits instead of 8, resume still skips every snapshotted stage —
+    and a kill after the kernel commit resumes past ALL kernel
+    compute."""
     from deepee_spark.corpus import corpus_df
     from deepee_spark.plans.pipeline import Pipeline
     from deepee_spark.sources.tables import StageCatalog
@@ -147,15 +151,20 @@ def test_fused_checkpoint_mode_equivalent(spark, tmp_path):
     cols = ["url", "subj", "pred", "obj"]
     assert t_full.select(cols).exceptAll(t_fused.select(cols)).count() == 0
     assert t_fused.select(cols).exceptAll(t_full.select(cols)).count() == 0
-    assert fused.ran == [
-        "documents", "extracted", "sentences", "triggers", "arguments",
-        "triples",
-    ]
+    assert fused.ran == ["documents", "sentences", "arguments", "triples"]
     again = Pipeline(
         spark, StageCatalog(str(tmp_path / "fused")), checkpoint="kernels"
     )
     again.run(docs, "corpus:60", resume=True)
-    assert again.ran == [] and len(again.skipped) == 6
+    assert again.ran == [] and len(again.skipped) == 4
+    # kill after the kernels, before the tail commit: only the fused
+    # tail reruns
+    cat = StageCatalog(str(tmp_path / "fused"))
+    cat.drop("triples")
+    p = Pipeline(spark, cat, checkpoint="kernels")
+    p.run(docs, "corpus:60", resume=True)
+    assert p.skipped == ["documents", "sentences", "arguments"]
+    assert p.ran == ["triples"]
 
 
 def test_final_checkpoint_mode_equivalent(spark, tmp_path):

@@ -50,11 +50,11 @@ def main() -> None:
     ap.add_argument("--json", action="store_true", help="print one JSON line")
     ap.add_argument("--checkpoint", default="all",
                     choices=["all", "kernels", "final"],
-                    help="'all' snapshots every stage; 'kernels' fuses the "
-                         "gazetteer-bounded linked/canonical tail into the "
-                         "single triples commit (resume past kernels only); "
-                         "'final' is flow-through — one commit, Spark-native "
-                         "task retry as the fault model, no stage resume")
+                    help="'all' snapshots every stage; 'kernels' commits only "
+                         "documents/sentences/arguments/triples (narrow chains "
+                         "and the gazetteer-bounded tail fused; resume past "
+                         "all kernel compute); 'final' is flow-through — one "
+                         "commit, Spark-native task retry, no stage resume")
     args = ap.parse_args()
 
     from deepee_spark.corpus import corpus_df
