@@ -138,3 +138,39 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS b_left")
         spark.sql("DROP TABLE IF EXISTS b_right")
+
+
+def test_fused_kernel_chain_single_shuffle(spark, docs_parquet):
+    """The fused documents->arguments chain (checkpoint='kernels' /
+    'final' dataflow) contains EXACTLY ONE Exchange — the explicit
+    url-hash repartition. Segmentation, featurization, length-sorting
+    (sortWithinPartitions) and both kernel mapInPandas stages must all
+    stay partition-local: a second shuffle anywhere in this chain would
+    re-move the whole corpus at 100 TB."""
+    from deepee_spark.extract import documents_stage
+    from deepee_spark.functions.featurize import featurize_sentences
+    from deepee_spark.plans.pipeline import (
+        arguments_from_triggers,
+        triggers_from_sentences,
+    )
+    from deepee_spark.segment import sentences_stage
+
+    docs = spark.read.parquet(docs_parquet)
+    out = arguments_from_triggers(
+        triggers_from_sentences(
+            featurize_sentences(
+                sentences_stage(
+                    documents_stage(
+                        docs.repartition(8, F.xxhash64("url"))
+                    )
+                )
+            )
+        )
+    )
+    plan = formatted_plan(out)
+    # formatted mode prints each node once in the tree and once in the
+    # detail section — count the numbered detail headers, one per node
+    import re
+
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, plan
