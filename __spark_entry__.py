@@ -18,6 +18,7 @@ Cross-engine determinism rules used throughout (so value-hashes match):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -3003,6 +3004,75 @@ FROM parsed WHERE n_parts = {EMB_TXT_DIM + 1}
 """
 
 
+def _s11_fixture_dir() -> str:
+    """Deterministic FrameNet-shaped JSON fixture on local disk (atomic,
+    content-stable — safe to share across concurrent runs)."""
+    import tempfile
+
+    from deepee_spark.sources.framenet import synth_framenet
+
+    d = os.path.join(tempfile.gettempdir(), "deepee_s11_framenet")
+    os.makedirs(d, exist_ok=True)
+    synth_framenet(d)
+    return d
+
+
+def _s11_framenet_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: FrameNet-style dimension ingest (RCEE/QuestionAnswering/
+    util_framenet.py:6-48). The Spark side exercises the REAL ingest
+    path — explicit-schema multiLine JSON reads of frame.json +
+    frame_examples.json, FE fan-out, and JVM-side substring slicing of
+    FE surfaces — and broadcast-joins the exploded frame-element
+    dimension for core_type (at target scale: a few thousand frames vs
+    billions of docs, so every consumer join is a broadcast). The oracle
+    embeds the same generator rows as SQL VALUES and recomputes the
+    substring math in DuckDB independently."""
+    from deepee_spark.sources.framenet import (
+        exemplar_fe_surfaces,
+        frame_elements,
+        read_exemplars,
+        read_frames,
+    )
+
+    d = _s11_fixture_dir()
+    frames = read_frames(spark, os.path.join(d, "frame.json"))
+    ex = read_exemplars(spark, os.path.join(d, "frame_examples.json"))
+    fe_dim = frame_elements(frames).select("frame", "fe_name", "core_type")
+    return (
+        exemplar_fe_surfaces(ex)
+        .join(F.broadcast(fe_dim), ["frame", "fe_name"])
+        .select(
+            "frame", "lexunit", "fe_name", "core_type",
+            "start", "end", "fe_text",
+        )
+    )
+
+
+def _s11_sql() -> str:
+    from deepee_spark.sources.framenet import framenet_data
+
+    frames, examples = framenet_data()
+    ex_rows = ", ".join(
+        f"('{e['name']}', '{e['lexunit']}', '{sp[2]}', {int(sp[0])}, "
+        f"{int(sp[1])}, '{e['text']}')"
+        for e in examples
+        for sp in e["fe"]
+    )
+    fe_rows = ", ".join(
+        f"('{f['name']}', '{fe[0]}', '{fe[1]}')"
+        for f in frames
+        for fe in f["fes"]
+    )
+    return f"""
+WITH ex(frame, lexunit, fe_name, start, "end", text) AS (VALUES {ex_rows}),
+fed(frame, fe_name, core_type) AS (VALUES {fe_rows})
+SELECT ex.frame, ex.lexunit, ex.fe_name, fed.core_type,
+       ex.start AS start, ex."end" AS "end",
+       substr(ex.text, ex.start + 1, ex."end" - ex.start) AS fe_text
+FROM ex JOIN fed ON ex.frame = fed.frame AND ex.fe_name = fed.fe_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # A6: micro-averaged F1 over non-null classes (AD-DMBERT BERT/train.py:76-77
 # sklearn f1_score(average='micro') over labels 1..33 — micro-F1 with the
@@ -3343,6 +3413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f4_negative_cap": _f4_negative_cap,
         "s4_conll_scan": _s4_conll_scan,
         "s7_embedding_scan": _s7_embedding_scan,
+        "s11_framenet_exemplars": _s11_framenet_exemplars,
         "a6_micro_f1": _a6_micro_f1,
         "sc2_iob_iobes": _sc2_iob_iobes,
         "sc3_bio_chunks": _sc3_bio_chunks,
@@ -3351,7 +3422,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_trigger_entity_pairs": _j6_trigger_entity_pairs,
         "sc13_dep_edges": _sc13_dep_edges,
         "sc9_pad_truncate": _sc9_pad,
-        "sc10_relative_positions": _sc10_relpos,
         "sc12_lexical_window": _sc12_lexwin,
         "dedup_exact": _dedup_exact,
         "dedup_minhash_signatures": _minhash_sig,
@@ -3381,6 +3451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_stats": _json_props_stats,
         "sc2b_iobes_roundtrip": _sc2b_iobes_roundtrip,
         "lsh_hyperplane_buckets": _lsh_hyperplane,
+        "sc10_relative_positions": _sc10_relpos,
     }
 
 
@@ -3416,6 +3487,7 @@ def oracle_sql() -> dict[str, str]:
         "f4_negative_cap": _F4_SQL,
         "s4_conll_scan": _S4_SQL,
         "s7_embedding_scan": _S7_SQL,
+        "s11_framenet_exemplars": _s11_sql(),
         "a6_micro_f1": _A6_SQL,
         "sc2_iob_iobes": _SC2_SQL,
         "sc3_bio_chunks": _SC3_SQL,
@@ -3424,7 +3496,6 @@ def oracle_sql() -> dict[str, str]:
         "j6_trigger_entity_pairs": _J6_SQL,
         "sc13_dep_edges": _SC13_SQL,
         "sc9_pad_truncate": _SC9_SQL,
-        "sc10_relative_positions": _SC10_SQL,
         "sc12_lexical_window": _SC12_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_signatures": _MINHASH_SQL,
@@ -3453,4 +3524,5 @@ def oracle_sql() -> dict[str, str]:
         "json_props_stats": _JSON_PROPS_SQL,
         "sc2b_iobes_roundtrip": _SC2B_SQL,
         "lsh_hyperplane_buckets": _LSH_SQL,
+        "sc10_relative_positions": _SC10_SQL,
     }

@@ -179,17 +179,21 @@ def image_features(media: DataFrame) -> DataFrame:
             if pdf.empty:
                 continue
             out = []
-            for _, row in pdf.iterrows():
-                m = row["meta"]
+            # rows have heterogeneous pixel shapes, so the decode is
+            # per-row by nature; iterate zipped columns (no iterrows
+            # Series materialization per row)
+            for mid, payload, m in zip(
+                pdf["media_id"].to_numpy(), pdf["payload"], pdf["meta"]
+            ):
                 # struct fields of nullable int columns arrive as floats
                 img = decode_image(
-                    bytes(row["payload"]), int(m["width"]), int(m["height"])
+                    bytes(payload), int(m["width"]), int(m["height"])
                 )
                 luma = img.astype(np.float64).mean(axis=2)
                 hist = np.histogram(luma, bins=8, range=(0, 256))[0]
                 out.append(
                     (
-                        int(row["media_id"]),
+                        int(mid),
                         float(img[:, :, 0].mean()),
                         float(img[:, :, 1].mean()),
                         float(img[:, :, 2].mean()),
@@ -226,15 +230,15 @@ def image_resize(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
             if pdf.empty:
                 continue
             out = []
-            for _, row in pdf.iterrows():
-                m = row["meta"]
+            for mid, payload, m in zip(
+                pdf["media_id"].to_numpy(), pdf["payload"], pdf["meta"]
+            ):
                 w_, h_ = int(m["width"]), int(m["height"])
-                img = decode_image(bytes(row["payload"]), w_, h_)
+                img = decode_image(bytes(payload), w_, h_)
                 ys = (np.arange(out_h) * h_ // out_h).astype(int)
                 xs = (np.arange(out_w) * w_ // out_w).astype(int)
                 small = img[np.ix_(ys, xs)]
-                out.append((int(row["media_id"]), out_w, out_h,
-                            small.tobytes()))
+                out.append((int(mid), out_w, out_h, small.tobytes()))
             yield pd.DataFrame(
                 out, columns=["media_id", "width", "height", "rgb"]
             )
@@ -266,12 +270,14 @@ def audio_features(media: DataFrame) -> DataFrame:
             if pdf.empty:
                 continue
             out = []
-            for _, row in pdf.iterrows():
-                x = decode_pcm16(bytes(row["payload"])).astype(np.float64)
+            for mid, payload in zip(
+                pdf["media_id"].to_numpy(), pdf["payload"]
+            ):
+                x = decode_pcm16(bytes(payload)).astype(np.float64)
                 zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
                 out.append(
                     (
-                        int(row["media_id"]),
+                        int(mid),
                         int(len(x)),
                         float(np.sqrt(np.mean(x * x))) if len(x) else 0.0,
                         float(np.abs(x).max()) if len(x) else 0.0,
@@ -306,13 +312,15 @@ def video_frame_sample(media: DataFrame, k: int = 4) -> DataFrame:
             if pdf.empty:
                 continue
             out = []
-            for _, row in pdf.iterrows():
-                dur = int(row["meta"]["duration_ms"])
-                seed = _seed_from(bytes(row["payload"]))
+            for mid, payload, m in zip(
+                pdf["media_id"].to_numpy(), pdf["payload"], pdf["meta"]
+            ):
+                dur = int(m["duration_ms"])
+                seed = _seed_from(bytes(payload))
                 for j in range(k):
                     ms = dur * j // k
                     out.append(
-                        (int(row["media_id"]), j, ms,
+                        (int(mid), j, ms,
                          (seed ^ (j * 0x9E3779B97F4A7C15)) % (1 << 62))
                     )
             yield pd.DataFrame(

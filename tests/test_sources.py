@@ -237,3 +237,54 @@ def test_k2_conll_result_sink_roundtrip(spark, tmp_path):
     assert ("He", "ran") in parsed and ("Stop",) in parsed
     assert parsed[("Stop",)][0] == ["Stop", "O", "B-ORG"]
     assert parsed[("He", "ran")][0] == ["He", "B-PER", "B-PER"]
+
+
+def test_s11_framenet_ingest_and_fanout(spark, tmp_path):
+    """S11: FrameNet-style frame/exemplar JSON ingest (RCEE
+    util_framenet.py:6-48 dump shapes) — explicit-schema reads, FE and
+    lexunit fan-outs, and JVM-side FE surface slicing that must match
+    python string slicing of the same artifact byte-for-byte."""
+    import json
+
+    from deepee_spark.sources.framenet import (
+        exemplar_fe_surfaces,
+        frame_elements,
+        lexunit_index,
+        read_exemplars,
+        read_frames,
+        synth_framenet,
+    )
+
+    fp, ep = synth_framenet(str(tmp_path))
+    frames = read_frames(spark, fp)
+    ex = read_exemplars(spark, ep)
+
+    raw_frames = json.load(open(fp))
+    raw_ex = json.load(open(ep))
+    assert frames.count() == len(raw_frames)
+    assert ex.count() == len(raw_ex)
+
+    fe = frame_elements(frames)
+    assert fe.count() == sum(len(f["fes"]) for f in raw_frames)
+    core = {r["fe_name"] for r in fe.filter(fe.core_type == "Core").collect()}
+    assert all(fn.endswith("_0") for fn in core)
+
+    lu = lexunit_index(frames)
+    rows = {(r["lexunit"], r["frame"]) for r in lu.collect()}
+    assert rows == {
+        (l, f["name"]) for f in raw_frames for l in f["lexunit"]
+    }
+    assert all(r["pos"] == "v" and "." not in r["lemma"] for r in lu.collect())
+
+    got = sorted(
+        (r["frame"], r["lexunit"], r["fe_name"], r["start"], r["end"],
+         r["fe_text"])
+        for r in exemplar_fe_surfaces(ex).collect()
+    )
+    want = sorted(
+        (e["name"], e["lexunit"], sp[2], int(sp[0]), int(sp[1]),
+         e["text"][int(sp[0]):int(sp[1])])
+        for e in raw_ex
+        for sp in e["fe"]
+    )
+    assert got == want
