@@ -1,0 +1,214 @@
+"""Property-based tests (hypothesis) for the row-local algebra.
+
+Strategy: each hypothesis example is a BATCH of random inputs loaded as
+ONE DataFrame, the Spark operator runs once over the batch, and every
+row is checked against an independent pure-python oracle. This keeps
+job count at max_examples (Spark jobs are ~1s each) while the row count
+per example carries the case diversity.
+
+Covers the invariants unit fixtures can't enumerate:
+  * IOB -> IOBES -> IOB roundtrips for EVERY valid tag sequence (SC2)
+  * bio_merge_spans / spans_to_bio are mutual inverses on valid BIO (SC3/SC18)
+  * wordpiece alignment maps are mutually consistent for arbitrary text (SC7/SC8)
+  * the two-level bucketed prefix sum equals the single global window
+    (the S4/F4 scale pattern) on arbitrary 0/1 streams
+"""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+TYPES = ["PER", "ORG", "LOC"]
+
+
+@st.composite
+def valid_iob_seq(draw):
+    """Random VALID IOB2 sequence: I-X only continues B-X/I-X."""
+    n = draw(st.integers(min_value=1, max_value=12))
+    tags, prev_type = [], None
+    for _ in range(n):
+        choices = ["O"] + [f"B-{t}" for t in TYPES]
+        if prev_type is not None:
+            choices.append(f"I-{prev_type}")
+        tag = draw(st.sampled_from(choices))
+        tags.append(tag)
+        prev_type = tag[2:] if tag != "O" else None
+    return tags
+
+
+def _py_iob_to_iobes(tags: list[str]) -> list[str]:
+    out = []
+    for i, t in enumerate(tags):
+        if t == "O":
+            out.append(t)
+            continue
+        typ = t[2:]
+        nxt = tags[i + 1] if i + 1 < len(tags) else "O"
+        cont = nxt == f"I-{typ}"
+        if t.startswith("B-"):
+            out.append(f"B-{typ}" if cont else f"S-{typ}")
+        else:
+            out.append(f"I-{typ}" if cont else f"E-{typ}")
+    return out
+
+
+def _py_spans(tags: list[str]) -> list[tuple[int, int, str]]:
+    spans, start = [], None
+    for i, t in enumerate(tags):
+        if start is not None and not (
+            t.startswith("I-") and t[2:] == tags[start][2:]
+        ):
+            spans.append((start, i, tags[start][2:]))
+            start = None
+        if t.startswith("B-"):
+            start = i
+    if start is not None:
+        spans.append((start, len(tags), tags[start][2:]))
+    return spans
+
+
+@settings(**SETTINGS)
+@given(st.lists(valid_iob_seq(), min_size=8, max_size=40))
+def test_iob_iobes_roundtrip_property(spark, seqs):
+    from deepee_spark.operators.bio import (
+        iob2_valid,
+        iob_to_iobes,
+        iobes_to_iob,
+    )
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(seqs)], ["i", "tags"]
+    )
+    out = df.select(
+        "i",
+        iob2_valid("tags").alias("valid"),
+        iob_to_iobes("tags").alias("iobes"),
+        iobes_to_iob(iob_to_iobes("tags")).alias("round"),
+    ).collect()
+    by_i = {r["i"]: r for r in out}
+    for i, s in enumerate(seqs):
+        r = by_i[i]
+        assert r["valid"], (s, "generator must only emit valid IOB2")
+        assert list(r["iobes"]) == _py_iob_to_iobes(s), s
+        assert list(r["round"]) == s, (s, list(r["iobes"]))
+
+
+@settings(**SETTINGS)
+@given(st.lists(valid_iob_seq(), min_size=8, max_size=40))
+def test_bio_span_merge_expand_inverse_property(spark, seqs):
+    from deepee_spark.operators.bio import bio_merge_spans, spans_to_bio
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(seqs)], ["i", "tags"]
+    )
+    out = df.select(
+        "i",
+        bio_merge_spans("tags").alias("spans"),
+        spans_to_bio(bio_merge_spans("tags"), F.size("tags")).alias("round"),
+    ).collect()
+    by_i = {r["i"]: r for r in out}
+    for i, s in enumerate(seqs):
+        r = by_i[i]
+        got = [(sp["start"], sp["end"], sp["etype"]) for sp in r["spans"]]
+        assert got == _py_spans(s), s
+        assert list(r["round"]) == s, s
+
+
+TEXT_ALPHABET = string.ascii_letters + string.digits + " ,.!-'é中"
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.text(alphabet=TEXT_ALPHABET, min_size=0, max_size=60),
+        min_size=8,
+        max_size=40,
+    )
+)
+def test_wordpiece_alignment_property(spark, texts):
+    """For ANY text: sub_tokens reassemble per-orig-token, and the two
+    alignment maps are mutual inverses (orig_to_tok[t2o[j]] <= j and
+    t2o[orig_to_tok[i]] == i)."""
+    from deepee_spark.functions.wordpiece import (
+        basic_tokenize,
+        default_vocab,
+        full_tokenize,
+        tokenize_column,
+    )
+
+    vocab = default_vocab()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["i", "text"]
+    )
+    rows = df.select(
+        "i", tokenize_column(F.col("text"), vocab).alias("tk")
+    ).collect()
+    by_i = {r["i"]: r["tk"] for r in rows}
+    for i, text in enumerate(texts):
+        tk = by_i[i]
+        want = full_tokenize(text, set(vocab))
+        assert list(tk["orig_tokens"]) == basic_tokenize(text)
+        assert list(tk["sub_tokens"]) == want["sub_tokens"]
+        o2t = list(tk["orig_to_tok"])
+        t2o = list(tk["tok_to_orig"])
+        assert len(t2o) == len(tk["sub_tokens"])
+        assert len(o2t) == len(tk["orig_tokens"])
+        for oi, tj in enumerate(o2t):
+            assert t2o[tj] == oi  # first-subtoken map round-trips
+        for tj, oi in enumerate(t2o):
+            assert o2t[oi] <= tj  # every subtoken maps into its token's run
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.integers(min_value=0, max_value=1), min_size=1, max_size=400),
+    st.integers(min_value=1, max_value=7),
+)
+def test_two_level_prefix_sum_property(spark, bits, bucket_size):
+    """The bucketed two-level running sum (S4/F4 scale pattern: per-bucket
+    prefix + prefix over bucket totals) must equal the global
+    single-window prefix sum for any 0/1 stream and any bucket size."""
+    from pyspark.sql import Window as W
+
+    df = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(bits)], ["line_id", "blank"]
+    ).withColumn("bucket", F.floor(F.col("line_id") / bucket_size))
+    inner = F.coalesce(
+        F.sum("blank").over(
+            W.partitionBy("bucket")
+            .orderBy("line_id")
+            .rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    totals = df.groupBy("bucket").agg(F.sum("blank").alias("bt"))
+    prefix = totals.select(
+        "bucket",
+        F.coalesce(
+            F.sum("bt").over(
+                W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("bp"),
+    )
+    got = {
+        r["line_id"]: r["ps"]
+        for r in df.withColumn("ip", inner)
+        .join(prefix, "bucket")
+        .select("line_id", (F.col("bp") + F.col("ip")).alias("ps"))
+        .collect()
+    }
+    run = 0
+    for i, b in enumerate(bits):
+        assert got[i] == run, (i, bucket_size)
+        run += b
