@@ -174,3 +174,29 @@ def test_fused_kernel_chain_single_shuffle(spark, docs_parquet):
 
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges == 1, plan
+
+
+def test_s11_frame_dimension_join_is_broadcast(spark, tmp_path_factory):
+    """The exploded frame-element dimension (a few thousand rows at full
+    FrameNet scale) must broadcast into the exemplar-surface join, never
+    shuffle the exemplar table (billions of rows at crawl scale)."""
+    from deepee_spark.sources.framenet import (
+        exemplar_fe_surfaces,
+        frame_elements,
+        read_exemplars,
+        read_frames,
+        synth_framenet,
+    )
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path_factory.mktemp("fn"))
+    fp, ep = synth_framenet(d)
+    fe_dim = frame_elements(read_frames(spark, fp)).select(
+        "frame", "fe_name", "core_type"
+    )
+    out = exemplar_fe_surfaces(read_exemplars(spark, ep)).join(
+        F.broadcast(fe_dim), ["frame", "fe_name"]
+    )
+    plan = formatted_plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
