@@ -64,7 +64,10 @@ def main() -> None:
     # runs up to 2.5x, and a burst inflates whichever single-shot run it
     # overlaps. Two full sweeps — not 2x back-to-back per query — so a
     # burst lands on one sweep, and min() discards it (contention only
-    # ever adds time). Raw trials are emitted for spread inspection.
+    # ever adds time). min() also absorbs first-execution costs (plan
+    # codegen, python-worker warm-up), making this a steady-state number
+    # — the same protocol the scaling campaigns use. Raw trials are
+    # emitted for spread inspection.
     n_q_trials = int(os.environ.get("BENCH_QUERY_TRIALS", "2"))
     q_trials: dict[str, list[float]] = {name: [] for name in headline}
     for _cycle in range(n_q_trials):
