@@ -2192,6 +2192,116 @@ SELECT doc_id, {_HASH_SQL.format(col='text')} AS fingerprint FROM documents
 """
 
 
+def _text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021 A1) over
+    the documents table: duplicate-token fraction and most-common-bigram
+    fraction, with deterministic (count desc, bigram asc) mode
+    tie-break so the DuckDB twin picks the same bigram. Distributed as
+    explode -> partial-agged count -> per-doc top-1 window."""
+    from deepee_spark.operators.textstats import repetition_features
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_features(docs)
+
+
+_REPETITION_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+base AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct, toks FROM t),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM t WHERE len(toks) >= 2),
+cnt AS (
+  SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, bigram AS top_bigram, c AS top_bigram_n
+  FROM (SELECT doc_id, bigram, c,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, bigram ASC) AS rk
+        FROM cnt) WHERE rk = 1)
+SELECT b.doc_id, b.n_tokens,
+       ROUND(1 - b.n_distinct / CAST(greatest(b.n_tokens, 1) AS DOUBLE), 6)
+         AS dup_token_frac,
+       t.top_bigram,
+       CASE WHEN b.n_tokens < 2 THEN 0.0
+            ELSE ROUND(COALESCE(t.top_bigram_n, 0)
+                       / CAST(b.n_tokens - 1 AS DOUBLE), 6) END
+         AS top_bigram_frac,
+       (ROUND(1 - b.n_distinct / CAST(greatest(b.n_tokens, 1) AS DOUBLE), 6)
+          <= 0.6
+        AND (COALESCE(t.top_bigram_n, 0) < 2
+             OR (CASE WHEN b.n_tokens < 2 THEN 0.0
+                      ELSE ROUND(COALESCE(t.top_bigram_n, 0)
+                                 / CAST(b.n_tokens - 1 AS DOUBLE), 6) END)
+               <= 0.18)) AS keep
+FROM base b LEFT JOIN top t USING (doc_id)
+"""
+
+
+def _url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + per-host crawl stats. Raw crawl-style URLs
+    are synthesized per doc (6 noise variants: mixed-case host, default
+    ports, utm/ref tracking params, fragments, trailing slash; path key
+    doc_id % 50 so canonical collisions exist); the Spark side
+    canonicalizes with the real regexp chain (operators/urls.py), while
+    the oracle derives each variant's expected canonical ANALYTICALLY —
+    a regex bug on the Spark side cannot reproduce on the SQL side."""
+    from deepee_spark.operators.urls import url_host_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 50).cast("string")
+    base = F.concat(F.lit("://"), F.col("source"), F.lit(".example.com"))
+    v = F.col("doc_id") % 6
+    raw = (
+        F.when(
+            v == 0,
+            F.concat(F.lit("https://"), F.upper("source"),
+                     F.lit(".Example.COM:443/p/"), k),
+        )
+        .when(v == 1, F.concat(F.lit("https"), base, F.lit("/p/"), k, F.lit("/")))
+        .when(
+            v == 2,
+            F.concat(F.lit("https"), base, F.lit("/p/"), k,
+                     F.lit("?utm_source=feed")),
+        )
+        .when(v == 3, F.concat(F.lit("https"), base, F.lit("/p/"), k, F.lit("#frag")))
+        .when(
+            v == 4,
+            F.concat(F.lit("https"), base, F.lit("/p/"), k,
+                     F.lit("?id=7&utm_medium=x")),
+        )
+        .otherwise(
+            F.concat(F.lit("http"), base, F.lit(":80/p/"), k,
+                     F.lit("?ref=tw&x=1"))
+        )
+    )
+    return url_host_stats(docs.select(raw.alias("url")))
+
+
+_URL_HOST_SQL = """
+WITH u AS (
+  SELECT doc_id % 6 AS v, CAST(doc_id % 50 AS VARCHAR) AS k,
+         lower(source) || '.example.com' AS host
+  FROM documents),
+canon AS (
+  SELECT host,
+         CASE v
+           WHEN 4 THEN 'https://' || host || '/p/' || k || '?id=7'
+           WHEN 5 THEN 'http://' || host || '/p/' || k || '?x=1'
+           ELSE 'https://' || host || '/p/' || k
+         END AS canonical
+  FROM u)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages,
+       COUNT(DISTINCT canonical) AS n_canonical,
+       ROUND(1 - COUNT(DISTINCT canonical) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS dup_frac
+FROM canon GROUP BY host
+"""
+
+
 _EE_TRIGGER_SQL = f"""
 WITH tok AS (
   SELECT unnest(list_slice({_TOKENS_SQL}, 1, 50)) AS token
@@ -3402,6 +3512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": _quality_score,
         "text_token_counts": _token_counts,
         "text_doc_fingerprint": _doc_fingerprint,
+        "text_repetition_filter": _text_repetition_filter,
+        "url_host_stats": _url_host_stats,
         # -- unique operator probes (kept inside the 50-entry window) --
         "a2_bag_argmax": _a2_bag_argmax,
         "a3_prf_counters": _a3_prf,
@@ -3421,8 +3533,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_embedding_alignment": _j2_embedding_alignment,
         "j6_trigger_entity_pairs": _j6_trigger_entity_pairs,
         "sc13_dep_edges": _sc13_dep_edges,
-        "sc9_pad_truncate": _sc9_pad,
-        "sc12_lexical_window": _sc12_lexwin,
         "dedup_exact": _dedup_exact,
         "dedup_minhash_signatures": _minhash_sig,
         "dedup_simhash": _simhash,
@@ -3452,6 +3562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sc2b_iobes_roundtrip": _sc2b_iobes_roundtrip,
         "lsh_hyperplane_buckets": _lsh_hyperplane,
         "sc10_relative_positions": _sc10_relpos,
+        "sc9_pad_truncate": _sc9_pad,
+        "sc12_lexical_window": _sc12_lexwin,
     }
 
 
@@ -3477,6 +3589,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_score": _QUALITY_SQL,
         "text_token_counts": _TOKEN_COUNTS_SQL,
         "text_doc_fingerprint": _FINGERPRINT_SQL,
+        "text_repetition_filter": _REPETITION_SQL,
+        "url_host_stats": _URL_HOST_SQL,
         "a2_bag_argmax": _A2_SQL,
         "a3_prf_counters": _A3_SQL,
         "w1_pr_curve": _W1_SQL,
@@ -3495,8 +3609,6 @@ def oracle_sql() -> dict[str, str]:
         "j2_embedding_alignment": _J2_SQL,
         "j6_trigger_entity_pairs": _J6_SQL,
         "sc13_dep_edges": _SC13_SQL,
-        "sc9_pad_truncate": _SC9_SQL,
-        "sc12_lexical_window": _SC12_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_signatures": _MINHASH_SQL,
         "dedup_simhash": _SIMHASH_SQL,
@@ -3525,4 +3637,6 @@ def oracle_sql() -> dict[str, str]:
         "sc2b_iobes_roundtrip": _SC2B_SQL,
         "lsh_hyperplane_buckets": _LSH_SQL,
         "sc10_relative_positions": _SC10_SQL,
+        "sc9_pad_truncate": _SC9_SQL,
+        "sc12_lexical_window": _SC12_SQL,
     }

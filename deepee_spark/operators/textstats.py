@@ -92,3 +92,97 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Rolling-hash document fingerprint (deterministic, partition-stable)."""
     return df.withColumn("fingerprint", str_hash(F.col(text_col)))
+
+
+def repetition_features(df: DataFrame, text_col: str = "text",
+                        max_dup_token_frac: float = 0.6,
+                        max_top_bigram_frac: float = 0.18) -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021, table A1:
+    'fraction of characters in most common n-gram' / duplicate-content
+    rules), adapted to single-line web text:
+
+      dup_token_frac  = 1 - n_distinct_tokens / n_tokens
+      top_bigram_frac = occurrences of the most frequent word bigram
+                        / total bigrams   (0 when the doc has <2 tokens)
+
+    and a ``keep`` flag under the given thresholds. The bigram rule only
+    fires when the top bigram actually repeats (count >= 2): with a
+    single occurrence the fraction is just 1/n_bigrams and would
+    spuriously reject every short clean document. The bigram mode is
+    computed distributively: explode bigrams -> partial-agg count ->
+    per-doc max by (count desc, bigram asc) — ties broken
+    deterministically so both engines pick the same bigram. One shuffle
+    keyed by (doc id, bigram), then one by doc id; both partial-agg
+    before exchanging, so skew rides on doc id spread, not corpus size.
+    """
+    from pyspark.sql import Window as W
+
+    toks = tokens_of(F.col(text_col))
+    base = df.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        toks.alias("toks"),
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+                F.slice("toks", 2, F.greatest(F.size("toks") - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram"),
+    )
+    counts = bigrams.groupBy("doc_id", "bigram").count()
+    top = (
+        counts.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(
+                    F.desc("count"), F.asc("bigram")
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("bigram").alias("top_bigram"),
+                F.col("count").alias("top_bigram_n"))
+    )
+    out = (
+        base.drop("toks")
+        .join(top, "doc_id", "left")
+        .withColumn(
+            "dup_token_frac",
+            F.round(
+                1 - F.col("n_distinct")
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ),
+        )
+        .withColumn(
+            "top_bigram_frac",
+            F.when(
+                F.col("n_tokens") < 2, F.lit(0.0)
+            ).otherwise(
+                F.round(
+                    F.coalesce(F.col("top_bigram_n"), F.lit(0))
+                    / (F.col("n_tokens") - 1),
+                    6,
+                )
+            ),
+        )
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "dup_token_frac",
+        "top_bigram",
+        "top_bigram_frac",
+        (
+            (F.col("dup_token_frac") <= max_dup_token_frac)
+            & (
+                (F.coalesce(F.col("top_bigram_n"), F.lit(0)) < 2)
+                | (F.col("top_bigram_frac") <= max_top_bigram_frac)
+            )
+        ).alias("keep"),
+    )

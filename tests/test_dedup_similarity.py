@@ -147,3 +147,74 @@ def test_embedding_dup_pairs_lsh_default_blocking(spark):
     }
     assert (1, 3) in pairs          # same/adjacent bucket near-dup found
     assert (1, 2) not in pairs      # Hamming-2 pair excluded by design
+
+
+def test_repetition_features_gopher_rules(spark):
+    """Gopher repetition filters: dup-token fraction and most-common
+    bigram fraction with deterministic tie-break, vs a python oracle."""
+    from collections import Counter
+
+    from deepee_spark.operators.textstats import repetition_features
+
+    docs = [
+        (0, "spam spam spam spam ham"),          # heavy repetition
+        (1, "a clean document with unique words"),
+        (2, "x y x y x y x y"),                  # dominant bigrams
+        (3, "solo"),                             # 1 token: no bigram
+        (4, "tie a tie b"),                      # bigram tie -> asc order
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in repetition_features(
+            spark.createDataFrame(docs, ["doc_id", "text"])
+        ).collect()
+    }
+    for doc_id, text in docs:
+        toks = text.split()
+        n = len(toks)
+        want_dup = round(1 - len(set(toks)) / n, 6)
+        bgs = Counter(
+            " ".join(toks[i : i + 2]) for i in range(n - 1)
+        )
+        r = out[doc_id]
+        assert r["n_tokens"] == n
+        assert r["dup_token_frac"] == want_dup, text
+        if n < 2:
+            assert r["top_bigram"] is None and r["top_bigram_frac"] == 0.0
+        else:
+            top = min(bgs.items(), key=lambda kv: (-kv[1], kv[0]))
+            assert r["top_bigram"] == top[0], text
+            assert r["top_bigram_frac"] == round(top[1] / (n - 1), 6)
+    assert not out[0]["keep"] and not out[2]["keep"]
+    # clean/short docs keep: the bigram rule only fires on count >= 2
+    assert out[1]["keep"] and out[3]["keep"] and out[4]["keep"]
+
+
+def test_canonical_url_rules(spark):
+    """Each canonicalization rule against hand-derived expectations."""
+    from deepee_spark.operators.urls import canonical_url, host_of
+
+    cases = [
+        ("HTTPS://WWW.Example.COM/Path/X", "https://www.example.com/Path/X"),
+        ("https://a.com:443/p", "https://a.com/p"),
+        ("http://a.com:80/p", "http://a.com/p"),
+        ("https://a.com:8443/p", "https://a.com:8443/p"),  # non-default kept
+        ("https://a.com/p#frag", "https://a.com/p"),
+        ("https://a.com/p?utm_source=x", "https://a.com/p"),
+        ("https://a.com/p?utm_source=x&id=2", "https://a.com/p?id=2"),
+        ("https://a.com/p?id=2&utm_medium=y&z=3", "https://a.com/p?id=2&z=3"),
+        ("https://a.com/p?ref=tw", "https://a.com/p"),
+        ("https://a.com/p/", "https://a.com/p"),
+        ("https://a.com/", "https://a.com/"),  # root slash kept
+        ("https://a.com/p/?utm_source=x#f", "https://a.com/p"),
+    ]
+    df = spark.createDataFrame(cases, ["url", "want"])
+    from pyspark.sql import functions as F
+
+    rows = df.select(
+        "url", "want", canonical_url(F.col("url")).alias("got"),
+        host_of(F.col("url")).alias("host"),
+    ).collect()
+    for r in rows:
+        assert r["got"] == r["want"], (r["url"], r["got"], r["want"])
+        assert r["host"] == r["url"].split("://")[1].split("/")[0].split(":")[0].lower()
