@@ -2241,17 +2241,11 @@ FROM base b LEFT JOIN top t USING (doc_id)
 """
 
 
-def _url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL canonicalization + per-host crawl stats. Raw crawl-style URLs
-    are synthesized per doc (6 noise variants: mixed-case host, default
-    ports, utm/ref tracking params, fragments, trailing slash; path key
-    doc_id % 50 so canonical collisions exist); the Spark side
-    canonicalizes with the real regexp chain (operators/urls.py), while
-    the oracle derives each variant's expected canonical ANALYTICALLY —
-    a regex bug on the Spark side cannot reproduce on the SQL side."""
-    from deepee_spark.operators.urls import url_host_stats
-
-    docs = _t(spark, sf_dir, "documents")
+def _synth_raw_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic crawl-style raw URLs, one per doc: 6 noise variants
+    (mixed-case host, default ports, utm/ref tracking params, fragments,
+    trailing slash) keyed by doc_id % 6, path key doc_id % 50 so
+    canonical collisions exist."""
     k = (F.col("doc_id") % 50).cast("string")
     base = F.concat(F.lit("://"), F.col("source"), F.lit(".example.com"))
     v = F.col("doc_id") % 6
@@ -2278,7 +2272,60 @@ def _url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.lit("?ref=tw&x=1"))
         )
     )
-    return url_host_stats(docs.select(raw.alias("url")))
+    return docs.select("doc_id", raw.alias("url"))
+
+
+def _url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + per-host crawl stats over synthesized raw
+    URLs (_synth_raw_urls); the Spark side canonicalizes with the real
+    regexp chain (operators/urls.py), while the oracle derives each
+    variant's expected canonical ANALYTICALLY — a regex bug on the
+    Spark side cannot reproduce on the SQL side."""
+    from deepee_spark.operators.urls import url_host_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return url_host_stats(_synth_raw_urls(docs).select("url"))
+
+
+def _url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast LEFT ANTI blocklist filter over the same synthesized
+    raw URLs: three blocked hosts (sources src3/src7/src11), surviving
+    pages counted per host AFTER canonicalization. Oracle is analytic
+    (NOT IN on lower(source)); the Spark side exercises host_of + the
+    broadcast anti-join + the canonical regexp chain."""
+    from deepee_spark.operators.urls import (canonical_url,
+                                             filter_blocked_hosts, host_of)
+
+    docs = _t(spark, sf_dir, "documents")
+    blocked = spark.createDataFrame(
+        [("src3.example.com",), ("src7.example.com",), ("src11.example.com",)],
+        ["host"],
+    )
+    kept = filter_blocked_hosts(_synth_raw_urls(docs), blocked)
+    return kept.groupBy(host_of(F.col("url")).alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.countDistinct(canonical_url(F.col("url"))).alias("n_canonical"),
+    )
+
+
+_URL_BLOCKLIST_SQL = """
+WITH u AS (
+  SELECT doc_id % 6 AS v, CAST(doc_id % 50 AS VARCHAR) AS k,
+         lower(source) || '.example.com' AS host
+  FROM documents
+  WHERE lower(source) NOT IN ('src3', 'src7', 'src11')),
+canon AS (
+  SELECT host,
+         CASE v
+           WHEN 4 THEN 'https://' || host || '/p/' || k || '?id=7'
+           WHEN 5 THEN 'http://' || host || '/p/' || k || '?x=1'
+           ELSE 'https://' || host || '/p/' || k
+         END AS canonical
+  FROM u)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages,
+       COUNT(DISTINCT canonical) AS n_canonical
+FROM canon GROUP BY host
+"""
 
 
 _URL_HOST_SQL = """
@@ -2299,6 +2346,108 @@ SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages,
        ROUND(1 - COUNT(DISTINCT canonical) / CAST(COUNT(*) AS DOUBLE), 6)
          AS dup_frac
 FROM canon GROUP BY host
+"""
+
+
+def _pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII count + redaction over deterministic synthetic text: 4
+    variants keyed by doc_id % 4 (email+ip / two emails / phone /
+    clean). The Spark side runs the real regexp detectors
+    (operators/pii.py); the oracle constructs counts and the redacted
+    string ANALYTICALLY, so a detector bug cannot reproduce in SQL."""
+    from deepee_spark.operators.pii import pii_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    a = (F.col("doc_id") % 97).cast("string")
+    b = (F.col("doc_id") % 7).cast("string")
+    ip = F.concat(F.lit("10."), (F.col("doc_id") % 200).cast("string"),
+                  F.lit(".3."), (F.col("doc_id") % 250).cast("string"))
+    ph = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    v = F.col("doc_id") % 4
+    raw = (
+        F.when(v == 0, F.concat(F.lit("Reach user"), a, F.lit("@mail"), b,
+                                F.lit(".example.org or "), ip, F.lit(" now")))
+        .when(v == 1, F.concat(F.lit("cc x"), a, F.lit("@ex.org and y"), a,
+                               F.lit("@ex.org please")))
+        .when(v == 2, F.concat(F.lit("call +1-555-"), ph, F.lit(" today")))
+        .otherwise(F.concat(F.lit("no contact info here "),
+                            F.col("doc_id").cast("string")))
+    )
+    out = pii_stats(docs.select("doc_id", raw.alias("text")))
+    return out.select("doc_id", "n_emails", "n_ipv4", "n_phones",
+                      "pii_total", "redacted")
+
+
+_PII_SQL = """
+WITH u AS (
+  SELECT doc_id, doc_id % 4 AS v FROM documents)
+SELECT doc_id,
+       CAST(CASE v WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 0 END AS BIGINT)
+         AS n_emails,
+       CAST(CASE v WHEN 0 THEN 1 ELSE 0 END AS BIGINT) AS n_ipv4,
+       CAST(CASE v WHEN 2 THEN 1 ELSE 0 END AS BIGINT) AS n_phones,
+       CAST(CASE v WHEN 0 THEN 2 WHEN 1 THEN 2 WHEN 2 THEN 1 ELSE 0 END
+            AS BIGINT) AS pii_total,
+       CASE v
+         WHEN 0 THEN 'Reach <EMAIL> or <IP> now'
+         WHEN 1 THEN 'cc <EMAIL> and <EMAIL> please'
+         WHEN 2 THEN 'call <PHONE> today'
+         ELSE 'no contact info here ' || doc_id
+       END AS redacted
+FROM u
+"""
+
+
+def _paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style corpus-wide paragraph frequency filter over
+    synthetic multi-paragraph docs: a per-source boilerplate block (on
+    doc_id % 3 == 0 only, ~8 docs/source at sf0.01), a pair paragraph
+    shared by exactly 2 docs (kept: sits ON the max_docs=2 threshold),
+    a topic digest shared by ~n/10 docs (dropped), and the unique real
+    text (kept). Oracle replays the same frequency logic on paragraph
+    strings in SQL — the Spark side additionally exercises the
+    xxhash64 narrow-key plan."""
+    from deepee_spark.operators.paragraphs import paragraph_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    boiler = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("subscribe to "), F.col("source"), F.lit(" newsletter")),
+    )
+    pair = F.concat(F.lit("pair block "),
+                    F.floor(F.col("doc_id") / 2).cast("string"))
+    topic = F.concat(F.lit("topic "), (F.col("doc_id") % 10).cast("string"),
+                     F.lit(" weekly digest"))
+    raw = F.concat_ws("\n\n", boiler, pair, topic, F.col("text"))
+    out = paragraph_dedup(
+        docs.select("doc_id", raw.alias("text")), max_docs=2
+    )
+    return out.select("doc_id", "text", "n_paras_kept")
+
+
+_PARA_SQL = """
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'subscribe to ' || source || ' newsletter' || chr(10) || chr(10)
+              ELSE '' END
+         || 'pair block ' || CAST(doc_id // 2 AS VARCHAR) || chr(10) || chr(10)
+         || 'topic ' || CAST(doc_id % 10 AS VARCHAR) || ' weekly digest'
+         || chr(10) || chr(10) || text AS raw
+  FROM documents),
+parts AS (
+  SELECT doc_id, string_split(raw, chr(10) || chr(10)) AS ps FROM src),
+paras AS (
+  SELECT doc_id, unnest(range(len(ps))) AS pos, unnest(ps) AS para FROM parts),
+np AS (SELECT * FROM paras WHERE para != ''),
+freq AS (
+  SELECT para, COUNT(DISTINCT doc_id) AS n_docs FROM np GROUP BY para)
+SELECT doc_id,
+       string_agg(p.para, chr(10) || chr(10) ORDER BY p.pos) AS text,
+       CAST(COUNT(*) AS BIGINT) AS n_paras_kept
+FROM np p JOIN freq f USING (para)
+WHERE f.n_docs <= 2
+GROUP BY doc_id
 """
 
 
@@ -3514,17 +3663,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_doc_fingerprint": _doc_fingerprint,
         "text_repetition_filter": _text_repetition_filter,
         "url_host_stats": _url_host_stats,
+        "url_blocklist_filter": _url_blocklist,
+        "pii_redact": _pii_redact,
+        "paragraph_dedup": _paragraph_dedup,
         # -- unique operator probes (kept inside the 50-entry window) --
         "a2_bag_argmax": _a2_bag_argmax,
-        "a3_prf_counters": _a3_prf,
         "w1_pr_curve": _w1_pr_curve,
         "w3_topk_per_type": _w3_topk,
         "j1_vocab_lookup": _j1_vocab_lookup,
         "j5_template_fanout": _j5_template_fanout,
-        "j9_interval_join": _j9_interval,
         "f4_negative_cap": _f4_negative_cap,
         "s4_conll_scan": _s4_conll_scan,
-        "s7_embedding_scan": _s7_embedding_scan,
         "s11_framenet_exemplars": _s11_framenet_exemplars,
         "a6_micro_f1": _a6_micro_f1,
         "sc2_iob_iobes": _sc2_iob_iobes,
@@ -3562,6 +3711,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sc2b_iobes_roundtrip": _sc2b_iobes_roundtrip,
         "lsh_hyperplane_buckets": _lsh_hyperplane,
         "sc10_relative_positions": _sc10_relpos,
+        "j9_interval_join": _j9_interval,
+        "s7_embedding_scan": _s7_embedding_scan,
+        "a3_prf_counters": _a3_prf,
         "sc9_pad_truncate": _sc9_pad,
         "sc12_lexical_window": _sc12_lexwin,
     }
@@ -3591,16 +3743,17 @@ def oracle_sql() -> dict[str, str]:
         "text_doc_fingerprint": _FINGERPRINT_SQL,
         "text_repetition_filter": _REPETITION_SQL,
         "url_host_stats": _URL_HOST_SQL,
+        "url_blocklist_filter": _URL_BLOCKLIST_SQL,
+        "pii_redact": _PII_SQL,
+        "paragraph_dedup": _PARA_SQL,
         "a2_bag_argmax": _A2_SQL,
         "a3_prf_counters": _A3_SQL,
         "w1_pr_curve": _W1_SQL,
         "w3_topk_per_type": _W3_SQL,
         "j1_vocab_lookup": _J1_SQL,
         "j5_template_fanout": _J5_SQL,
-        "j9_interval_join": _J9_SQL,
         "f4_negative_cap": _F4_SQL,
         "s4_conll_scan": _S4_SQL,
-        "s7_embedding_scan": _S7_SQL,
         "s11_framenet_exemplars": _s11_sql(),
         "a6_micro_f1": _A6_SQL,
         "sc2_iob_iobes": _SC2_SQL,
@@ -3637,6 +3790,8 @@ def oracle_sql() -> dict[str, str]:
         "sc2b_iobes_roundtrip": _SC2B_SQL,
         "lsh_hyperplane_buckets": _LSH_SQL,
         "sc10_relative_positions": _SC10_SQL,
+        "j9_interval_join": _J9_SQL,
+        "s7_embedding_scan": _S7_SQL,
         "sc9_pad_truncate": _SC9_SQL,
         "sc12_lexical_window": _SC12_SQL,
     }

@@ -54,6 +54,23 @@ def host_of(url: Column) -> Column:
     return F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))
 
 
+def filter_blocked_hosts(df: DataFrame, blocked_hosts: DataFrame,
+                         url_col: str = "url") -> DataFrame:
+    """Drop rows whose URL host appears in the blocklist dimension.
+
+    The blocklist (a `host` column) is a curated dimension orders of
+    magnitude smaller than the crawl, so it is broadcast and the crawl
+    side runs a shuffle-free LEFT ANTI BroadcastHashJoin — the plan is
+    gated in tests/test_plans.py.
+    """
+    b = F.broadcast(
+        blocked_hosts.select(F.lower("host").alias("_blocked_host")).distinct()
+    )
+    return df.join(
+        b, host_of(F.col(url_col)) == F.col("_blocked_host"), "left_anti"
+    )
+
+
 def url_host_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Per-host crawl stats over canonicalized URLs: page count, distinct
     canonical pages (the exact-URL-dedup cardinality), dup fraction.
