@@ -2451,6 +2451,60 @@ GROUP BY doc_id
 """
 
 
+def _doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus document frequency + IDF per token (min_df=2):
+    array_distinct before the explode, partial-agged count, corpus size
+    via broadcast cross join (operators/textstats.doc_frequency)."""
+    from deepee_spark.operators.textstats import doc_frequency
+
+    return doc_frequency(
+        _t(spark, sf_dir, "documents").select("text"), min_df=2
+    )
+
+
+_DOC_FREQ_SQL = f"""
+WITH t AS (
+  SELECT list_distinct({_TOKENS_SQL}) AS toks FROM documents),
+d AS (
+  SELECT unnest(toks) AS token FROM t),
+n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents),
+c AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM d GROUP BY token
+  HAVING COUNT(*) >= 2)
+SELECT token, df, ROUND(ln(n.n_docs / df), 6) AS idf FROM c, n
+"""
+
+
+def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling: en at 200 permille, zh at
+    500, everything else at the 100 default. A pure broadcast-join +
+    filter — zero shuffle on the corpus side; the bucket is the shared
+    rolling hash of the doc_id string, so the oracle replays the exact
+    decision per row (operators/sampling.stratified_sample)."""
+    from deepee_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    rates = spark.createDataFrame(
+        [("en", 200), ("zh", 500)], ["stratum", "permille"]
+    )
+    out = stratified_sample(docs, "doc_id", "lang", rates,
+                            default_permille=100)
+    return out.select("doc_id", "lang", "sample_bucket")
+
+
+_STRAT_SAMPLE_SQL = f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         ({_HASH_SQL.format(col='CAST(doc_id AS VARCHAR)')})
+           * 2654435761 % 1000000007 % 1000 AS sample_bucket
+  FROM documents)
+SELECT doc_id, lang, sample_bucket
+FROM b
+WHERE sample_bucket < (CASE lang WHEN 'en' THEN 200 WHEN 'zh' THEN 500
+                       ELSE 100 END)
+"""
+
+
 _EE_TRIGGER_SQL = f"""
 WITH tok AS (
   SELECT unnest(list_slice({_TOKENS_SQL}, 1, 50)) AS token
@@ -3666,10 +3720,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist_filter": _url_blocklist,
         "pii_redact": _pii_redact,
         "paragraph_dedup": _paragraph_dedup,
+        "text_doc_frequency": _doc_frequency,
+        "stratified_sample": _stratified_sample,
         # -- unique operator probes (kept inside the 50-entry window) --
         "a2_bag_argmax": _a2_bag_argmax,
         "w1_pr_curve": _w1_pr_curve,
-        "w3_topk_per_type": _w3_topk,
         "j1_vocab_lookup": _j1_vocab_lookup,
         "j5_template_fanout": _j5_template_fanout,
         "f4_negative_cap": _f4_negative_cap,
@@ -3677,7 +3732,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s11_framenet_exemplars": _s11_framenet_exemplars,
         "a6_micro_f1": _a6_micro_f1,
         "sc2_iob_iobes": _sc2_iob_iobes,
-        "sc3_bio_chunks": _sc3_bio_chunks,
         "a4_chunk_prf": _a4_chunk_prf,
         "j2_embedding_alignment": _j2_embedding_alignment,
         "j6_trigger_entity_pairs": _j6_trigger_entity_pairs,
@@ -3714,6 +3768,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j9_interval_join": _j9_interval,
         "s7_embedding_scan": _s7_embedding_scan,
         "a3_prf_counters": _a3_prf,
+        "w3_topk_per_type": _w3_topk,
+        "sc3_bio_chunks": _sc3_bio_chunks,
         "sc9_pad_truncate": _sc9_pad,
         "sc12_lexical_window": _sc12_lexwin,
     }
@@ -3746,10 +3802,11 @@ def oracle_sql() -> dict[str, str]:
         "url_blocklist_filter": _URL_BLOCKLIST_SQL,
         "pii_redact": _PII_SQL,
         "paragraph_dedup": _PARA_SQL,
+        "text_doc_frequency": _DOC_FREQ_SQL,
+        "stratified_sample": _STRAT_SAMPLE_SQL,
         "a2_bag_argmax": _A2_SQL,
         "a3_prf_counters": _A3_SQL,
         "w1_pr_curve": _W1_SQL,
-        "w3_topk_per_type": _W3_SQL,
         "j1_vocab_lookup": _J1_SQL,
         "j5_template_fanout": _J5_SQL,
         "f4_negative_cap": _F4_SQL,
@@ -3757,7 +3814,6 @@ def oracle_sql() -> dict[str, str]:
         "s11_framenet_exemplars": _s11_sql(),
         "a6_micro_f1": _A6_SQL,
         "sc2_iob_iobes": _SC2_SQL,
-        "sc3_bio_chunks": _SC3_SQL,
         "a4_chunk_prf": _A4_SQL,
         "j2_embedding_alignment": _J2_SQL,
         "j6_trigger_entity_pairs": _J6_SQL,
@@ -3792,6 +3848,8 @@ def oracle_sql() -> dict[str, str]:
         "sc10_relative_positions": _SC10_SQL,
         "j9_interval_join": _J9_SQL,
         "s7_embedding_scan": _S7_SQL,
+        "w3_topk_per_type": _W3_SQL,
+        "sc3_bio_chunks": _SC3_SQL,
         "sc9_pad_truncate": _SC9_SQL,
         "sc12_lexical_window": _SC12_SQL,
     }

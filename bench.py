@@ -48,6 +48,11 @@ def main() -> None:
         "ann_cosine_topk",
         "ann_ivf_topk",
         "text_quality_score",
+        "text_repetition_filter",
+        "url_host_stats",
+        "url_blocklist_filter",
+        "pii_redact",
+        "paragraph_dedup",
         "ee_trigger_counts",
         "bert_trigger_tags",
         "qa_span_args",

@@ -94,6 +94,37 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", str_hash(F.col(text_col)))
 
 
+def doc_frequency(df: DataFrame, text_col: str = "text",
+                  min_df: int = 1) -> DataFrame:
+    """Corpus-wide document frequency and IDF per token.
+
+    The foundation for TF-IDF quality scoring and data-driven stopword
+    derivation at corpus scale. Distributed shape: per-doc
+    array_distinct BEFORE the explode (so a token counts once per doc
+    and the explode volume is bounded by vocabulary-per-doc, not token
+    count), then one partial-agged count per token — frequent tokens
+    are exactly the skewed keys, and the map-side partial absorbs them.
+    N (corpus size) rides in as a broadcast single-row cross join, not
+    a driver-side collect.
+
+    Returns (token, df, idf) with idf = round(ln(n_docs / df), 6),
+    filtered to df >= min_df.
+    """
+    toks = F.array_distinct(tokens_of(F.col(text_col)))
+    per_tok = (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    n = df.select(F.count(F.lit(1)).cast("double").alias("_n"))
+    return per_tok.crossJoin(F.broadcast(n)).select(
+        "token",
+        "df",
+        F.round(F.log(F.col("_n") / F.col("df")), 6).alias("idf"),
+    )
+
+
 def repetition_features(df: DataFrame, text_col: str = "text",
                         max_dup_token_frac: float = 0.6,
                         max_top_bigram_frac: float = 0.18) -> DataFrame:

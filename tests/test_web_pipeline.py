@@ -81,3 +81,69 @@ def test_blocklist_filter_is_broadcast_anti_join(spark):
         "http://also-ok.example.com:80/c",
         "https://ok.example.com/b",
     ]
+
+
+def test_hash_sample_deterministic_and_unbiased(spark):
+    from deepee_spark.operators.sampling import hash_sample, sample_bucket
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    out1 = sorted(r["doc_id"] for r in hash_sample(df, "doc_id", 200).collect())
+    out2 = sorted(r["doc_id"] for r in hash_sample(df, "doc_id", 200).collect())
+    assert out1 == out2                      # reproducible across runs
+    assert 0.15 < len(out1) / 2000 < 0.25    # ~20% with diffusion
+    # nested rates: a 100-permille sample is a subset of the 200 one
+    out_small = {r["doc_id"] for r in hash_sample(df, "doc_id", 100).collect()}
+    assert out_small <= set(out1)
+    # a pure filter: no Exchange in the plan
+    plan = hash_sample(df, "doc_id", 200)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_stratified_sample_rates_and_default(spark):
+    from deepee_spark.operators.sampling import stratified_sample
+
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "zh")
+        .otherwise("de")
+        .alias("lang"),
+    )
+    rates = spark.createDataFrame(
+        [("en", 500), ("zh", 100)], ["stratum", "permille"]
+    )
+    out = stratified_sample(df, "doc_id", "lang", rates, default_permille=0)
+    got = {lang: 0 for lang in ("en", "zh", "de")}
+    for r in out.collect():
+        got[r["lang"]] += 1
+        assert r["sample_bucket"] < (500 if r["lang"] == "en" else 100)
+    assert 0.4 < got["en"] / 1000 < 0.6
+    assert 0.05 < got["zh"] / 1000 < 0.15
+    assert got["de"] == 0                    # default 0: unlisted dropped
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_doc_frequency_idf(spark):
+    import math
+
+    from deepee_spark.operators.textstats import doc_frequency
+
+    docs = [
+        (0, "alpha beta beta gamma"),
+        (1, "alpha gamma"),
+        (2, "alpha delta"),
+        (3, "epsilon"),
+    ]
+    out = {
+        r["token"]: r
+        for r in doc_frequency(
+            spark.createDataFrame(docs, ["doc_id", "text"]), min_df=2
+        ).collect()
+    }
+    # beta appears twice in one doc -> df counts docs, not occurrences
+    assert set(out) == {"alpha", "gamma"}
+    assert out["alpha"]["df"] == 3 and out["gamma"]["df"] == 2
+    assert out["alpha"]["idf"] == round(math.log(4 / 3), 6)
+    assert out["gamma"]["idf"] == round(math.log(4 / 2), 6)
