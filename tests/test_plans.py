@@ -200,3 +200,28 @@ def test_s11_frame_dimension_join_is_broadcast(spark, tmp_path_factory):
     plan = formatted_plan(out)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan
+
+
+def test_day_partitioned_snapshot_prunes_on_read(spark, tmp_path_factory):
+    """The triples table is written partitioned by day (pipeline
+    _stage(partition_by=['day'])); a per-day consumer query must prune
+    to that day's directory at planning time — at 10^12-doc scale the
+    difference between scanning one day and scanning the corpus."""
+    from deepee_spark.sources.tables import StageCatalog
+
+    cat = StageCatalog(str(tmp_path_factory.mktemp("prune") / "cat"))
+    df = spark.range(1000).select(
+        F.col("id").alias("n"),
+        F.date_add(F.lit("2024-01-01"), (F.col("id") % 7).cast("int"))
+        .cast("string")
+        .alias("day"),
+    )
+    cat.write(df, "triples", "fp0", partition_by=["day"])
+    rd = cat.read(spark, "triples").filter(F.col("day") == "2024-01-03")
+    plan = formatted_plan(rd)
+    assert "PartitionFilters" in plan
+    # the day predicate must appear as a partition filter on the scan,
+    # not a post-scan Filter over all partitions
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("2024-01-03" in ln for ln in pf), plan
+    assert rd.count() == 1000 // 7 + (1 if 2 < 1000 % 7 else 0)
