@@ -48,10 +48,10 @@ def _dedup_group(
     seen: set[int] = set(state.get[0]) if state.exists else set()
     out_rows: list[tuple[Any, ...]] = []
     for pdf in pdfs:
-        for _, row in pdf.iterrows():
-            fp = int(row["fingerprint"])
+        for fp, url in zip(pdf["fingerprint"].to_numpy(), pdf["url"]):
+            fp = int(fp)
             if fp not in seen:
-                out_rows.append((key[0], fp, row["url"], len(seen)))
+                out_rows.append((key[0], fp, url, len(seen)))
                 seen.add(fp)
     state.update((sorted(seen),))
     if out_rows:
@@ -66,6 +66,31 @@ def stream_dedup(docs_stream: DataFrame) -> DataFrame:
     keyed = docs_stream.select(
         F.substring(F.col("url"), 9, 12).alias("key"),  # host prefix block
         F.xxhash64("text").alias("fingerprint"),
+        "url",
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        _dedup_group,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_dedup_canonical(docs_stream: DataFrame) -> DataFrame:
+    """First crawl per CANONICAL url across micro-batches.
+
+    A recrawl that differs only in tracking params, default ports,
+    fragments, case, or a trailing slash is the same page
+    (operators/urls.canonical_url) and must not re-enter the pipeline.
+    State is keyed by host — the natural crawl distribution key — and
+    holds one 8-byte hash per distinct canonical page on that host.
+    """
+    from deepee_spark.operators.urls import canonical_url, host_of
+
+    keyed = docs_stream.select(
+        host_of(F.col("url")).alias("key"),
+        F.xxhash64(canonical_url(F.col("url"))).alias("fingerprint"),
         "url",
     )
     return keyed.groupBy("key").applyInPandasWithState(

@@ -135,3 +135,58 @@ def test_stateful_stream_dedup_across_batches(spark, tmp_path):
     assert texts_emitted == 3  # alpha once, beta once, gamma once
     gamma_row = [r for r in rows if r["url"].endswith("/4")]
     assert gamma_row and gamma_row[0]["n_seen_before"] == 2
+
+
+def test_stateful_stream_dedup_on_canonical_url(spark, tmp_path):
+    """Canonical-url dedup: a recrawl differing only in tracking params /
+    fragments / trailing slash is NOT a new page; a genuinely new path
+    is. State persists across availableNow drains."""
+    import datetime as dt
+
+    from deepee_spark.corpus import DOC_SCHEMA
+    from deepee_spark.streaming.stateful import stream_dedup_canonical
+
+    def doc(url):
+        return (url, dt.datetime(2026, 1, 1), b"<html>x</html>", "t", "en")
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            stream_dedup_canonical(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    batch1 = [doc("https://a.example.com/p/1?utm_source=feed"),
+              doc("https://a.example.com/p/2")]
+    spark.createDataFrame(batch1, DOC_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    drain()
+    assert len(spark.read.parquet(out).collect()) == 2
+
+    # recrawls of page 1 (clean + fragment + slash) and one new page
+    batch2 = [doc("https://a.example.com/p/1"),
+              doc("https://a.example.com/p/1#frag"),
+              doc("https://a.example.com/p/1/"),
+              doc("https://a.example.com/p/3")]
+    spark.createDataFrame(batch2, DOC_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    drain()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 3
+    assert sorted(r["url"].rsplit("/", 1)[-1].split("?")[0] for r in rows) \
+        == ["1", "2", "3"]
