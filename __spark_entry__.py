@@ -2475,6 +2475,29 @@ SELECT token, df, ROUND(ln(n.n_docs / df), 6) AS idf FROM c, n
 """
 
 
+def _unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM quality proxy: per-doc mean ln p(token)
+    under the corpus's own unigram distribution
+    (operators/textstats.unigram_logprob)."""
+    from deepee_spark.operators.textstats import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+_UNIGRAM_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents),
+lm AS (
+  SELECT token, COUNT(*)::DOUBLE AS cnt FROM tok GROUP BY token),
+tot AS (SELECT SUM(cnt) AS total FROM lm),
+lp AS (SELECT token, ln(cnt / total) AS logp FROM lm, tot)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(logp), 6) AS mean_logp
+FROM tok JOIN lp USING (token)
+GROUP BY doc_id
+"""
+
+
 def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language sampling: en at 200 permille, zh at
     500, everything else at the 100 default. A pure broadcast-join +
@@ -3722,6 +3745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _paragraph_dedup,
         "text_doc_frequency": _doc_frequency,
         "stratified_sample": _stratified_sample,
+        "text_unigram_logprob": _unigram_logprob,
         # -- unique operator probes (kept inside the 50-entry window) --
         "a2_bag_argmax": _a2_bag_argmax,
         "w1_pr_curve": _w1_pr_curve,
@@ -3730,7 +3754,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f4_negative_cap": _f4_negative_cap,
         "s4_conll_scan": _s4_conll_scan,
         "s11_framenet_exemplars": _s11_framenet_exemplars,
-        "a6_micro_f1": _a6_micro_f1,
         "sc2_iob_iobes": _sc2_iob_iobes,
         "a4_chunk_prf": _a4_chunk_prf,
         "j2_embedding_alignment": _j2_embedding_alignment,
@@ -3770,6 +3793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_prf_counters": _a3_prf,
         "w3_topk_per_type": _w3_topk,
         "sc3_bio_chunks": _sc3_bio_chunks,
+        "a6_micro_f1": _a6_micro_f1,
         "sc9_pad_truncate": _sc9_pad,
         "sc12_lexical_window": _sc12_lexwin,
     }
@@ -3804,6 +3828,7 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": _PARA_SQL,
         "text_doc_frequency": _DOC_FREQ_SQL,
         "stratified_sample": _STRAT_SAMPLE_SQL,
+        "text_unigram_logprob": _UNIGRAM_SQL,
         "a2_bag_argmax": _A2_SQL,
         "a3_prf_counters": _A3_SQL,
         "w1_pr_curve": _W1_SQL,

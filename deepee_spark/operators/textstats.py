@@ -125,6 +125,42 @@ def doc_frequency(df: DataFrame, text_col: str = "text",
     )
 
 
+def unigram_logprob(df: DataFrame, text_col: str = "text",
+                    doc_col: str = "doc_id") -> DataFrame:
+    """CCNet-style unigram-LM quality proxy: per-document mean token
+    log-probability under the corpus's own unigram distribution
+    (Wenzek et al. 2020 score documents with LM perplexity; the
+    unigram variant is the in-corpus, model-free form). Gibberish and
+    rare-token soup score low; fluent text built from common tokens
+    scores high.
+
+    Distributed as two passes over the exploded tokens:
+      1. the LM: token -> count, one partial-agged shuffle; total
+         token mass via a broadcast single-row cross join.
+      2. per-doc score: explode again, join token->logp (shuffle on
+         token, partial-agged on both sides; the LM side is one row
+         per vocab entry so AQE may broadcast it when the vocabulary
+         is small — either plan is correct), then mean per doc.
+
+    Returns (doc_id, n_tokens, mean_logp) with mean_logp rounded to
+    6dp; ln(count/total) per token, natural log.
+    """
+    toks = df.select(doc_col, F.explode(tokens_of(F.col(text_col))).alias("token"))
+    lm = toks.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    total = lm.agg(F.sum("cnt").alias("_total"))
+    lm = lm.crossJoin(F.broadcast(total)).select(
+        "token", F.log(F.col("cnt") / F.col("_total")).alias("logp")
+    )
+    return (
+        toks.join(lm, "token")
+        .groupBy(doc_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg("logp"), 6).alias("mean_logp"),
+        )
+    )
+
+
 def repetition_features(df: DataFrame, text_col: str = "text",
                         max_dup_token_frac: float = 0.6,
                         max_top_bigram_frac: float = 0.18) -> DataFrame:

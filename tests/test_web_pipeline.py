@@ -147,3 +147,24 @@ def test_doc_frequency_idf(spark):
     assert out["alpha"]["df"] == 3 and out["gamma"]["df"] == 2
     assert out["alpha"]["idf"] == round(math.log(4 / 3), 6)
     assert out["gamma"]["idf"] == round(math.log(4 / 2), 6)
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    from deepee_spark.operators.textstats import unigram_logprob
+
+    # corpus: 6 tokens total; p(a)=3/6, p(b)=2/6, p(c)=1/6
+    docs = [(0, "a a b"), (1, "a b c")]
+    out = {
+        r["doc_id"]: r
+        for r in unigram_logprob(
+            spark.createDataFrame(docs, ["doc_id", "text"])
+        ).collect()
+    }
+    lp = {t: math.log(n / 6) for t, n in {"a": 3, "b": 2, "c": 1}.items()}
+    assert out[0]["n_tokens"] == 3
+    assert out[0]["mean_logp"] == round((2 * lp["a"] + lp["b"]) / 3, 6)
+    assert out[1]["mean_logp"] == round((lp["a"] + lp["b"] + lp["c"]) / 3, 6)
+    # common-token doc scores higher than rare-token doc
+    assert out[0]["mean_logp"] > out[1]["mean_logp"]
