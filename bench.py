@@ -49,6 +49,7 @@ def main() -> None:
         "ann_ivf_topk",
         "text_quality_score",
         "text_repetition_filter",
+        "text_unigram_logprob",
         "url_host_stats",
         "url_blocklist_filter",
         "pii_redact",
