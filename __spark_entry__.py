@@ -2475,6 +2475,22 @@ SELECT token, df, ROUND(ln(n.n_docs / df), 6) AS idf FROM c, n
 """
 
 
+def _curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation funnel (plans/curation.py): quality screen ->
+    Gopher repetition rules -> exact dedup -> stratified sample, with
+    per-stage survivor counts. The oracle replays every stage
+    cumulatively in SQL (dedup survivors grouped on the text itself;
+    the Spark side groups on md5 — identical absent a collision)."""
+    from deepee_spark.plans.curation import curation_funnel
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        [("en", 500), ("zh", 300)], ["stratum", "permille"]
+    )
+    return curation_funnel(docs, rates, quality_min=0.9,
+                           default_permille=200)
+
+
 def _unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram-LM quality proxy: per-doc mean ln p(token)
     under the corpus's own unigram distribution
@@ -2482,6 +2498,33 @@ def _unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepee_spark.operators.textstats import unigram_logprob
 
     return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+_FUNNEL_SQL = f"""
+WITH qual AS (
+  SELECT d.* FROM documents d
+  JOIN ({_QUALITY_SQL}) q USING (doc_id)
+  WHERE q.quality >= 0.9),
+rep AS (
+  SELECT q2.* FROM qual q2
+  JOIN ({_REPETITION_SQL}) r USING (doc_id)
+  WHERE r.keep),
+ded AS (
+  SELECT r2.* FROM rep r2
+  JOIN (SELECT MIN(doc_id) AS doc_id FROM rep GROUP BY text) s
+    USING (doc_id)),
+samp AS (
+  SELECT * FROM ded
+  WHERE ({_HASH_SQL.format(col='CAST(doc_id AS VARCHAR)')})
+          * 2654435761 % 1000000007 % 1000
+        < (CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 300 ELSE 200 END))
+SELECT 'input' AS stage, CAST(0 AS BIGINT) AS stage_idx,
+       (SELECT COUNT(*) FROM documents)::BIGINT AS n_rows
+UNION ALL SELECT 'quality', 1, (SELECT COUNT(*) FROM qual)
+UNION ALL SELECT 'repetition', 2, (SELECT COUNT(*) FROM rep)
+UNION ALL SELECT 'exact_dedup', 3, (SELECT COUNT(*) FROM ded)
+UNION ALL SELECT 'sample', 4, (SELECT COUNT(*) FROM samp)
+"""
 
 
 _UNIGRAM_SQL = f"""
@@ -3746,12 +3789,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_doc_frequency": _doc_frequency,
         "stratified_sample": _stratified_sample,
         "text_unigram_logprob": _unigram_logprob,
+        "curation_funnel": _curation_funnel,
         # -- unique operator probes (kept inside the 50-entry window) --
         "a2_bag_argmax": _a2_bag_argmax,
         "w1_pr_curve": _w1_pr_curve,
         "j1_vocab_lookup": _j1_vocab_lookup,
         "j5_template_fanout": _j5_template_fanout,
-        "f4_negative_cap": _f4_negative_cap,
         "s4_conll_scan": _s4_conll_scan,
         "s11_framenet_exemplars": _s11_framenet_exemplars,
         "sc2_iob_iobes": _sc2_iob_iobes,
@@ -3794,6 +3837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_topk_per_type": _w3_topk,
         "sc3_bio_chunks": _sc3_bio_chunks,
         "a6_micro_f1": _a6_micro_f1,
+        "f4_negative_cap": _f4_negative_cap,
         "sc9_pad_truncate": _sc9_pad,
         "sc12_lexical_window": _sc12_lexwin,
     }
@@ -3829,6 +3873,7 @@ def oracle_sql() -> dict[str, str]:
         "text_doc_frequency": _DOC_FREQ_SQL,
         "stratified_sample": _STRAT_SAMPLE_SQL,
         "text_unigram_logprob": _UNIGRAM_SQL,
+        "curation_funnel": _FUNNEL_SQL,
         "a2_bag_argmax": _A2_SQL,
         "a3_prf_counters": _A3_SQL,
         "w1_pr_curve": _W1_SQL,

@@ -168,3 +168,49 @@ def test_unigram_logprob_hand_computed(spark):
     assert out[1]["mean_logp"] == round((lp["a"] + lp["b"] + lp["c"]) / 3, 6)
     # common-token doc scores higher than rare-token doc
     assert out[0]["mean_logp"] > out[1]["mean_logp"]
+
+
+def test_curation_funnel_monotone_and_consistent(spark):
+    from deepee_spark.plans.curation import curate, curation_funnel
+
+    rows = []
+    for i in range(40):
+        if i % 4 == 0:
+            text = "spam spam spam spam spam spam"        # repetition-reject
+        elif i % 4 == 1:
+            text = "the quick brown fox jumps over a lazy dog near the river"
+        elif i % 4 == 2:
+            text = "shared duplicate body of the document with many words in it"
+        else:
+            text = f"unique document {i} with the usual assortment of words in it"
+        rows.append((i, text, "en" if i % 2 == 0 else "de"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    rates = spark.createDataFrame([("en", 800)], ["stratum", "permille"])
+
+    stages = curate(docs, rates, quality_min=0.0, default_permille=500)
+    frows = curation_funnel(
+        docs, rates, quality_min=0.0, default_permille=500
+    ).collect()
+    funnel = {r["stage"]: r["n_rows"] for r in frows}
+    # stage_idx orders the funnel regardless of union output order
+    assert sorted((r["stage_idx"], r["stage"]) for r in frows) == [
+        (0, "input"), (1, "quality"), (2, "repetition"),
+        (3, "exact_dedup"), (4, "sample"),
+    ]
+    counts = [funnel[s] for s in ("input", "quality", "repetition",
+                                  "exact_dedup", "sample")]
+    assert counts[0] == 40
+    assert all(a >= b for a, b in zip(counts, counts[1:]))  # monotone
+    # funnel counts agree with the stage DataFrames
+    for name, df in stages.items():
+        assert df.count() == funnel[name], name
+    # spam docs die at repetition; the two shared-duplicate groups each
+    # collapse to one survivor at exact_dedup
+    assert funnel["repetition"] == 30
+    reps = {r["doc_id"] for r in stages["repetition"].select("doc_id").collect()}
+    assert all(i % 4 != 0 for i in reps)
+    assert funnel["exact_dedup"] == 2 + 10  # 1 fox + 1 shared + 10 unique
+    # sample is a subset of dedup survivors
+    ded = {r["doc_id"] for r in stages["exact_dedup"].select("doc_id").collect()}
+    samp = {r["doc_id"] for r in stages["sample"].select("doc_id").collect()}
+    assert samp <= ded
