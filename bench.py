@@ -54,6 +54,7 @@ def main() -> None:
         "url_blocklist_filter",
         "pii_redact",
         "paragraph_dedup",
+        "curation_funnel",
         "ee_trigger_counts",
         "bert_trigger_tags",
         "qa_span_args",

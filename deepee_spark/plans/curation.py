@@ -74,10 +74,14 @@ def curation_funnel(docs: DataFrame, rates: DataFrame,
                     quality_min: float = 0.9,
                     default_permille: int = 200) -> DataFrame:
     """(stage, stage_idx, n_rows) audit counts for the whole funnel,
-    one row per stage. The counts are computed as a union of
-    aggregates, so Spark runs the funnel once per stage from the same
-    cached logical subtrees under AQE reuse rather than a driver loop
-    of .count() actions."""
+    one row per stage, as a union of aggregates (one job, no driver
+    loop of .count() actions). Catalyst does NOT share the common
+    prefix between union branches, so stage K's subtree re-runs for
+    every later branch — fine for this audit query at bench scale, but
+    a production 10^12-doc run gets these counts for free instead:
+    each curate() stage is committed through StageCatalog.write, whose
+    Observation counters land the per-stage row counts in
+    pipeline_runs.jsonl as a side effect of the write."""
     stages = curate(docs, rates, quality_min, default_permille)
     counts = [
         df.agg(
