@@ -212,3 +212,71 @@ def test_two_level_prefix_sum_property(spark, bits, bucket_size):
     for i, b in enumerate(bits):
         assert got[i] == run, (i, bucket_size)
         run += b
+
+
+@st.composite
+def messy_url(draw):
+    """Random URL assembled from canonicalization-relevant noise parts."""
+    scheme = draw(st.sampled_from(["http", "https", "HTTP", "HttPs"]))
+    host = draw(
+        st.text(alphabet=string.ascii_letters + string.digits + "-.",
+                min_size=1, max_size=12).filter(
+            lambda h: h.strip(".-") == h and h != "")
+    )
+    port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+    segs = draw(st.lists(
+        st.text(alphabet=string.ascii_letters + string.digits + "_%-",
+                min_size=1, max_size=6),
+        max_size=3))
+    path = "".join("/" + s for s in segs)
+    slash = draw(st.sampled_from(["", "/"])) if path else ""
+    params = draw(st.lists(st.sampled_from(
+        ["id=1", "q=x", "utm_source=a", "utm_medium=b", "fbclid=z",
+         "ref=tw", "page=2"]), max_size=3))
+    query = ("?" + "&".join(params)) if params else ""
+    frag = draw(st.sampled_from(["", "#top", "#a/b?c"]))
+    return f"{scheme}://{host}{port}{path}{slash}{query}{frag}"
+
+
+@settings(**SETTINGS)
+@given(st.lists(messy_url(), min_size=5, max_size=60))
+def test_canonical_url_idempotent_property(spark, urls):
+    """canonical(canonical(u)) == canonical(u) for arbitrary messy URLs
+    — the invariant that catches rule-interaction bugs (a pass that
+    re-exposes noise another pass already handled), and host_of is
+    invariant under canonicalization."""
+    from deepee_spark.operators.urls import canonical_url, host_of
+
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    rows = df.select(
+        "url",
+        canonical_url(F.col("url")).alias("c1"),
+        canonical_url(canonical_url(F.col("url"))).alias("c2"),
+        host_of(F.col("url")).alias("h0"),
+        host_of(canonical_url(F.col("url"))).alias("h1"),
+    ).collect()
+    for r in rows:
+        assert r["c1"] == r["c2"], (r["url"], r["c1"], r["c2"])
+        assert r["h0"] == r["h1"], r["url"]
+        # canonicalization never reintroduces noise it strips
+        assert "#" not in r["c1"]
+        assert "utm_" not in r["c1"] and "fbclid" not in r["c1"]
+        assert not r["c1"].endswith("?")
+
+
+@settings(**SETTINGS)
+@given(st.lists(
+    st.text(alphabet=string.printable, max_size=80), min_size=5,
+    max_size=60))
+def test_pii_redaction_idempotent_property(spark, texts):
+    """Redacting already-redacted text is the identity (placeholder
+    tokens contain nothing the detectors match), for arbitrary text."""
+    from deepee_spark.operators.pii import redact
+
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    rows = df.select(
+        redact(F.col("text")).alias("r1"),
+        redact(redact(F.col("text"))).alias("r2"),
+    ).collect()
+    for r in rows:
+        assert r["r1"] == r["r2"]
