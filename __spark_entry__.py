@@ -2475,6 +2475,64 @@ SELECT token, df, ROUND(ln(n.n_docs / df), 6) AS idf FROM c, n
 """
 
 
+def _a10_loss_reductions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 loss reductions: stable softmax cross-entropy per row, then
+    mean/sum — logits synthesized deterministically from doc_id so the
+    oracle replays the exact arithmetic (operators/metrics.
+    loss_reductions; reference train loops reduce CE the same way)."""
+    from deepee_spark.operators.metrics import loss_reductions
+
+    d = F.col("doc_id")
+    scored = _t(spark, sf_dir, "documents").select(
+        F.array(
+            (d * 7 % 11) / 10.0,
+            (d * 13 % 17) / 10.0,
+            (d * 3 % 23) / 100.0,
+        ).alias("logits"),
+        (d % 3).alias("label"),
+    )
+    return loss_reductions(scored)
+
+
+_A10_SQL = """
+WITH l AS (
+  SELECT doc_id % 3 AS label,
+         [((doc_id*7)%11)/10.0, ((doc_id*13)%17)/10.0,
+          ((doc_id*3)%23)/100.0] AS lg
+  FROM documents),
+m AS (SELECT label, lg, greatest(lg[1], lg[2], lg[3]) AS mx FROM l),
+ce AS (
+  SELECT ln(exp(lg[1]-mx) + exp(lg[2]-mx) + exp(lg[3]-mx)) + mx
+         - lg[CAST(label AS INT) + 1] AS c
+  FROM m)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_examples,
+       ROUND(AVG(c), 6) AS mean_loss, ROUND(SUM(c), 6) AS sum_loss
+FROM ce
+"""
+
+
+def _w6_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 epoch shuffle: deterministic pseudo-random epoch position +
+    shard per doc, keyed by (doc_id, seed) through the diffused rolling
+    hash — the scalable shuffled-shards form (no global sort); write
+    path is repartition(shard) + sortWithinPartitions(epoch_pos)
+    (operators/shuffle.epoch_shuffle)."""
+    from deepee_spark.operators.shuffle import epoch_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle(docs, "doc_id", seed=7, n_shards=8)
+
+
+_W6_SQL = f"""
+SELECT doc_id,
+       ({_HASH_SQL.format(col="CAST(doc_id AS VARCHAR) || ':7'")})
+         * 2654435761 % 1000000007 AS epoch_pos,
+       ({_HASH_SQL.format(col="CAST(doc_id AS VARCHAR) || ':7'")})
+         * 2654435761 % 1000000007 % 8 AS shard
+FROM documents
+"""
+
+
 def _curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation funnel (plans/curation.py): quality screen ->
     Gopher repetition rules -> exact dedup -> stratified sample, with
@@ -3790,14 +3848,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _stratified_sample,
         "text_unigram_logprob": _unigram_logprob,
         "curation_funnel": _curation_funnel,
+        "a10_loss_reductions": _a10_loss_reductions,
+        "w6_epoch_shuffle": _w6_epoch_shuffle,
         # -- unique operator probes (kept inside the 50-entry window) --
         "a2_bag_argmax": _a2_bag_argmax,
         "w1_pr_curve": _w1_pr_curve,
         "j1_vocab_lookup": _j1_vocab_lookup,
         "j5_template_fanout": _j5_template_fanout,
-        "s4_conll_scan": _s4_conll_scan,
         "s11_framenet_exemplars": _s11_framenet_exemplars,
-        "sc2_iob_iobes": _sc2_iob_iobes,
         "a4_chunk_prf": _a4_chunk_prf,
         "j2_embedding_alignment": _j2_embedding_alignment,
         "j6_trigger_entity_pairs": _j6_trigger_entity_pairs,
@@ -3838,6 +3896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sc3_bio_chunks": _sc3_bio_chunks,
         "a6_micro_f1": _a6_micro_f1,
         "f4_negative_cap": _f4_negative_cap,
+        "sc2_iob_iobes": _sc2_iob_iobes,
+        "s4_conll_scan": _s4_conll_scan,
         "sc9_pad_truncate": _sc9_pad,
         "sc12_lexical_window": _sc12_lexwin,
     }
@@ -3874,16 +3934,16 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _STRAT_SAMPLE_SQL,
         "text_unigram_logprob": _UNIGRAM_SQL,
         "curation_funnel": _FUNNEL_SQL,
+        "a10_loss_reductions": _A10_SQL,
+        "w6_epoch_shuffle": _W6_SQL,
         "a2_bag_argmax": _A2_SQL,
         "a3_prf_counters": _A3_SQL,
         "w1_pr_curve": _W1_SQL,
         "j1_vocab_lookup": _J1_SQL,
         "j5_template_fanout": _J5_SQL,
         "f4_negative_cap": _F4_SQL,
-        "s4_conll_scan": _S4_SQL,
         "s11_framenet_exemplars": _s11_sql(),
         "a6_micro_f1": _A6_SQL,
-        "sc2_iob_iobes": _SC2_SQL,
         "a4_chunk_prf": _A4_SQL,
         "j2_embedding_alignment": _J2_SQL,
         "j6_trigger_entity_pairs": _J6_SQL,
@@ -3920,6 +3980,8 @@ def oracle_sql() -> dict[str, str]:
         "s7_embedding_scan": _S7_SQL,
         "w3_topk_per_type": _W3_SQL,
         "sc3_bio_chunks": _SC3_SQL,
+        "sc2_iob_iobes": _SC2_SQL,
+        "s4_conll_scan": _S4_SQL,
         "sc9_pad_truncate": _SC9_SQL,
         "sc12_lexical_window": _SC12_SQL,
     }

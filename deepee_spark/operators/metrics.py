@@ -125,3 +125,37 @@ def pr_curve(
             F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0)), 6
         ).alias("f1"),
     )
+
+
+def loss_reductions(df: DataFrame, logits_col: str = "logits",
+                    label_col: str = "label") -> DataFrame:
+    """A10: cross-entropy loss reductions over scored rows.
+
+    The reference's training loops reduce a per-example CE loss to a
+    batch mean/sum (e.g. MOGANED train, DMCNN train); inference-side,
+    the same reduction over a scored corpus is the model-quality
+    number a pipeline monitors per run. Per row:
+
+        ce = logsumexp(logits) - logits[label]
+
+    computed with the max-shift for stability, entirely in Catalyst
+    expressions (one pass, no UDF), then reduced to
+    (n_examples, mean_loss, sum_loss) — a single partial-agged
+    aggregate, so the reduction scales like any count.
+    """
+    lg = F.col(logits_col)
+    mx = F.array_max(lg)
+    sumexp = F.aggregate(
+        F.transform(lg, lambda x: F.exp(x - mx)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    ce = F.log(sumexp) + mx - F.element_at(
+        lg, F.col(label_col).cast("int") + 1
+    )
+    per_row = df.select(ce.alias("_ce"))
+    return per_row.agg(
+        F.count(F.lit(1)).cast("long").alias("n_examples"),
+        F.round(F.avg("_ce"), 6).alias("mean_loss"),
+        F.round(F.sum("_ce"), 6).alias("sum_loss"),
+    )

@@ -214,3 +214,60 @@ def test_curation_funnel_monotone_and_consistent(spark):
     ded = {r["doc_id"] for r in stages["exact_dedup"].select("doc_id").collect()}
     samp = {r["doc_id"] for r in stages["sample"].select("doc_id").collect()}
     assert samp <= ded
+
+
+def test_loss_reductions_vs_numpy(spark):
+    import numpy as np
+
+    from deepee_spark.operators.metrics import loss_reductions
+
+    rng = np.random.default_rng(7)
+    logits = rng.normal(size=(200, 5)).round(3)
+    labels = rng.integers(0, 5, size=200)
+    df = spark.createDataFrame(
+        [(row.tolist(), int(l)) for row, l in zip(logits, labels)],
+        ["logits", "label"],
+    )
+    got = loss_reductions(df).collect()[0]
+    mx = logits.max(axis=1, keepdims=True)
+    ce = (np.log(np.exp(logits - mx).sum(axis=1)) + mx[:, 0]
+          - logits[np.arange(200), labels])
+    assert got["n_examples"] == 200
+    assert got["mean_loss"] == round(float(ce.mean()), 6)
+    assert got["sum_loss"] == round(float(ce.sum()), 6)
+
+
+def test_epoch_shuffle_reproducible_and_seed_sensitive(spark, tmp_path):
+    from deepee_spark.operators.shuffle import epoch_shuffle
+
+    docs = spark.range(500).select(F.col("id").alias("doc_id"))
+    e1 = epoch_shuffle(docs, "doc_id", seed=7, n_shards=8)
+    e1b = epoch_shuffle(docs, "doc_id", seed=7, n_shards=8)
+    e2 = epoch_shuffle(docs, "doc_id", seed=8, n_shards=8)
+    r1 = {r["doc_id"]: (r["epoch_pos"], r["shard"]) for r in e1.collect()}
+    r1b = {r["doc_id"]: (r["epoch_pos"], r["shard"]) for r in e1b.collect()}
+    r2 = {r["doc_id"]: (r["epoch_pos"], r["shard"]) for r in e2.collect()}
+    assert r1 == r1b                              # reproducible
+    assert sum(r1[i] != r2[i] for i in r1) > 450  # seed reshuffles
+    assert all(pos % 8 == shard for pos, shard in r1.values())
+    # every shard populated, roughly balanced
+    from collections import Counter
+    c = Counter(s for _, s in r1.values())
+    assert len(c) == 8 and max(c.values()) < 3 * min(c.values())
+    # the scalable write path: shard files internally sorted, no
+    # global sort in the plan
+    out = str(tmp_path / "epoch")
+    # leading 'shard' satisfies the partitioned write's required
+    # ordering, so the writer does NOT insert its own shard-only sort
+    # (which would destroy the epoch_pos order inside each shard)
+    writer_df = e1.repartition("shard").sortWithinPartitions(
+        "shard", "epoch_pos")
+    plan = writer_df._jdf.queryExecution().executedPlan().toString()
+    sort_lines = [ln for ln in plan.splitlines()
+                  if "Sort [" in ln and "epoch_pos" in ln]
+    # 'Sort [cols], <global>, 0' — must be a LOCAL sort (global=false)
+    assert sort_lines and all("], false, 0" in ln for ln in sort_lines), plan
+    writer_df.write.partitionBy("shard").parquet(out)
+    one = spark.read.parquet(out + "/shard=0").select("epoch_pos").collect()
+    vals = [r["epoch_pos"] for r in one]
+    assert vals == sorted(vals)
