@@ -403,3 +403,41 @@ def test_edge_aware_gcn_recovery_and_edge_update_sensitivity():
     p_full = score_tokens_edge_aware(ids, lengths, lab)
     p_swapped = score_tokens_edge_aware(ids, lengths, lab_swapped)
     assert not np.allclose(p_full, p_swapped)
+
+
+def test_k3_checkpoint_roundtrip_bitwise(spark, catalog):
+    """K3: the frozen checkpoint published through StageCatalog restores
+    BITWISE — every tensor and the vocabulary — and versions like any
+    snapshot (a second publish bumps snapshot, latest wins)."""
+    import numpy as np
+
+    from deepee_spark.kernels.checkpoint import (checkpoint_weights,
+                                                 load_checkpoint)
+    from deepee_spark.kernels.weights import (argument_weights,
+                                              embedding_table,
+                                              kernel_vocab,
+                                              trigger_weights)
+
+    meta = checkpoint_weights(catalog, spark)
+    assert meta["snapshot"] == 0 and meta["rows"] > 0
+    tensors, vocab = load_checkpoint(catalog, spark)
+    assert vocab == kernel_vocab()
+    want = {
+        "embedding": {"table": embedding_table()},
+        "trigger": trigger_weights(),
+        "argument": argument_weights(),
+    }
+    for comp, ts in want.items():
+        for name, arr in ts.items():
+            got = tensors[comp][name]
+            ref = np.asarray(arr, dtype=np.float32)
+            assert got.shape == ref.shape, (comp, name)
+            assert got.dtype == np.float32
+            assert np.array_equal(got, ref), (comp, name)  # bitwise
+    # versioning: re-publish -> snapshot 1, still restores identically
+    meta2 = checkpoint_weights(catalog, spark)
+    assert meta2["snapshot"] == 1
+    tensors2, vocab2 = load_checkpoint(catalog, spark)
+    assert vocab2 == vocab
+    assert np.array_equal(tensors2["trigger"]["w_out"],
+                          tensors["trigger"]["w_out"])
