@@ -2511,6 +2511,33 @@ FROM ce
 """
 
 
+def _m9_selector_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9 selector weighting: softmax over the whole example set of
+    score**alpha (AD-DMBERT train.py:134-136), scores synthesized
+    deterministically in (0, 1] from doc_id; two broadcast aggregates,
+    no window (operators/selector.selector_weights)."""
+    from deepee_spark.operators.selector import selector_weights
+
+    scored = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (((F.col("doc_id") * 7 % 13) + 1) / 13.0).alias("score"),
+    )
+    return selector_weights(scored, alpha=2.0).select(
+        "doc_id", "score", "weight"
+    )
+
+
+_M9_SQL = """
+WITH s AS (
+  SELECT doc_id, ((doc_id * 7 % 13) + 1) / 13.0 AS score FROM documents),
+t AS (SELECT doc_id, score, pow(score, 2.0) AS tt FROM s),
+m AS (SELECT MAX(tt) AS mx FROM t),
+e AS (SELECT doc_id, score, exp(tt - mx) AS ee FROM t, m),
+z AS (SELECT SUM(ee) AS zz FROM e)
+SELECT doc_id, score, ROUND(ee / zz, 9) AS weight FROM e, z
+"""
+
+
 def _w6_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W6 epoch shuffle: deterministic pseudo-random epoch position +
     shard per doc, keyed by (doc_id, seed) through the diffused rolling
@@ -3821,7 +3848,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- flagship + kernel-path oracles (driver-unseen before round 3) --
         "q1_pricing_summary": _q1,
-        "q5_nation_revenue": _q5,
         "a1_vocab_build": _a1_vocab,
         "ee_trigger_counts": _ee_trigger_counts,
         "ee_trigger_counts_gcn": _ee_trigger_counts_gcn,
@@ -3850,6 +3876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": _curation_funnel,
         "a10_loss_reductions": _a10_loss_reductions,
         "w6_epoch_shuffle": _w6_epoch_shuffle,
+        "m9_selector_weights": _m9_selector_weights,
         # -- unique operator probes (kept inside the 50-entry window) --
         "a2_bag_argmax": _a2_bag_argmax,
         "w1_pr_curve": _w1_pr_curve,
@@ -3898,6 +3925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f4_negative_cap": _f4_negative_cap,
         "sc2_iob_iobes": _sc2_iob_iobes,
         "s4_conll_scan": _s4_conll_scan,
+        "q5_nation_revenue": _q5,
         "sc9_pad_truncate": _sc9_pad,
         "sc12_lexical_window": _sc12_lexwin,
     }
@@ -3907,7 +3935,6 @@ def oracle_sql() -> dict[str, str]:
     # Same insertion order as queries() — see the ordering note there.
     return {
         "q1_pricing_summary": _Q1_SQL,
-        "q5_nation_revenue": _Q5_SQL,
         "a1_vocab_build": _A1_SQL,
         "ee_trigger_counts": _EE_TRIGGER_SQL,
         "ee_trigger_counts_gcn": _EE_TRIGGER_SQL,
@@ -3936,6 +3963,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_funnel": _FUNNEL_SQL,
         "a10_loss_reductions": _A10_SQL,
         "w6_epoch_shuffle": _W6_SQL,
+        "m9_selector_weights": _M9_SQL,
         "a2_bag_argmax": _A2_SQL,
         "a3_prf_counters": _A3_SQL,
         "w1_pr_curve": _W1_SQL,
@@ -3982,6 +4010,7 @@ def oracle_sql() -> dict[str, str]:
         "sc3_bio_chunks": _SC3_SQL,
         "sc2_iob_iobes": _SC2_SQL,
         "s4_conll_scan": _S4_SQL,
+        "q5_nation_revenue": _Q5_SQL,
         "sc9_pad_truncate": _SC9_SQL,
         "sc12_lexical_window": _SC12_SQL,
     }

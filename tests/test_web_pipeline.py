@@ -271,3 +271,26 @@ def test_epoch_shuffle_reproducible_and_seed_sensitive(spark, tmp_path):
     one = spark.read.parquet(out + "/shard=0").select("epoch_pos").collect()
     vals = [r["epoch_pos"] for r in one]
     assert vals == sorted(vals)
+
+
+def test_selector_weights_vs_numpy(spark):
+    import numpy as np
+
+    from deepee_spark.operators.selector import selector_weights
+
+    rng = np.random.default_rng(11)
+    scores = rng.uniform(0.05, 1.0, size=300).round(4)
+    df = spark.createDataFrame(
+        [(i, float(s)) for i, s in enumerate(scores)], ["doc_id", "score"]
+    )
+    out = {r["doc_id"]: r["weight"]
+           for r in selector_weights(df, alpha=2.0).collect()}
+    t = scores ** 2.0
+    w = np.exp(t - t.max())
+    w = w / w.sum()
+    for i in range(300):
+        assert out[i] == round(float(w[i]), 9), i
+    assert abs(sum(out.values()) - 1.0) < 1e-6
+    # sharpening: higher score -> strictly higher weight
+    hi, lo = int(scores.argmax()), int(scores.argmin())
+    assert out[hi] > out[lo]
