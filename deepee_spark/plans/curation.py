@@ -70,6 +70,43 @@ def curate(docs: DataFrame, rates: DataFrame, quality_min: float = 0.9,
     return stages
 
 
+def run_curation(docs: DataFrame, rates: DataFrame, catalog,
+                 input_fingerprint: str, quality_min: float = 0.9,
+                 default_permille: int = 200,
+                 resume: bool = True) -> tuple[DataFrame, dict]:
+    """Durable funnel: each stage's survivors commit as an atomic
+    StageCatalog snapshot before the next stage reads them — the same
+    kill/resume contract as the main documents→triples DAG. A resumed
+    run whose snapshots are current for this input fingerprint skips
+    every stage's compute (catalog.is_current), and the per-stage row
+    counts come from the writes' Observation counters for free
+    (pipeline_runs.jsonl) instead of extra count jobs.
+
+    Returns (final survivors, {stage: 'ran'|'skipped'}).
+    """
+    fp = lambda s: f"{input_fingerprint}/curation/{s}/q{quality_min}/p{default_permille}/v1"  # noqa: E731
+    status: dict[str, str] = {}
+
+    def stage(name: str, build) -> DataFrame:
+        if resume and catalog.is_current(name, fp(name)):
+            status[name] = "skipped"
+        else:
+            catalog.write(build(), name, fp(name))
+            status[name] = "ran"
+        return catalog.read(docs.sparkSession, name)
+
+    quality = stage("cur_quality", lambda: _quality_pass(docs, quality_min))
+    rep = stage("cur_repetition", lambda: _repetition_pass(quality))
+    ded = stage("cur_exact_dedup", lambda: _exact_dedup_pass(rep))
+    samp = stage(
+        "cur_sample",
+        lambda: stratified_sample(
+            ded, "doc_id", "lang", rates, default_permille=default_permille
+        ).drop("sample_bucket"),
+    )
+    return samp, status
+
+
 def curation_funnel(docs: DataFrame, rates: DataFrame,
                     quality_min: float = 0.9,
                     default_permille: int = 200) -> DataFrame:

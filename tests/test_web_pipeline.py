@@ -294,3 +294,38 @@ def test_selector_weights_vs_numpy(spark):
     # sharpening: higher score -> strictly higher weight
     hi, lo = int(scores.argmax()), int(scores.argmin())
     assert out[hi] > out[lo]
+
+
+def test_run_curation_durable_resume(spark, catalog):
+    from deepee_spark.plans.curation import curate, run_curation
+
+    rows = [
+        (i,
+         "spam spam spam spam spam spam" if i % 5 == 0
+         else f"document {i} body with the usual words in it and more",
+         "en")
+        for i in range(50)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    rates = spark.createDataFrame([("en", 700)], ["stratum", "permille"])
+
+    out1, st1 = run_curation(docs, rates, catalog, "t:50",
+                             quality_min=0.0, resume=True)
+    assert set(st1.values()) == {"ran"}
+    n1 = out1.count()
+    # same counts as the non-durable funnel
+    plain = curate(docs, rates, quality_min=0.0, default_permille=200)
+    assert n1 == plain["sample"].count()
+
+    # second run: every stage current -> all skipped, same output
+    out2, st2 = run_curation(docs, rates, catalog, "t:50",
+                             quality_min=0.0, resume=True)
+    assert set(st2.values()) == {"skipped"}
+    assert out2.count() == n1
+    ids = lambda df: sorted(r["doc_id"] for r in df.select("doc_id").collect())  # noqa: E731
+    assert ids(out1) == ids(out2)
+
+    # changed input fingerprint -> stages rerun
+    _, st3 = run_curation(docs, rates, catalog, "t:50-v2",
+                          quality_min=0.0, resume=True)
+    assert set(st3.values()) == {"ran"}
