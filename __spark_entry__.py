@@ -3650,6 +3650,69 @@ def _ann_ivf_topk(spark, sf):
     )
 
 
+PQ_K = 16       # codebook size (sampled seed vectors, no Lloyd steps)
+PQ_NSUB = 8     # subspaces over the 64-d embeddings
+PQ_TOPK = 3
+
+
+def _ann_pq_topk(spark, sf):
+    """PQ-compressed ANN (Jégou et al. 2011): sampled 16-centroid
+    codebook per 8-d subspace, corpus stored as 8 codes/vector, query
+    scored by ADC against its centroid lookup table
+    (operators/similarity.pq_encode / pq_topk). Distances rounded to
+    6dp before every argmin/order so both engines assign identically."""
+    from deepee_spark.operators.similarity import pq_topk
+
+    emb = _t(spark, sf, "embeddings")
+    codebook = emb.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return pq_topk(emb, q, codebook, "vec_id", "embedding",
+                   dim=64, n_sub=PQ_NSUB, k=PQ_TOPK)
+
+
+_PQ_DIST = (
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 9), "
+    "j -> pow({x}[({m}-1)*8+j]::DOUBLE - {c}[({m}-1)*8+j]::DOUBLE, 2))), "
+    "(a, b) -> a + b)"
+)
+
+_PQ_SQL = f"""
+WITH cb AS (
+  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+  WHERE vec_id < {PQ_K}),
+ms AS (SELECT unnest(range(1, {PQ_NSUB} + 1)) AS m),
+enc0 AS (
+  SELECT e.vec_id, ms.m, cb.c_id,
+         ROUND({_PQ_DIST.format(x='e.embedding', c='cb.c_emb', m='ms.m')}, 6)
+           AS d
+  FROM embeddings e, ms, cb),
+enc AS (
+  SELECT vec_id, m, c_id AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                 ORDER BY d ASC, c_id ASC) AS rk
+    FROM enc0) WHERE rk = 1),
+q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id < 5),
+lut AS (
+  SELECT q.q_id, ms.m, cb.c_id,
+         {_PQ_DIST.format(x='q.q_emb', c='cb.c_emb', m='ms.m')} AS pd
+  FROM q, ms, cb),
+adc AS (
+  SELECT l.q_id, e.vec_id, ROUND(SUM(l.pd), 6) AS adc
+  FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.c_id
+  GROUP BY 1, 2)
+SELECT q_id, vec_id, adc FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY adc ASC, vec_id ASC) AS rk
+  FROM adc WHERE q_id != vec_id) WHERE rk <= {PQ_TOPK}
+"""
+
+
 _IVF_SQL = f"""
 WITH cent AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < {IVF_K}),
 assigned AS (
@@ -3880,7 +3943,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- unique operator probes (kept inside the 50-entry window) --
         "a2_bag_argmax": _a2_bag_argmax,
         "w1_pr_curve": _w1_pr_curve,
-        "j1_vocab_lookup": _j1_vocab_lookup,
         "j5_template_fanout": _j5_template_fanout,
         "s11_framenet_exemplars": _s11_framenet_exemplars,
         "a4_chunk_prf": _a4_chunk_prf,
@@ -3895,6 +3957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_assign": _dedup_cluster_assign,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_ivf_topk": _ann_ivf_topk,
+        "ann_pq_topk": _ann_pq_topk,
         "mm_image_features": _mm_image_features,
         "mm_audio_features": _mm_audio_features,
         "mm_video_frames": _mm_video_frames,
@@ -3926,6 +3989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sc2_iob_iobes": _sc2_iob_iobes,
         "s4_conll_scan": _s4_conll_scan,
         "q5_nation_revenue": _q5,
+        "j1_vocab_lookup": _j1_vocab_lookup,
         "sc9_pad_truncate": _sc9_pad,
         "sc12_lexical_window": _sc12_lexwin,
     }
@@ -3967,7 +4031,6 @@ def oracle_sql() -> dict[str, str]:
         "a2_bag_argmax": _A2_SQL,
         "a3_prf_counters": _A3_SQL,
         "w1_pr_curve": _W1_SQL,
-        "j1_vocab_lookup": _J1_SQL,
         "j5_template_fanout": _J5_SQL,
         "f4_negative_cap": _F4_SQL,
         "s11_framenet_exemplars": _s11_sql(),
@@ -3984,6 +4047,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_assign": _DEDUP_CLUSTER_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "ann_ivf_topk": _IVF_SQL,
+        "ann_pq_topk": _PQ_SQL,
         "mm_image_features": _MM_IMAGE_SQL,
         "mm_audio_features": _MM_AUDIO_SQL,
         "mm_video_frames": _MM_VIDEO_SQL,
@@ -4011,6 +4075,7 @@ def oracle_sql() -> dict[str, str]:
         "sc2_iob_iobes": _SC2_SQL,
         "s4_conll_scan": _S4_SQL,
         "q5_nation_revenue": _Q5_SQL,
+        "j1_vocab_lookup": _J1_SQL,
         "sc9_pad_truncate": _SC9_SQL,
         "sc12_lexical_window": _SC12_SQL,
     }

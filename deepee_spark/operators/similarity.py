@@ -138,3 +138,96 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "c_id", "cosine")
     )
+
+
+def sub_sqdist(x, c, m, sub_dim: int):
+    """Squared L2 distance between subvectors m (1-based) of x and c:
+    ordered left-fold over double-cast elements (bit-deterministic,
+    SQL-replicable)."""
+    off = (m - 1) * F.lit(sub_dim)
+    terms = F.transform(
+        F.sequence(F.lit(1), F.lit(sub_dim)),
+        lambda j: (
+            F.element_at(x, (off + j).cast("int")).cast("double")
+            - F.element_at(c, (off + j).cast("int")).cast("double")
+        )
+        ** 2,
+    )
+    return F.aggregate(terms, F.lit(0.0), lambda a, v: a + v)
+
+
+def pq_encode(emb: DataFrame, codebook: DataFrame, id_col: str,
+              vec_col: str, dim: int, n_sub: int) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011): split each
+    vector into n_sub subvectors and store, per subspace, the id of the
+    nearest codebook centroid — compressing a dim-float vector to n_sub
+    small ints.
+
+    The codebook (c_id, c_emb) is a sampled-initialization PQ codebook:
+    K seed vectors, no Lloyd iterations — deterministic, so an external
+    oracle can replay the exact assignment. It is broadcast (K rows);
+    encoding is corpus x K x n_sub rows, LINEAR in the corpus, one
+    window argmin per (vector, subspace) partitioned by vector id —
+    no global shuffle beyond the explode. Distances round to 6dp before
+    the argmin with ties to the smaller centroid id, so the assignment
+    is engine-independent.
+
+    Returns (id, subspace m 1..n_sub, code).
+    """
+    sub_dim = dim // n_sub
+    m = F.explode(F.sequence(F.lit(1), F.lit(n_sub))).alias("m")
+    pairs = emb.select(F.col(id_col), F.col(vec_col), m).crossJoin(
+        F.broadcast(codebook)
+    )
+    d = F.round(sub_sqdist(F.col(vec_col), F.col("c_emb"), F.col("m"),
+                           sub_dim), 6)
+    w = Window.partitionBy(id_col, "m").orderBy(F.asc("d"), F.asc("c_id"))
+    return (
+        pairs.select(id_col, "m", F.col("c_id"), d.alias("d"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(id_col, "m", F.col("c_id").alias("code"))
+    )
+
+
+def pq_topk(emb: DataFrame, queries: DataFrame, codebook: DataFrame,
+            id_col: str, vec_col: str, dim: int, n_sub: int,
+            k: int) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each candidate's
+    distance to a query is the sum over subspaces of the query
+    subvector's distance to the candidate's ASSIGNED CENTROID — the
+    query stays exact, the corpus is compressed. Corpus side carries
+    only (id, m, code): at 10^12 vectors that is the difference between
+    shipping 256 B and 8 B per vector through the shuffle.
+
+    queries: (q_id, q_emb). Returns (q_id, id, adc) top-k by
+    (round(adc,6) asc, id asc), self-matches excluded.
+    """
+    sub_dim = dim // n_sub
+    codes = pq_encode(emb, codebook, id_col, vec_col, dim, n_sub)
+    # per (query, subspace, centroid) lookup table: n_q x n_sub x K rows
+    lut = (
+        queries.select("q_id", "q_emb")
+        .select("q_id", "q_emb",
+                F.explode(F.sequence(F.lit(1), F.lit(n_sub))).alias("m"))
+        .crossJoin(F.broadcast(codebook))
+        .select(
+            "q_id", "m", "c_id",
+            sub_sqdist(F.col("q_emb"), F.col("c_emb"), F.col("m"),
+                       sub_dim).alias("pd"),
+        )
+    )
+    parts = codes.join(
+        F.broadcast(lut),
+        (codes["m"] == lut["m"]) & (codes["code"] == lut["c_id"]),
+    ).select(codes[id_col], "q_id", "pd")
+    adc = parts.groupBy("q_id", id_col).agg(
+        F.round(F.sum("pd"), 6).alias("adc")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc(id_col))
+    return (
+        adc.filter(F.col("q_id") != F.col(id_col))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", id_col, "adc")
+    )

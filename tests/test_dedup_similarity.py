@@ -218,3 +218,41 @@ def test_canonical_url_rules(spark):
     for r in rows:
         assert r["got"] == r["want"], (r["url"], r["got"], r["want"])
         assert r["host"] == r["url"].split("://")[1].split("/")[0].split(":")[0].lower()
+
+
+def test_pq_encode_and_adc_topk_on_clustered_vectors(spark):
+    """Vectors built as seed + tiny per-subspace noise: every subspace
+    code must be the generating seed, and ADC top-k must retrieve
+    same-cluster members first."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from deepee_spark.operators.similarity import pq_encode, pq_topk
+
+    rng = np.random.default_rng(3)
+    seeds = rng.normal(0, 1, size=(4, 64)).astype(np.float32)  # 4 centroids
+    rows = []
+    for i in range(24):
+        c = i % 4
+        v = seeds[c] + rng.normal(0, 0.01, size=64).astype(np.float32)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    codebook = spark.createDataFrame(
+        [(c, [float(x) for x in seeds[c]]) for c in range(4)],
+        ["c_id", "c_emb"],
+    )
+    codes = pq_encode(emb, codebook, "vec_id", "embedding",
+                      dim=64, n_sub=8)
+    got = {(r["vec_id"], r["m"]): r["code"] for r in codes.collect()}
+    assert len(got) == 24 * 8
+    for (vid, _m), code in got.items():
+        assert code == vid % 4, (vid, _m, code)
+
+    q = emb.filter("vec_id < 2").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    top = pq_topk(emb, q, codebook, "vec_id", "embedding",
+                  dim=64, n_sub=8, k=3)
+    for r in top.collect():
+        assert r["vec_id"] % 4 == r["q_id"] % 4, r   # same cluster
+        assert r["vec_id"] != r["q_id"]              # self excluded
