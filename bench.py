@@ -47,6 +47,7 @@ def main() -> None:
         "dedup_ngram_jaccard",
         "ann_cosine_topk",
         "ann_ivf_topk",
+        "ann_pq_topk",
         "text_quality_score",
         "text_repetition_filter",
         "text_unigram_logprob",
