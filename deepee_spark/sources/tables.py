@@ -174,6 +174,29 @@ class StageCatalog:
         self.write(merged, name, fingerprint)
         return self.read(spark, name)
 
+    def compact(self, spark: SparkSession, name: str,
+                target_rows_per_file: int = 1_000_000) -> dict:
+        """Small-file compaction — the Iceberg `rewrite_data_files`
+        analogue. A stage written at high parallelism leaves one parquet
+        file per task; a 10^12-row table accumulated over many runs
+        drowns the scan planner in file listings long before it runs
+        out of bytes. Compaction rewrites the LATEST snapshot as a new
+        snapshot with ceil(rows / target_rows_per_file) files, keeping
+        the fingerprint — so `is_current` still holds and resume
+        semantics are unchanged; readers atomically switch to the
+        compacted snapshot like any other commit.
+
+        Row counts ride the snapshot metadata, so sizing needs no extra
+        count job.
+        """
+        meta = self.latest_meta(name)
+        if meta is None:
+            raise FileNotFoundError(f"no snapshot for stage table {name!r}")
+        rows = max(int(meta.get("rows", 0)), 0)
+        n_files = max(1, -(-rows // max(target_rows_per_file, 1)))
+        df = self.read(spark, name).drop("_run_id", "_stage", "_part_id")
+        return self.write(df.coalesce(n_files), name, meta["fingerprint"])
+
     def drop(self, name: str) -> None:
         d = self._table_dir(name)
         if os.path.isdir(d):

@@ -234,3 +234,32 @@ def test_merge_accumulate_counters(spark, tmp_path):
         "Life:Marry": (5, 5),
     }
     assert len(cat._snapshots("eval_counters")) == 3
+
+
+def test_catalog_compaction_preserves_rows_and_resume(spark, tmp_path):
+    """compact() rewrites the latest snapshot into few files, keeps the
+    fingerprint (resume still current), and readers see identical data
+    through the same atomic-snapshot switch as any commit."""
+    import glob
+    import os
+
+    cat = StageCatalog(str(tmp_path / "cat"))
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    ).repartition(32)
+    cat.write(df, "t", "fp1")
+    snap0 = os.path.join(cat._table_dir("t"), "snapshot=0")
+    n_before = len(glob.glob(os.path.join(snap0, "*.parquet")))
+    assert n_before >= 16  # one file per write task
+
+    meta = cat.compact(spark, "t", target_rows_per_file=5_000)
+    assert meta["snapshot"] == 1
+    snap1 = os.path.join(cat._table_dir("t"), "snapshot=1")
+    n_after = len(glob.glob(os.path.join(snap1, "*.parquet")))
+    assert n_after == 2  # ceil(10000 / 5000)
+    assert cat.is_current("t", "fp1")  # resume semantics unchanged
+
+    back = cat.read(spark, "t")
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).collect()[0][0] == \
+        df.agg(F.sum("v")).collect()[0][0]
