@@ -197,6 +197,21 @@ class StageCatalog:
         df = self.read(spark, name).drop("_run_id", "_stage", "_part_id")
         return self.write(df.coalesce(n_files), name, meta["fingerprint"])
 
+    def expire_snapshots(self, name: str, keep_last: int = 2) -> list[int]:
+        """Retention — the Iceberg `expire_snapshots` analogue: drop all
+        but the newest ``keep_last`` snapshots of a table. Old snapshots
+        exist for time-travel/debug and as commit history; every
+        version of a 10^12-row table kept forever is a storage leak.
+        The latest snapshot is never touched, so readers (which always
+        resolve latest) and resume are unaffected. Returns the expired
+        snapshot numbers."""
+        snaps = self._snapshots(name)
+        expired = []
+        for s in snaps[:-keep_last] if keep_last > 0 else snaps[:-1]:
+            shutil.rmtree(os.path.join(self._table_dir(name), s))
+            expired.append(int(s.split("=")[1]))
+        return expired
+
     def drop(self, name: str) -> None:
         d = self._table_dir(name)
         if os.path.isdir(d):

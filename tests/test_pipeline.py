@@ -263,3 +263,16 @@ def test_catalog_compaction_preserves_rows_and_resume(spark, tmp_path):
     assert back.count() == 10_000
     assert back.agg(F.sum("v")).collect()[0][0] == \
         df.agg(F.sum("v")).collect()[0][0]
+
+
+def test_expire_snapshots_keeps_latest(spark, tmp_path):
+    cat = StageCatalog(str(tmp_path / "cat"))
+    df = spark.range(100).select(F.col("id").alias("k"))
+    for i in range(4):
+        cat.write(df, "t", f"fp{i}")
+    expired = cat.expire_snapshots("t", keep_last=2)
+    assert expired == [0, 1]
+    assert [int(s.split("=")[1]) for s in cat._snapshots("t")] == [2, 3]
+    # latest still resolves and resume state is intact
+    assert cat.is_current("t", "fp3")
+    assert cat.read(spark, "t").count() == 100
