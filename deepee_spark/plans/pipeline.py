@@ -294,6 +294,59 @@ def triples_from(arguments: DataFrame, linked: DataFrame, canonical: DataFrame) 
     )
 
 
+def nodes_from(triples: DataFrame) -> DataFrame:
+    """Graph NODE table: one row per distinct node on either side of a
+    triple. Event-instance nodes (subj, labeled by their event type) and
+    canonical-entity nodes (obj). The union is aggregated in ONE shuffle
+    on node identity with map-side partials; per-node day ranges make
+    "entities first seen this week" a metadata-only question.
+
+    North-star literal: "final graph materialization into partitioned
+    Iceberg triple/node/edge tables"."""
+    events = triples.select(
+        F.col("subj").alias("node_id"),
+        F.lit("event").alias("kind"),
+        F.split("subj", "#").getItem(0).alias("label"),
+        "day",
+    )
+    entities = triples.select(
+        F.col("obj").alias("node_id"),
+        F.lit("entity").alias("kind"),
+        F.col("obj").alias("label"),
+        "day",
+    )
+    return (
+        events.unionByName(entities)
+        .groupBy("node_id", "kind", "label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_triples"),
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+        )
+    )
+
+
+def edges_from(triples: DataFrame) -> DataFrame:
+    """Graph EDGE table: triples aggregated to one row per distinct
+    (subj, pred, obj) with support weight (observation count), distinct
+    source count, best confidence, and the active day range. One shuffle
+    on the edge key; the single countDistinct runs as a two-phase
+    aggregate, no expand. ``pred_type`` (the event type) is the identity
+    partition column — bounded by the ontology, so role-scoped graph
+    queries prune whole directories."""
+    return (
+        triples.groupBy("subj", "pred", "obj")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("weight"),
+            F.countDistinct("url").cast("long").alias("n_urls"),
+            F.max("confidence").alias("confidence"),
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+        )
+        .withColumn("pred_type", F.split("pred", ":").getItem(0))
+    )
+
+
 class Pipeline:
     """Runs the DAG against a documents DataFrame, checkpointing each
     stage through a StageCatalog. ``resume=True`` skips current stages.
@@ -486,3 +539,32 @@ class Pipeline:
             partition_by=["day"],
         )
         return triples
+
+    def materialize_graph(
+        self,
+        triples: DataFrame,
+        input_fingerprint: str,
+        resume: bool = True,
+    ) -> tuple[DataFrame, DataFrame]:
+        """Derive + commit the `nodes` and `edges` graph tables from a
+        (typically just-committed) triples DataFrame. Post-hoc over the
+        triples snapshot in every checkpoint mode, so it costs two
+        aggregate-and-write jobs over the final table, never a kernel
+        recompute; same fingerprint contract as any stage, so resume
+        skips them when current."""
+        fp = lambda s: f"{input_fingerprint}/{s}/v1"  # noqa: E731
+        nodes = self._stage(
+            "nodes",
+            fp("nodes"),
+            lambda: nodes_from(triples),
+            resume,
+            partition_by=["kind"],
+        )
+        edges = self._stage(
+            "edges",
+            fp("edges"),
+            lambda: edges_from(triples),
+            resume,
+            partition_by=["pred_type"],
+        )
+        return nodes, edges

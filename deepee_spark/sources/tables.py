@@ -52,15 +52,31 @@ class StageCatalog:
         snaps = [s for s in os.listdir(d) if s.startswith("snapshot=")]
         return sorted(snaps, key=lambda s: int(s.split("=")[1]))
 
-    def latest_meta(self, name: str) -> dict | None:
-        snaps = self._snapshots(name)
-        if not snaps:
-            return None
-        p = os.path.join(self._table_dir(name), snaps[-1], META)
+    def _meta_at(self, name: str, snap_dir: str) -> dict | None:
+        p = os.path.join(self._table_dir(name), snap_dir, META)
         if not os.path.exists(p):
             return None
         with open(p) as f:
             return json.load(f)
+
+    def latest_meta(self, name: str) -> dict | None:
+        snaps = self._snapshots(name)
+        if not snaps:
+            return None
+        return self._meta_at(name, snaps[-1])
+
+    def history(self, name: str) -> list[dict]:
+        """Commit history — the Iceberg ``table.history()``/``snapshots``
+        metadata-table analogue: the _meta.json of every RETAINED
+        snapshot, oldest first. Each entry carries run_id, fingerprint,
+        row/partition counters, wall seconds, and commit time, so an
+        operator can answer "which run produced snapshot 3 and how many
+        rows did it commit" without touching data files."""
+        return [
+            m
+            for s in self._snapshots(name)
+            if (m := self._meta_at(name, s)) is not None
+        ]
 
     def is_current(self, name: str, fingerprint: str) -> bool:
         meta = self.latest_meta(name)
@@ -125,18 +141,32 @@ class StageCatalog:
             f.write(json.dumps(meta) + "\n")
         return meta
 
-    def read(self, spark: SparkSession, name: str) -> DataFrame:
+    def read(
+        self, spark: SparkSession, name: str, snapshot: int | None = None
+    ) -> DataFrame:
+        """Read the latest snapshot, or — time travel, the Iceberg
+        ``VERSION AS OF`` analogue — a specific retained ``snapshot``
+        number (raises if it was expired)."""
         snaps = self._snapshots(name)
         if not snaps:
             raise FileNotFoundError(f"no snapshot for stage table {name!r}")
-        path = os.path.join(self._table_dir(name), snaps[-1])
+        if snapshot is None:
+            pick = snaps[-1]
+        else:
+            pick = f"snapshot={int(snapshot)}"
+            if pick not in snaps:
+                raise FileNotFoundError(
+                    f"stage table {name!r} has no snapshot {snapshot} "
+                    f"(retained: {[int(s.split('=')[1]) for s in snaps]})"
+                )
+        path = os.path.join(self._table_dir(name), pick)
         # Every snapshot carries its schema in _meta.json; supplying it to
         # the reader skips the footer-sampling inference job Spark would
         # otherwise run per read — one fewer driver round-trip per stage
         # (the corpus-size-constant latency BENCH/BASELINE.md §3 measures)
         # — and it is what makes EMPTY partitioned snapshots readable at
         # all (no data files -> nothing to infer from).
-        meta = self.latest_meta(name) or {}
+        meta = self._meta_at(name, pick) or {}
         if "schema" in meta:
             from pyspark.sql import types as T
 
@@ -196,6 +226,55 @@ class StageCatalog:
         n_files = max(1, -(-rows // max(target_rows_per_file, 1)))
         df = self.read(spark, name).drop("_run_id", "_stage", "_part_id")
         return self.write(df.coalesce(n_files), name, meta["fingerprint"])
+
+    def rollback(self, name: str, snapshot: int) -> dict:
+        """Rollback — the Iceberg ``rollback_to_snapshot`` analogue: make
+        a retained older snapshot current again by RE-PUBLISHING it as a
+        new snapshot (history is append-only; readers resolving "latest"
+        atomically switch, and the bad snapshot stays in history for
+        forensics until expired). Metadata-cheap: data files are
+        hardlinked, not copied — like Iceberg's pointer flip, no table
+        rewrite. The fingerprint carries over, so resume treats the
+        rolled-back state as current."""
+        src_dir = f"snapshot={int(snapshot)}"
+        src_meta = self._meta_at(name, src_dir)
+        if src_dir not in self._snapshots(name) or src_meta is None:
+            raise FileNotFoundError(
+                f"stage table {name!r} has no snapshot {snapshot}"
+            )
+        tdir = self._table_dir(name)
+        src = os.path.join(tdir, src_dir)
+        tmp = os.path.join(tdir, f".tmp-{uuid.uuid4().hex[:8]}")
+
+        def _link_tree(a: str, b: str) -> None:
+            os.makedirs(b, exist_ok=True)
+            for entry in os.listdir(a):
+                if entry == META:
+                    continue
+                pa, pb = os.path.join(a, entry), os.path.join(b, entry)
+                if os.path.isdir(pa):
+                    _link_tree(pa, pb)
+                else:
+                    try:
+                        os.link(pa, pb)
+                    except OSError:
+                        shutil.copy2(pa, pb)
+
+        _link_tree(src, tmp)
+        n = int(self._snapshots(name)[-1].split("=")[1]) + 1
+        meta = dict(src_meta)
+        meta.update(
+            snapshot=n,
+            rollback_of=int(snapshot),
+            run_id=self.run_id,
+            committed_at=time.time(),
+        )
+        with open(os.path.join(tmp, META), "w") as f:
+            json.dump(meta, f)
+        os.rename(tmp, os.path.join(tdir, f"snapshot={n}"))
+        with open(os.path.join(self.root, "pipeline_runs.jsonl"), "a") as f:
+            f.write(json.dumps(meta) + "\n")
+        return meta
 
     def expire_snapshots(self, name: str, keep_last: int = 2) -> list[int]:
         """Retention — the Iceberg `expire_snapshots` analogue: drop all

@@ -276,3 +276,86 @@ def test_expire_snapshots_keeps_latest(spark, tmp_path):
     # latest still resolves and resume state is intact
     assert cat.is_current("t", "fp3")
     assert cat.read(spark, "t").count() == 100
+
+
+def test_time_travel_history_and_rollback(spark, tmp_path):
+    """Iceberg metadata ops on the emulated catalog: VERSION AS OF reads,
+    commit history, and a metadata-cheap rollback that re-publishes an
+    old snapshot as the new latest (history stays append-only)."""
+    cat = StageCatalog(str(tmp_path / "cat"))
+    for i in range(3):
+        df = spark.range(100 * (i + 1)).select(F.col("id").alias("k"))
+        cat.write(df, "t", f"fp{i}")
+
+    # time travel: each retained version reads back its own rows
+    assert cat.read(spark, "t", snapshot=0).count() == 100
+    assert cat.read(spark, "t", snapshot=1).count() == 200
+    assert cat.read(spark, "t").count() == 300
+    with pytest.raises(FileNotFoundError):
+        cat.read(spark, "t", snapshot=9)
+
+    # history: one meta per retained snapshot, oldest first
+    hist = cat.history("t")
+    assert [h["snapshot"] for h in hist] == [0, 1, 2]
+    assert [h["rows"] for h in hist] == [100, 200, 300]
+
+    # rollback to snapshot 1: published as snapshot 3, fingerprint
+    # carries over so resume sees the rolled-back state as current
+    meta = cat.rollback("t", 1)
+    assert meta["snapshot"] == 3 and meta["rollback_of"] == 1
+    assert cat.read(spark, "t").count() == 200
+    assert cat.is_current("t", "fp1")
+    assert not cat.is_current("t", "fp2")
+    assert [h["snapshot"] for h in cat.history("t")] == [0, 1, 2, 3]
+
+    # a partitioned snapshot rolls back too (hardlink walk recurses)
+    p = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("part")
+    )
+    cat.write(p, "pt", "fpA", partition_by=["part"])
+    cat.write(p.filter("k < 10"), "pt", "fpB", partition_by=["part"])
+    cat.rollback("pt", 0)
+    assert cat.read(spark, "pt").count() == 50
+    assert cat.is_current("pt", "fpA")
+
+
+def test_graph_node_edge_tables(spark, main_run):
+    """North-star literal: triples -> partitioned node/edge tables.
+    Node and edge aggregates must reconcile exactly with the triples
+    snapshot they were derived from, resume must skip both stages, and
+    the partition columns must reach the directory layout."""
+    import os
+
+    cat, pipe, triples = main_run
+    nodes, edges = pipe.materialize_graph(triples, f"corpus:{N_DOCS}")
+
+    t = triples.select("subj", "pred", "obj", "url", "day").cache()
+    n_subj = t.select("subj").distinct().count()
+    n_obj = t.select("obj").distinct().count()
+    kinds = {r["kind"]: r["n"] for r in
+             nodes.groupBy("kind").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert kinds == {"event": n_subj, "entity": n_obj}
+
+    # every node's n_triples sums back to 2x the triple count (each
+    # triple touches one subj node and one obj node)
+    assert nodes.agg(F.sum("n_triples")).collect()[0][0] == 2 * t.count()
+
+    assert edges.count() == t.select("subj", "pred", "obj").distinct().count()
+    assert edges.agg(F.sum("weight")).collect()[0][0] == t.count()
+    # pred_type is the event type prefix of pred
+    bad = edges.filter(
+        F.split("pred", ":").getItem(0) != F.col("pred_type")
+    ).count()
+    assert bad == 0
+
+    # identity partition columns reached the directory layout
+    ndir = os.path.join(cat._table_dir("nodes"), "snapshot=0")
+    assert any(e.startswith("kind=") for e in os.listdir(ndir))
+    edir = os.path.join(cat._table_dir("edges"), "snapshot=0")
+    assert any(e.startswith("pred_type=") for e in os.listdir(edir))
+
+    # resume: a second materialize over the same fingerprint skips
+    before = list(pipe.skipped)
+    pipe.materialize_graph(triples, f"corpus:{N_DOCS}")
+    assert pipe.skipped[len(before):] == ["nodes", "edges"]
+    t.unpersist()

@@ -55,6 +55,10 @@ def main() -> None:
                          "and the gazetteer-bounded tail fused; resume past "
                          "all kernel compute); 'final' is flow-through — one "
                          "commit, Spark-native task retry, no stage resume")
+    ap.add_argument("--graph", action="store_true",
+                    help="also materialize the nodes/edges graph tables "
+                         "from the committed triples (north-star "
+                         "triple/node/edge materialization)")
     args = ap.parse_args()
 
     from deepee_spark.corpus import corpus_df
@@ -96,12 +100,19 @@ def main() -> None:
     t0 = time.time()
     triples = pipe.run(documents, fingerprint, resume=args.resume)
     n_triples = triples.count()
+    graph_counts = None
+    if args.graph:
+        nodes, edges = pipe.materialize_graph(
+            triples, fingerprint, resume=args.resume
+        )
+        graph_counts = {"nodes": nodes.count(), "edges": edges.count()}
     wall = time.time() - t0
 
     out = {
         "cores": cores,
         "docs": n_docs,
         "triples": n_triples,
+        **({"graph": graph_counts} if graph_counts else {}),
         "wall_sec": round(wall, 3),
         "docs_per_sec": round(n_docs / wall, 2),
         "triples_per_sec": round(n_triples / wall, 2),
