@@ -2656,6 +2656,78 @@ WHERE sample_bucket < (CASE lang WHEN 'en' THEN 200 WHEN 'zh' THEN 500
 """
 
 
+DECON_N = 8  # benchmark-overlap gram width (GPT-3/Llama data-card range)
+
+
+def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing >=1 token 8-gram
+    with the eval set (here the deterministic doc_id%97==3 slice of the
+    same table — suites are tiny, so the distinct eval grams broadcast
+    and the corpus side never shuffles; only matched rows reach the
+    per-doc aggregate). operators/contamination.ngram_contamination."""
+    from deepee_spark.operators.contamination import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 3)
+    train = docs.filter(F.col("doc_id") % 97 != 3)
+    return ngram_contamination(train, eval_docs, "doc_id", "text",
+                               n=DECON_N)
+
+
+_DECON_GRAMS = f"""
+  SELECT doc_id, array_to_string(ts[i : i + {DECON_N - 1}], ' ') AS gram
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t != '') AS ts
+        FROM documents) t,
+       UNNEST(range(1, len(ts) - {DECON_N} + 2)) AS u(i)
+"""
+
+_DECON_SQL = f"""
+WITH g AS ({_DECON_GRAMS}),
+e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 3)
+SELECT g.doc_id, CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS n_hits
+FROM g JOIN e USING (gram)
+WHERE g.doc_id % 97 <> 3
+GROUP BY g.doc_id
+"""
+
+
+def _sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: whitespace token counts ->
+    hash-sharded greedy bins of 512 tokens (shard = the shared diffused
+    rolling hash, so the oracle replays the assignment; the per-shard
+    cumulative window is the two-level pattern — no global sort).
+    operators/packing.pack_sequences."""
+    from deepee_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return pack_sequences(docs, "doc_id", "n_tokens",
+                          budget=512, n_shards=16)
+
+
+_SEQPACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                              x -> x != '')) AS BIGINT) AS n_tokens,
+         ({_HASH_SQL.format(col='CAST(doc_id AS VARCHAR)')})
+           * 2654435761 % 1000000007 % 16 AS shard
+  FROM documents)
+SELECT doc_id, n_tokens, shard,
+       CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+              PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / 512.0) AS BIGINT) AS bin
+FROM t
+"""
+
+
 _EE_TRIGGER_SQL = f"""
 WITH tok AS (
   SELECT unnest(list_slice({_TOKENS_SQL}, 1, 50)) AS token
@@ -3937,12 +4009,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _stratified_sample,
         "text_unigram_logprob": _unigram_logprob,
         "curation_funnel": _curation_funnel,
+        "decontaminate": _decontaminate,
+        "sequence_packing": _sequence_packing,
         "a10_loss_reductions": _a10_loss_reductions,
         "w6_epoch_shuffle": _w6_epoch_shuffle,
         "m9_selector_weights": _m9_selector_weights,
         # -- unique operator probes (kept inside the 50-entry window) --
-        "a2_bag_argmax": _a2_bag_argmax,
-        "w1_pr_curve": _w1_pr_curve,
         "j5_template_fanout": _j5_template_fanout,
         "s11_framenet_exemplars": _s11_framenet_exemplars,
         "a4_chunk_prf": _a4_chunk_prf,
@@ -3962,6 +4034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_features": _mm_audio_features,
         "mm_video_frames": _mm_video_frames,
         # -- demoted past 50: twice driver-green, still locally checked --
+        "a2_bag_argmax": _a2_bag_argmax,
+        "w1_pr_curve": _w1_pr_curve,
         "q_top_orders": _q_top_orders,
         "u2_confidence_transfer": _u2_transfer,
         "j10_eval_intersection": _j10_intersection,
@@ -4025,6 +4099,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _STRAT_SAMPLE_SQL,
         "text_unigram_logprob": _UNIGRAM_SQL,
         "curation_funnel": _FUNNEL_SQL,
+        "decontaminate": _DECON_SQL,
+        "sequence_packing": _SEQPACK_SQL,
         "a10_loss_reductions": _A10_SQL,
         "w6_epoch_shuffle": _W6_SQL,
         "m9_selector_weights": _M9_SQL,

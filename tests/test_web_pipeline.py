@@ -329,3 +329,54 @@ def test_run_curation_durable_resume(spark, catalog):
     _, st3 = run_curation(docs, rates, catalog, "t:50-v2",
                           quality_min=0.0, resume=True)
     assert set(st3.values()) == {"ran"}
+
+
+def test_ngram_contamination_flags_shared_grams(spark):
+    """A training doc sharing an 8-gram with the eval set is flagged
+    with the distinct-overlap count; clean docs and sub-n docs are not."""
+    from deepee_spark.operators.contamination import ngram_contamination
+
+    bench = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, "intro text " + bench + " trailing words here"),   # 1 window? no — several
+        (2, "The QUICK brown fox jumps over the lazy dog"),    # case-folded hit
+        (3, "completely unrelated content with many words that overlap nothing at all"),
+        (4, "short doc"),                                      # < n tokens
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    eval_docs = spark.createDataFrame([(99, bench)], ["doc_id", "text"])
+    got = {r["doc_id"]: r["n_hits"]
+           for r in ngram_contamination(docs, eval_docs).collect()}
+    # bench has 10 tokens -> 3 distinct 8-grams; doc 1 contains all of
+    # bench so hits all 3; doc 2 contains tokens 1..9 -> grams 1-2
+    assert got == {1: 3, 2: 2}
+
+
+def test_pack_sequences_budget_and_determinism(spark):
+    """Bins fill greedily per shard: totals stay under budget + the
+    straddling doc, assignment is stable across runs, and docs are
+    never split."""
+    from deepee_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, 100 + (i * 37) % 150) for i in range(200)],
+        ["doc_id", "n_tokens"],
+    )
+    out = pack_sequences(docs, budget=512, n_shards=4).collect()
+    assert len(out) == 200  # every doc assigned exactly once
+
+    by_bin: dict = {}
+    for r in out:
+        by_bin.setdefault((r["shard"], r["bin"]), []).append(r)
+    max_tok = max(r["n_tokens"] for r in out)
+    for (shard, b), rows in by_bin.items():
+        tot = sum(r["n_tokens"] for r in rows)
+        # a bin exceeds the budget only by its straddling last doc
+        assert tot < 512 + max_tok
+    # bins within a shard are contiguous from 0
+    for shard in {r["shard"] for r in out}:
+        bins = sorted({r["bin"] for r in out if r["shard"] == shard})
+        assert bins == list(range(len(bins)))
+
+    again = pack_sequences(docs, budget=512, n_shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
