@@ -280,3 +280,86 @@ def test_pii_redaction_idempotent_property(spark, texts):
     ).collect()
     for r in rows:
         assert r["r1"] == r["r2"]
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=900),
+        min_size=1, max_size=120,
+    ),
+    st.integers(min_value=64, max_value=1024),
+)
+@settings(**SETTINGS)
+def test_pack_sequences_matches_python_oracle(spark, toks, budget):
+    """Packing == the pure-python per-shard exclusive-cumsum oracle for
+    arbitrary token counts and budgets, and every doc lands in exactly
+    one bin."""
+    from deepee_spark.operators.dedup import MOD
+    from deepee_spark.operators.packing import pack_sequences
+    from deepee_spark.operators.sampling import DIFFUSION
+
+    rows = [(i, t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    got = {
+        r["doc_id"]: (r["shard"], r["bin"])
+        for r in pack_sequences(df, budget=budget, n_shards=4).collect()
+    }
+
+    def py_hash(s: str) -> int:
+        h = 0
+        for c in s:
+            h = (h * 31 + ord(c)) % MOD
+        return h
+
+    shards: dict[int, list[tuple[int, int]]] = {}
+    for i, t in rows:
+        shards.setdefault(py_hash(str(i)) * DIFFUSION % MOD % 4, []).append((i, t))
+    want = {}
+    for shard, members in shards.items():
+        cum = 0
+        for i, t in sorted(members):
+            want[i] = (shard, cum // budget)
+            cum += t
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=0, max_size=14,
+        ),
+        min_size=2, max_size=12,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+@settings(**SETTINGS)
+def test_contamination_matches_python_oracle(spark, docs_toks, n):
+    """n-gram contamination == a pure-python set-overlap oracle for
+    arbitrary small-vocab docs (doc 0 is the eval set): sub-n docs never
+    flag, hit counts are distinct-gram counts."""
+    from deepee_spark.operators.contamination import ngram_contamination
+
+    rows = [(i, " ".join(t)) for i, t in enumerate(docs_toks)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    eval_docs = df.filter("doc_id = 0")
+    train = df.filter("doc_id <> 0")
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in ngram_contamination(train, eval_docs, n=n).collect()
+    }
+
+    def grams(toks):
+        return {
+            " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    eval_grams = grams(docs_toks[0])
+    want = {}
+    for i, toks in enumerate(docs_toks):
+        if i == 0:
+            continue
+        hits = grams(toks) & eval_grams
+        if hits:
+            want[i] = len(hits)
+    assert got == want
