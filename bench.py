@@ -56,6 +56,8 @@ def main() -> None:
         "pii_redact",
         "paragraph_dedup",
         "curation_funnel",
+        "decontaminate",
+        "sequence_packing",
         "ee_trigger_counts",
         "bert_trigger_tags",
         "qa_span_args",

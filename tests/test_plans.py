@@ -225,3 +225,37 @@ def test_day_partitioned_snapshot_prunes_on_read(spark, tmp_path_factory):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert any("2024-01-03" in ln for ln in pf), plan
     assert rd.count() == 1000 // 7 + (1 if 2 < 1000 % 7 else 0)
+
+
+def test_decontamination_eval_side_is_broadcast(spark, docs_parquet):
+    """The eval-set grams (benchmark suites are tiny) must broadcast;
+    the corpus side must reach the join without its own shuffle — at
+    100 TB a SortMergeJoin here would shuffle the whole crawl."""
+    from deepee_spark.operators.contamination import ngram_contamination
+
+    docs = spark.read.parquet(docs_parquet).select(
+        F.col("url").alias("doc_id"), "text"
+    )
+    eval_docs = docs.limit(20)
+    out = ngram_contamination(docs, eval_docs, "doc_id", "text", n=4)
+    plan = formatted_plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_sequence_packing_single_exchange(spark, docs_parquet):
+    """Packing must shuffle exactly once (the shard partition); the
+    cumulative window is per-shard, so no global-sort exchange may
+    appear."""
+    from deepee_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(docs_parquet).select(
+        F.col("url").alias("doc_id"),
+        F.size(F.split("text", r"\s+")).alias("n_tokens"),
+    )
+    out = pack_sequences(docs, budget=512, n_shards=8)
+    plan = formatted_plan(out)
+    n_exchanges = plan.count("Exchange")
+    # formatted plans list each physical Exchange twice (tree + detail)
+    assert n_exchanges <= 2, plan
+    assert "rangepartitioning" not in plan.lower(), plan
