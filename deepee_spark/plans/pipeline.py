@@ -540,6 +540,55 @@ class Pipeline:
         )
         return triples
 
+    def run_incremental(
+        self, new_documents: DataFrame, input_fingerprint: str
+    ) -> DataFrame:
+        """Incremental crawl-drop ingestion: run the extraction -> kernel
+        -> linking flow over ONLY the new documents and FAST-APPEND their
+        triples to the existing table — the day's partitions are written,
+        the rest of the 10^12-row table rides along as metadata
+        (StageCatalog.append hardlinks the previous snapshot's files).
+        This is the daily-operations path; a full run() only happens on
+        schema or kernel changes.
+
+        Canonicalization scope: entity canonical ids are resolved within
+        the drop + the (global, broadcast) alias dictionary, so they are
+        content-deterministic per entity cluster; coreference edges that
+        only EXIST across drops are folded by the periodic global
+        re-canonicalization batch (the confident/unconfident rewrite
+        pattern — see streaming/ingest.py's module docstring)."""
+        fp = f"{input_fingerprint}/triples/v1"
+        cat, spark = self.catalog, self.spark
+        if cat.is_current("triples", fp):
+            self.skipped.append("triples")
+            return cat.read(spark, "triples")
+        n_parts = self.shuffle_parts or spark.sparkContext.defaultParallelism
+        arguments = arguments_from_triggers(
+            triggers_from_sentences(
+                featurize_sentences(
+                    sentences_stage(
+                        documents_stage(
+                            new_documents.repartition(
+                                n_parts, F.xxhash64("url")
+                            )
+                        )
+                    )
+                )
+            )
+        ).localCheckpoint()
+        linked = link_mentions(
+            mentions_from_arguments(arguments), alias_df(spark)
+        ).localCheckpoint()
+        canonical = canonicalize(linked).localCheckpoint()
+        delta = triples_from(arguments, linked, canonical)
+        import time as _time
+
+        t0 = _time.time()
+        cat.append(delta, "triples", fp, partition_by=["day"])
+        self.stage_seconds["triples+append"] = round(_time.time() - t0, 3)
+        self.ran.append("triples")
+        return cat.read(spark, "triples")
+
     def materialize_graph(
         self,
         triples: DataFrame,

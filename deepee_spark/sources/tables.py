@@ -227,6 +227,112 @@ class StageCatalog:
         df = self.read(spark, name).drop("_run_id", "_stage", "_part_id")
         return self.write(df.coalesce(n_files), name, meta["fingerprint"])
 
+    def _link_tree(self, a: str, b: str) -> None:
+        """Hardlink a snapshot's data files into another tree (copy on
+        cross-device); partition subdirs are merged, _meta.json skipped."""
+        os.makedirs(b, exist_ok=True)
+        for entry in os.listdir(a):
+            if entry == META:
+                continue
+            pa, pb = os.path.join(a, entry), os.path.join(b, entry)
+            if os.path.isdir(pa):
+                self._link_tree(pa, pb)
+            else:
+                try:
+                    os.link(pa, pb)
+                except OSError:
+                    shutil.copy2(pa, pb)
+
+    def append(
+        self,
+        delta: DataFrame,
+        name: str,
+        fingerprint: str,
+        partition_by: list[str] | None = None,
+    ) -> dict:
+        """Fast append — the Iceberg append-snapshot analogue: the new
+        snapshot references the PREVIOUS snapshot's data files (hardlinks
+        — no rewrite, like Iceberg's manifest reuse) plus the delta's
+        freshly written files. This is how a daily crawl drop lands on a
+        10^12-row triples table: the day's partitions are written, the
+        rest of the table is metadata. Spark part-file names carry task
+        UUIDs, so merged partition directories never collide.
+
+        First append on an empty table degenerates to write()."""
+        snaps = self._snapshots(name)
+        if not snaps:
+            return self.write(delta, name, fingerprint, partition_by)
+        prev_dir = os.path.join(self._table_dir(name), snaps[-1])
+        prev_meta = self.latest_meta(name) or {}
+
+        t0 = time.time()
+        from pyspark.sql import Observation
+
+        obs = Observation(f"append:{name}")
+        stamped = (
+            delta.withColumn("_run_id", F.lit(self.run_id))
+            .withColumn("_stage", F.lit(name))
+            .withColumn("_part_id", F.spark_partition_id())
+            .observe(obs, F.count(F.lit(1)).alias("rows"))
+        )
+        tdir = self._table_dir(name)
+        tmp = os.path.join(tdir, f".tmp-{uuid.uuid4().hex[:8]}")
+        writer = stamped.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
+        delta_rows = int(dict(obs.get).get("rows", 0))
+        self._link_tree(prev_dir, tmp)
+
+        n = int(snaps[-1].split("=")[1]) + 1
+        meta = {
+            "run_id": self.run_id,
+            "stage": name,
+            "fingerprint": fingerprint,
+            "snapshot": n,
+            "rows": max(int(prev_meta.get("rows", 0)), 0) + delta_rows,
+            "appended_rows": delta_rows,
+            "append_of": int(snaps[-1].split("=")[1]),
+            "partitions": -1,
+            "wall_sec": round(time.time() - t0, 3),
+            "committed_at": time.time(),
+            "schema": stamped.schema.json(),
+        }
+        with open(os.path.join(tmp, META), "w") as f:
+            json.dump(meta, f)
+        os.rename(tmp, os.path.join(tdir, f"snapshot={n}"))
+        with open(os.path.join(self.root, "pipeline_runs.jsonl"), "a") as f:
+            f.write(json.dumps(meta) + "\n")
+        return meta
+
+    def vacuum(self, name: str | None = None, grace_sec: float = 0.0) -> list[str]:
+        """Orphan cleanup — the Iceberg `remove_orphan_files` analogue:
+        delete `.tmp-*` staging trees left behind by crashed writes
+        (a write that died between parquet output and the atomic rename).
+        Published snapshots are never touched. ``grace_sec`` spares trees
+        younger than the window (a concurrently-running write's staging
+        dir looks identical to an orphan)."""
+        names = [name] if name else [
+            d for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d))
+        ]
+        removed = []
+        now = time.time()
+        for nm in names:
+            tdir = self._table_dir(nm)
+            if not os.path.isdir(tdir):
+                continue
+            for entry in os.listdir(tdir):
+                p = os.path.join(tdir, entry)
+                if (
+                    entry.startswith(".tmp-")
+                    and os.path.isdir(p)
+                    and now - os.path.getmtime(p) >= grace_sec
+                ):
+                    shutil.rmtree(p)
+                    removed.append(os.path.join(nm, entry))
+        return removed
+
     def rollback(self, name: str, snapshot: int) -> dict:
         """Rollback — the Iceberg ``rollback_to_snapshot`` analogue: make
         a retained older snapshot current again by RE-PUBLISHING it as a
@@ -245,22 +351,7 @@ class StageCatalog:
         tdir = self._table_dir(name)
         src = os.path.join(tdir, src_dir)
         tmp = os.path.join(tdir, f".tmp-{uuid.uuid4().hex[:8]}")
-
-        def _link_tree(a: str, b: str) -> None:
-            os.makedirs(b, exist_ok=True)
-            for entry in os.listdir(a):
-                if entry == META:
-                    continue
-                pa, pb = os.path.join(a, entry), os.path.join(b, entry)
-                if os.path.isdir(pa):
-                    _link_tree(pa, pb)
-                else:
-                    try:
-                        os.link(pa, pb)
-                    except OSError:
-                        shutil.copy2(pa, pb)
-
-        _link_tree(src, tmp)
+        self._link_tree(src, tmp)
         n = int(self._snapshots(name)[-1].split("=")[1]) + 1
         meta = dict(src_meta)
         meta.update(

@@ -359,3 +359,67 @@ def test_graph_node_edge_tables(spark, main_run):
     pipe.materialize_graph(triples, f"corpus:{N_DOCS}")
     assert pipe.skipped[len(before):] == ["nodes", "edges"]
     t.unpersist()
+
+
+def test_append_snapshot_and_vacuum(spark, tmp_path):
+    """Fast append: snapshot N+1 = previous files (hardlinked) + delta
+    files; readers see the union, history records the append, and
+    vacuum clears only orphaned staging dirs."""
+    import os
+
+    cat = StageCatalog(str(tmp_path / "cat"))
+    base = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("part")
+    )
+    cat.write(base, "t", "fp-base", partition_by=["part"])
+    delta = spark.range(100, 140).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("part")
+    )
+    meta = cat.append(delta, "t", "fp-plus-delta", partition_by=["part"])
+    assert meta["rows"] == 140 and meta["appended_rows"] == 40
+    assert meta["append_of"] == 0
+
+    got = cat.read(spark, "t")
+    assert got.count() == 140
+    assert got.select("k").distinct().count() == 140
+    # time travel still sees the pre-append table
+    assert cat.read(spark, "t", snapshot=0).count() == 100
+    assert cat.is_current("t", "fp-plus-delta")
+
+    # vacuum: a crashed write's staging dir is removed, snapshots kept
+    orphan = os.path.join(cat._table_dir("t"), ".tmp-deadbeef")
+    os.makedirs(orphan)
+    removed = cat.vacuum()
+    assert removed == [os.path.join("t", ".tmp-deadbeef")]
+    assert not os.path.exists(orphan)
+    assert cat.read(spark, "t").count() == 140
+
+
+def test_incremental_run_appends_delta_triples(spark, tmp_path):
+    """run_incremental over a disjoint crawl drop must yield the same
+    triple set as one full run over base+delta (canonicalization is
+    content-deterministic per entity cluster in this corpus), while
+    writing only the delta's files."""
+    cat = StageCatalog(str(tmp_path / "cat"))
+    full = corpus_df(spark, 160)
+    base = corpus_df(spark, 120)
+    delta = full.join(base.select("url"), "url", "left_anti")
+
+    pipe = Pipeline(spark, cat, checkpoint="final")
+    pipe.run(base, "drop:0", resume=True)
+    combined = pipe.run_incremental(delta, "drop:1")
+
+    want = gold_triples_df(spark, 160)
+    prf = tuple_set_prf(combined, want, KEYS)
+    assert prf["precision"] == 1.0 and prf["recall"] == 1.0
+
+    # append metadata: only the delta's rows were written
+    meta = cat.latest_meta("triples")
+    assert meta["append_of"] == 0
+    assert meta["appended_rows"] == combined.count() - \
+        cat.history("triples")[0]["rows"]
+
+    # idempotence: re-running the same drop fingerprint skips
+    again = pipe.run_incremental(delta, "drop:1")
+    assert pipe.skipped[-1] == "triples"
+    assert again.count() == combined.count()
