@@ -423,3 +423,21 @@ def test_incremental_run_appends_delta_triples(spark, tmp_path):
     again = pipe.run_incremental(delta, "drop:1")
     assert pipe.skipped[-1] == "triples"
     assert again.count() == combined.count()
+
+
+def test_append_with_added_column_evolves_schema(spark, tmp_path):
+    """Iceberg-style add-column evolution: an appended delta may carry a
+    NEW column; the snapshot's recorded schema becomes the delta's, and
+    rows from the linked pre-append files read back as NULL for it."""
+    cat = StageCatalog(str(tmp_path / "cat"))
+    base = spark.range(10).select(F.col("id").alias("k"))
+    cat.write(base, "t", "fp0")
+    delta = spark.range(10, 15).select(
+        F.col("id").alias("k"), F.lit("v2").alias("tag")
+    )
+    cat.append(delta, "t", "fp1")
+    got = cat.read(spark, "t")
+    assert "tag" in got.columns
+    rows = {r["k"]: r["tag"] for r in got.collect()}
+    assert all(rows[k] is None for k in range(10))
+    assert all(rows[k] == "v2" for k in range(10, 15))
