@@ -2669,8 +2669,10 @@ def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     eval_docs = docs.filter(F.col("doc_id") % 97 == 3)
-    train = docs.filter(F.col("doc_id") % 97 != 3)
-    return ngram_contamination(train, eval_docs, "doc_id", "text",
+    # the crawl side is the WHOLE table: verbatim benchmark copies in
+    # the crawl are the main thing this pass exists to catch, so the
+    # eval slice flags itself (plus any organic overlap)
+    return ngram_contamination(docs, eval_docs, "doc_id", "text",
                                n=DECON_N)
 
 
@@ -2688,8 +2690,88 @@ WITH g AS ({_DECON_GRAMS}),
 e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 3)
 SELECT g.doc_id, CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS n_hits
 FROM g JOIN e USING (gram)
-WHERE g.doc_id % 97 <> 3
 GROUP BY g.doc_id
+"""
+
+
+def _event_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triples-shaped projection of the events table (user --event_type-->
+    item), so the pipeline's graph materialization operators get a hard
+    relational oracle on driver data."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").cast("string").alias("url"),
+        F.concat(F.lit("user#"), F.col("user_id")).alias("subj"),
+        F.col("event_type").alias("pred"),
+        F.concat(
+            F.lit("item#"), F.get_json_object("props", "$.k")
+        ).alias("obj"),
+        F.col("value").alias("confidence"),
+        F.to_date("ts").alias("day"),
+    )
+
+
+_EVENT_TRIPLES_SQL = """
+  SELECT CAST(event_id AS VARCHAR) AS url,
+         'user#' || CAST(user_id AS VARCHAR) AS subj,
+         event_type AS pred,
+         'item#' || json_extract_string(props, '$.k') AS obj,
+         value AS confidence,
+         CAST(ts AS DATE) AS day
+  FROM events
+"""
+
+
+def _kg_node_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline graph NODE table (plans/pipeline.nodes_from) over the
+    event-triples projection: one shuffle, map-side partials, per-node
+    day ranges."""
+    from deepee_spark.plans.pipeline import nodes_from
+
+    out = nodes_from(_event_triples(spark, sf_dir))
+    # day columns go out as strings: the driver canonicalizer is
+    # dtype-sensitive and DuckDB DATEs surface as pandas datetimes
+    return out.withColumn(
+        "first_day", F.col("first_day").cast("string")
+    ).withColumn("last_day", F.col("last_day").cast("string"))
+
+
+_KG_NODES_SQL = f"""
+WITH t AS ({_EVENT_TRIPLES_SQL}),
+sides AS (
+  SELECT subj AS node_id, 'event' AS kind,
+         string_split(subj, '#')[1] AS label, day FROM t
+  UNION ALL
+  SELECT obj AS node_id, 'entity' AS kind, obj AS label, day FROM t)
+SELECT node_id, kind, label, CAST(COUNT(*) AS BIGINT) AS n_triples,
+       CAST(MIN(day) AS VARCHAR) AS first_day,
+       CAST(MAX(day) AS VARCHAR) AS last_day
+FROM sides GROUP BY node_id, kind, label
+"""
+
+
+def _kg_edge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline graph EDGE table (plans/pipeline.edges_from) over the
+    event-triples projection: support weight, distinct sources, best
+    confidence, day range, pred_type partition column."""
+    from deepee_spark.plans.pipeline import edges_from
+
+    out = edges_from(_event_triples(spark, sf_dir))
+    return out.withColumn(
+        "first_day", F.col("first_day").cast("string")
+    ).withColumn("last_day", F.col("last_day").cast("string"))
+
+
+_KG_EDGES_SQL = f"""
+WITH t AS ({_EVENT_TRIPLES_SQL})
+SELECT subj, pred, obj,
+       CAST(COUNT(*) AS BIGINT) AS weight,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls,
+       MAX(confidence) AS confidence,
+       CAST(MIN(day) AS VARCHAR) AS first_day,
+       CAST(MAX(day) AS VARCHAR) AS last_day,
+       string_split(pred, ':')[1] AS pred_type
+FROM t GROUP BY subj, pred, obj
 """
 
 
@@ -4011,6 +4093,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": _curation_funnel,
         "decontaminate": _decontaminate,
         "sequence_packing": _sequence_packing,
+        "kg_node_rollup": _kg_node_rollup,
+        "kg_edge_rollup": _kg_edge_rollup,
         "a10_loss_reductions": _a10_loss_reductions,
         "w6_epoch_shuffle": _w6_epoch_shuffle,
         "m9_selector_weights": _m9_selector_weights,
@@ -4018,8 +4102,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j5_template_fanout": _j5_template_fanout,
         "s11_framenet_exemplars": _s11_framenet_exemplars,
         "a4_chunk_prf": _a4_chunk_prf,
-        "j2_embedding_alignment": _j2_embedding_alignment,
-        "j6_trigger_entity_pairs": _j6_trigger_entity_pairs,
         "sc13_dep_edges": _sc13_dep_edges,
         "dedup_exact": _dedup_exact,
         "dedup_minhash_signatures": _minhash_sig,
@@ -4036,6 +4118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- demoted past 50: twice driver-green, still locally checked --
         "a2_bag_argmax": _a2_bag_argmax,
         "w1_pr_curve": _w1_pr_curve,
+        "j2_embedding_alignment": _j2_embedding_alignment,
+        "j6_trigger_entity_pairs": _j6_trigger_entity_pairs,
         "q_top_orders": _q_top_orders,
         "u2_confidence_transfer": _u2_transfer,
         "j10_eval_intersection": _j10_intersection,
@@ -4101,6 +4185,8 @@ def oracle_sql() -> dict[str, str]:
         "curation_funnel": _FUNNEL_SQL,
         "decontaminate": _DECON_SQL,
         "sequence_packing": _SEQPACK_SQL,
+        "kg_node_rollup": _KG_NODES_SQL,
+        "kg_edge_rollup": _KG_EDGES_SQL,
         "a10_loss_reductions": _A10_SQL,
         "w6_epoch_shuffle": _W6_SQL,
         "m9_selector_weights": _M9_SQL,
