@@ -94,3 +94,58 @@ def stream_event_counts(
             F.col("count").alias("n_triggers"),
         )
     )
+
+
+def stream_arguments_to_catalog(
+    spark: SparkSession,
+    source_dir: str,
+    catalog,
+    checkpoint_dir: str,
+    table: str = "arguments",
+    available_now: bool = True,
+):
+    """Durable streaming ingest THROUGH the stage catalog: each
+    micro-batch of argument rows is FAST-APPENDED as a new atomic
+    snapshot (StageCatalog.append — previous files hardlinked, only the
+    batch's files written), so the streaming and batch paths share one
+    table, one lineage scheme, and one resume/time-travel surface.
+
+    Exactly-once: Structured Streaming's checkpoint gives at-least-once
+    foreachBatch invocations; replays reuse the SAME epoch_id, so the
+    sink dedupes by recording ``stream_batch_id`` in each snapshot's
+    metadata and skipping any epoch it has already committed — the
+    standard idempotent-sink contract (what an Iceberg streaming sink
+    does with its own snapshot properties).
+    """
+
+    def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        last = catalog.latest_meta(table) or {}
+        if last.get("stream_batch_id") is not None and epoch_id <= int(
+            last["stream_batch_id"]
+        ):
+            return  # replayed epoch: already committed
+        meta = catalog.append(
+            batch_df, table, f"stream:{source_dir}:epoch={epoch_id}"
+        )
+        # stamp the epoch into the snapshot meta (idempotence marker)
+        import json as _json
+        import os as _os
+
+        meta["stream_batch_id"] = int(epoch_id)
+        snap_dir = _os.path.join(
+            catalog._table_dir(table), f"snapshot={meta['snapshot']}"
+        )
+        with open(_os.path.join(snap_dir, "_meta.json"), "w") as f:
+            _json.dump(meta, f)
+
+    args = stream_arguments(stream_documents(spark, source_dir))
+    writer = (
+        args.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

@@ -190,3 +190,61 @@ def test_stateful_stream_dedup_on_canonical_url(spark, tmp_path):
     assert len(rows) == 3
     assert sorted(r["url"].rsplit("/", 1)[-1].split("?")[0] for r in rows) \
         == ["1", "2", "3"]
+
+
+def test_stream_appends_snapshots_to_catalog(spark, tmp_path):
+    """foreachBatch fast-append sink: two crawl drops arrive as separate
+    stream runs; each lands as append snapshots on ONE catalog table,
+    totals match the batch path, and replaying the second run commits
+    nothing new (epoch idempotence)."""
+    from deepee_spark.corpus import corpus_df
+    from deepee_spark.sources.tables import StageCatalog
+    from deepee_spark.streaming.ingest import (
+        stream_arguments,
+        stream_arguments_to_catalog,
+        stream_documents,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    cat = StageCatalog(str(tmp_path / "cat"))
+
+    docs = corpus_df(spark, 60)
+    docs.filter(
+        "CAST(regexp_extract(url, '([0-9]+)$', 1) AS INT) % 2 = 0"
+    ).write.mode("append").parquet(src)
+    stream_arguments_to_catalog(spark, src, cat, ckpt)
+    n_first = cat.latest_meta("arguments")["rows"]
+    assert n_first > 0
+
+    docs.filter(
+        "CAST(regexp_extract(url, '([0-9]+)$', 1) AS INT) % 2 = 1"
+    ).write.mode("append").parquet(src)
+    stream_arguments_to_catalog(spark, src, cat, ckpt)
+    total = cat.latest_meta("arguments")["rows"]
+    assert total > n_first
+
+    # batch-path equivalence on the same input
+    from deepee_spark.extract import documents_stage
+    from deepee_spark.functions.featurize import featurize_sentences
+    from deepee_spark.plans.pipeline import (
+        arguments_from_triggers,
+        triggers_from_sentences,
+    )
+    from deepee_spark.segment import sentences_stage
+
+    batch = arguments_from_triggers(
+        triggers_from_sentences(
+            featurize_sentences(
+                sentences_stage(documents_stage(spark.read.parquet(src)))
+            )
+        )
+    )
+    assert cat.read(spark, "arguments").count() == total == batch.count()
+
+    # no new input -> availableNow run commits nothing (no empty batches
+    # or replays leak into the table)
+    snaps_before = len(cat._snapshots("arguments"))
+    stream_arguments_to_catalog(spark, src, cat, ckpt)
+    assert len(cat._snapshots("arguments")) == snaps_before
+    assert cat.latest_meta("arguments")["rows"] == total
