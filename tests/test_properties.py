@@ -363,3 +363,60 @@ def test_contamination_matches_python_oracle(spark, docs_toks, n):
         if hits:
             want[i] = len(hits)
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(
+                    codec="utf-8", exclude_categories=("Cs",)
+                ),
+                max_size=400,
+            ),
+            st.sampled_from(["en", "zh", "de", "xx", ""]),
+        ),
+        min_size=1, max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_pipeline_prefix_survives_arbitrary_html(spark, docs):
+    """Robustness: ANY byte content as html (raw unicode, no structure,
+    control chars, RTL, emoji) must flow documents->sentences->arguments
+    without crashing, with stable schemas and the extraction invariant
+    (extract_text == the distributed column) intact."""
+    import datetime
+
+    from deepee_spark.corpus import DOC_SCHEMA
+    from deepee_spark.extract import documents_stage, extract_text
+    from deepee_spark.functions.featurize import featurize_sentences
+    from deepee_spark.plans.pipeline import (
+        arguments_from_triggers,
+        triggers_from_sentences,
+    )
+    from deepee_spark.segment import sentences_stage
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        (f"https://fuzz/{i}", ts,
+         ("<body><p>" + body + "</p></body>").encode("utf-8"), "", lang)
+        for i, (body, lang) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    extracted = documents_stage(df)
+    got = {r["url"]: r["text"] for r in extracted.collect()}
+    for url, _, html, _, _ in rows:
+        assert got[url] == extract_text(html)  # byte-identical invariant
+
+    args = arguments_from_triggers(
+        triggers_from_sentences(
+            featurize_sentences(sentences_stage(extracted))
+        )
+    )
+    # no crash, schema stable, row values well-formed
+    out = args.collect()
+    assert {"url", "sent_id", "arg_pos", "surface"}.issubset(
+        set(args.columns)
+    )
+    for r in out:
+        assert r["url"].startswith("https://fuzz/")
