@@ -58,6 +58,8 @@ def main() -> None:
         "curation_funnel",
         "decontaminate",
         "sequence_packing",
+        "kg_node_rollup",
+        "kg_edge_rollup",
         "ee_trigger_counts",
         "bert_trigger_tags",
         "qa_span_args",
@@ -129,6 +131,20 @@ def main() -> None:
             assert n_out == n_triples, (name, cycle, n_out, n_triples)
     for name, _ in profiles:
         timings[name] = round(min(trials[name]), 3)
+
+    # graph materialization (nodes/edges from the triples snapshot) —
+    # the post-pipeline step; one flow run feeds it, best of 2
+    g_trials = []
+    for cycle in range(2):
+        with tempfile.TemporaryDirectory() as root:
+            p = Pipeline(spark, StageCatalog(root), checkpoint="final")
+            t = p.run(docs, f"bench-graph-{cycle}:{n_docs}", resume=False)
+            t0 = time.time()
+            nodes, edges = p.materialize_graph(t, f"bench-graph-{cycle}:{n_docs}")
+            nodes.count(), edges.count()
+            g_trials.append(time.time() - t0)
+    timings["kg_graph_materialize"] = round(min(g_trials), 3)
+
     pipe_sec = timings["kg_pipeline"]
     fused_sec = timings["kg_pipeline_fused"]
     flow_sec = timings["kg_pipeline_flow"]

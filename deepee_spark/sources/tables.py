@@ -133,6 +133,9 @@ class StageCatalog:
             # schema travels with the snapshot: an EMPTY partitioned write
             # produces no data files and parquet inference would fail
             "schema": stamped.schema.json(),
+            # the partition spec too, so table-maintenance ops
+            # (compact/append) preserve the layout without being told
+            "partition_by": list(partition_by or []),
         }
         with open(os.path.join(tmp, META), "w") as f:
             json.dump(meta, f)
@@ -205,7 +208,8 @@ class StageCatalog:
         return self.read(spark, name)
 
     def compact(self, spark: SparkSession, name: str,
-                target_rows_per_file: int = 1_000_000) -> dict:
+                target_rows_per_file: int = 1_000_000,
+                sort_by: list[str] | None = None) -> dict:
         """Small-file compaction — the Iceberg `rewrite_data_files`
         analogue. A stage written at high parallelism leaves one parquet
         file per task; a 10^12-row table accumulated over many runs
@@ -218,14 +222,32 @@ class StageCatalog:
 
         Row counts ride the snapshot metadata, so sizing needs no extra
         count job.
+
+        ``sort_by`` additionally sorts rows WITHIN each rewritten file
+        (the Iceberg sort-order rewrite): parquet row-group min/max
+        stats on the sort columns then prune point/range scans inside
+        files, not just across partitions — repartitionByRange buckets
+        the key space across files, sortWithinPartitions orders inside.
         """
         meta = self.latest_meta(name)
         if meta is None:
             raise FileNotFoundError(f"no snapshot for stage table {name!r}")
         rows = max(int(meta.get("rows", 0)), 0)
         n_files = max(1, -(-rows // max(target_rows_per_file, 1)))
+        part_cols = list(meta.get("partition_by") or [])
         df = self.read(spark, name).drop("_run_id", "_stage", "_part_id")
-        return self.write(df.coalesce(n_files), name, meta["fingerprint"])
+        if sort_by:
+            # partition columns lead the sort so the partitioned writer
+            # does not re-sort (operators/shuffle.py docstring), then the
+            # requested order gives in-file min/max runs
+            keys = part_cols + [c for c in sort_by if c not in part_cols]
+            df = df.repartitionByRange(n_files, *keys)
+            df = df.sortWithinPartitions(*keys)
+        else:
+            df = df.coalesce(n_files)
+        return self.write(
+            df, name, meta["fingerprint"], partition_by=part_cols or None
+        )
 
     def _link_tree(self, a: str, b: str) -> None:
         """Hardlink a snapshot's data files into another tree (copy on
@@ -258,12 +280,15 @@ class StageCatalog:
         rest of the table is metadata. Spark part-file names carry task
         UUIDs, so merged partition directories never collide.
 
-        First append on an empty table degenerates to write()."""
+        First append on an empty table degenerates to write(). When
+        ``partition_by`` is omitted, the table's recorded spec applies."""
         snaps = self._snapshots(name)
         if not snaps:
             return self.write(delta, name, fingerprint, partition_by)
         prev_dir = os.path.join(self._table_dir(name), snaps[-1])
         prev_meta = self.latest_meta(name) or {}
+        if partition_by is None:
+            partition_by = list(prev_meta.get("partition_by") or []) or None
 
         t0 = time.time()
         from pyspark.sql import Observation
@@ -297,6 +322,7 @@ class StageCatalog:
             "wall_sec": round(time.time() - t0, 3),
             "committed_at": time.time(),
             "schema": stamped.schema.json(),
+            "partition_by": list(partition_by or []),
         }
         with open(os.path.join(tmp, META), "w") as f:
             json.dump(meta, f)

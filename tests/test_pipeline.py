@@ -441,3 +441,65 @@ def test_append_with_added_column_evolves_schema(spark, tmp_path):
     rows = {r["k"]: r["tag"] for r in got.collect()}
     assert all(rows[k] is None for k in range(10))
     assert all(rows[k] == "v2" for k in range(10, 15))
+
+
+def test_sorted_compaction_orders_files_for_skipping(spark, tmp_path):
+    """compact(sort_by=...) must range-partition the key space across
+    files and sort within each, so parquet row-group min/max stats can
+    prune point scans; data and resume state stay identical."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    cat = StageCatalog(str(tmp_path / "cat"))
+    df = spark.range(10_000).select(
+        (F.col("id") * 2654435761 % 1000003).alias("k"),
+        F.col("id").alias("v"),
+    ).repartition(16)
+    cat.write(df, "t", "fp1")
+    cat.compact(spark, "t", target_rows_per_file=2_500, sort_by=["k"])
+
+    snap = os.path.join(cat._table_dir("t"), "snapshot=1")
+    files = sorted(glob.glob(os.path.join(snap, "*.parquet")))
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        ks = pq.read_table(f, columns=["k"]).column("k").to_pylist()
+        assert ks == sorted(ks)  # sorted inside each file
+        ranges.append((min(ks), max(ks)))
+    # files cover DISJOINT key ranges (range partitioning), so a point
+    # lookup touches one file's row groups only
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+    assert cat.is_current("t", "fp1")
+    assert cat.read(spark, "t").count() == 10_000
+
+
+def test_compaction_preserves_partition_layout(spark, tmp_path):
+    """Compacting a partitioned table must keep the directory layout
+    (Iceberg rewrites preserve the partition spec) — including the
+    sorted variant — and appends inherit the recorded spec."""
+    import os
+
+    cat = StageCatalog(str(tmp_path / "cat"))
+    df = spark.range(2_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("part"),
+    ).repartition(8)
+    cat.write(df, "t", "fp1", partition_by=["part"])
+    cat.compact(spark, "t", target_rows_per_file=1_000, sort_by=["k"])
+    snap = os.path.join(cat._table_dir("t"), "snapshot=1")
+    assert any(e.startswith("part=") for e in os.listdir(snap))
+    assert cat.read(spark, "t").count() == 2_000
+    assert cat.read(spark, "t").filter("part = '2'").count() == 500
+
+    # append without an explicit spec inherits the recorded one
+    delta = spark.range(2_000, 2_100).select(
+        F.col("id").alias("k"), (F.col("id") % 4).cast("string").alias("part")
+    )
+    cat.append(delta, "t", "fp2")
+    snap2 = os.path.join(cat._table_dir("t"), "snapshot=2")
+    assert any(e.startswith("part=") for e in os.listdir(snap2))
+    assert cat.read(spark, "t").count() == 2_100
