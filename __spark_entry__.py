@@ -2694,6 +2694,84 @@ GROUP BY g.doc_id
 """
 
 
+def _stream_first_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState dedup operator under a HARD oracle:
+    documents stream in as a file source, the stateful operator emits
+    first-occurrence rows per (source, text-hash), and the result is
+    projected to the ORDER-STABLE set (key, fingerprint) — arrival
+    order decides which url wins, but the deduped set itself is
+    deterministic, so DuckDB can replay it as SELECT DISTINCT. The
+    fingerprint is the shared engine-replicable rolling hash
+    (operators/dedup.str_hash ↔ _HASH_SQL)."""
+    import os
+    import tempfile
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from deepee_spark.operators.dedup import str_hash
+    from deepee_spark.streaming.stateful import (
+        OUT_SCHEMA,
+        STATE_SCHEMA,
+        _dedup_group,
+    )
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(docs_path).schema
+    # the file source wants a DIRECTORY; stage the (read-only) table
+    # file into one via hardlink, copy on cross-device
+    src_dir = tempfile.mkdtemp(prefix="stream_first_crawl_src_")
+    staged = os.path.join(src_dir, "documents.parquet")
+    try:
+        os.link(docs_path, staged)
+    except OSError:
+        import shutil
+
+        shutil.copy2(docs_path, staged)
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    keyed = src.select(
+        F.col("source").alias("key"),
+        str_hash(F.col("text")).alias("fingerprint"),
+        F.col("doc_id").cast("string").alias("url"),
+    )
+    dedup = keyed.groupBy("key").applyInPandasWithState(
+        _dedup_group,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out_dir = tempfile.mkdtemp(prefix="stream_first_crawl_")
+    q = (
+        dedup.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="stream_first_crawl_ck_"),
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.schema(OUT_SCHEMA)
+        .parquet(out_dir)
+        .select("key", F.col("fingerprint").cast("long").alias("fingerprint"))
+        .distinct()
+    )
+
+
+_STREAM_FIRST_SQL = f"""
+SELECT DISTINCT source AS key,
+       CAST({_HASH_SQL.format(col='text')} AS BIGINT) AS fingerprint
+FROM documents
+"""
+
+
 def _event_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triples-shaped projection of the events table (user --event_type-->
     item), so the pipeline's graph materialization operators get a hard
@@ -4095,6 +4173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": _sequence_packing,
         "kg_node_rollup": _kg_node_rollup,
         "kg_edge_rollup": _kg_edge_rollup,
+        "stream_first_crawl": _stream_first_crawl,
         "a10_loss_reductions": _a10_loss_reductions,
         "w6_epoch_shuffle": _w6_epoch_shuffle,
         "m9_selector_weights": _m9_selector_weights,
@@ -4102,7 +4181,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j5_template_fanout": _j5_template_fanout,
         "s11_framenet_exemplars": _s11_framenet_exemplars,
         "a4_chunk_prf": _a4_chunk_prf,
-        "sc13_dep_edges": _sc13_dep_edges,
         "dedup_exact": _dedup_exact,
         "dedup_minhash_signatures": _minhash_sig,
         "dedup_simhash": _simhash,
@@ -4120,6 +4198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_pr_curve": _w1_pr_curve,
         "j2_embedding_alignment": _j2_embedding_alignment,
         "j6_trigger_entity_pairs": _j6_trigger_entity_pairs,
+        "sc13_dep_edges": _sc13_dep_edges,
         "q_top_orders": _q_top_orders,
         "u2_confidence_transfer": _u2_transfer,
         "j10_eval_intersection": _j10_intersection,
@@ -4187,6 +4266,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_packing": _SEQPACK_SQL,
         "kg_node_rollup": _KG_NODES_SQL,
         "kg_edge_rollup": _KG_EDGES_SQL,
+        "stream_first_crawl": _STREAM_FIRST_SQL,
         "a10_loss_reductions": _A10_SQL,
         "w6_epoch_shuffle": _W6_SQL,
         "m9_selector_weights": _M9_SQL,
