@@ -2853,6 +2853,169 @@ FROM t GROUP BY subj, pred, obj
 """
 
 
+# directed bipartite KG edge projection used by the graph-analytics ops:
+# user#<id> --(any event)--> item#<k>
+_KG_EDGE_PROJ_SQL = """
+SELECT DISTINCT 'user#' || CAST(user_id AS VARCHAR) AS src,
+       'item#' || json_extract_string(props, '$.k') AS dst
+FROM events
+"""
+
+
+def _kg_edge_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.concat(F.lit("user#"), F.col("user_id")).alias("src"),
+        F.concat(
+            F.lit("item#"), F.get_json_object("props", "$.k")
+        ).alias("dst"),
+    ).distinct()
+
+
+def _kg_co_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-neighbor entity similarity (operators/graph.co_neighbors):
+    pairs of user nodes that interacted with the same item, with the
+    shared-item count. Hub items are fanout-capped BEFORE the self-join
+    at 10^12-triple scale; uncapped here so the oracle is exact."""
+    from deepee_spark.operators.graph import co_neighbors
+
+    return co_neighbors(_kg_edge_proj(spark, sf_dir))
+
+
+_KG_CO_NEIGHBORS_SQL = f"""
+WITH e AS ({_KG_EDGE_PROJ_SQL})
+SELECT a.src AS a, b.src AS b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+GROUP BY a.src, b.src
+"""
+
+
+def _kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (operators/graph.triangle_count, degree-
+    oriented wedge enumeration) over the co-purchase projection: items
+    purchased together by >= 2 distinct users form an edge."""
+    from deepee_spark.operators.graph import co_neighbors, triangle_count
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    item_user = ev.select(
+        F.concat(
+            F.lit("item#"), F.get_json_object("props", "$.k")
+        ).alias("src"),
+        F.concat(F.lit("user#"), F.col("user_id")).alias("dst"),
+    )
+    copurchase = (
+        co_neighbors(item_user)
+        .filter(F.col("n_shared") >= 2)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    return triangle_count(copurchase)
+
+
+_KG_TRIANGLES_SQL = """
+WITH iu AS (
+  SELECT DISTINCT 'item#' || json_extract_string(props, '$.k') AS item,
+         'user#' || CAST(user_id AS VARCHAR) AS u
+  FROM events WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT a.item AS lo, b.item AS hi
+  FROM iu a JOIN iu b ON a.u = b.u AND a.item < b.item
+  GROUP BY a.item, b.item HAVING COUNT(*) >= 2),
+tri AS (
+  SELECT p1.lo AS a, p1.hi AS b, p2.hi AS c
+  FROM pairs p1
+  JOIN pairs p2 ON p2.lo = p1.hi
+  JOIN pairs p3 ON p3.lo = p1.lo AND p3.hi = p2.hi),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY node
+"""
+
+
+def _kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank in exact integer micro-units (operators/
+    graph.pagerank_int) over the bipartite KG edges. Integer arithmetic
+    makes the result independent of shuffle order, so the unrolled-CTE
+    DuckDB oracle hash-matches bit-for-bit — a float PageRank could
+    never get a hard cross-engine oracle."""
+    from deepee_spark.operators.graph import pagerank_int
+
+    return pagerank_int(_kg_edge_proj(spark, sf_dir), iters=3)
+
+
+def _kg_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS to 3 hops (operators/graph.bfs_distances) over
+    the undirected expansion of the KG edges, seeded at every 50th user
+    node. Integer hop distances -> exact oracle."""
+    from deepee_spark.operators.graph import bfs_distances
+
+    ev = _t(spark, sf_dir, "events")
+    seeds = (
+        ev.filter(F.col("user_id") % 50 == 0)
+        .select(F.concat(F.lit("user#"), F.col("user_id")).alias("node"))
+        .distinct()
+    )
+    return bfs_distances(_kg_edge_proj(spark, sf_dir), seeds, max_hops=3)
+
+
+_KG_BFS_SEEDS_SQL = """
+SELECT DISTINCT 'user#' || CAST(user_id AS VARCHAR) AS node
+FROM events WHERE user_id % 50 = 0
+"""
+
+
+def _kg_fact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal fact resolution: for every (subj, pred) keep the most
+    recent assertion by (ts, url) — the standard latest-wins merge when
+    re-crawls re-assert facts about the same entity. Partitioned window
+    (one shuffle on (subj, pred)); epoch-seconds long so both engines
+    compare identical integers."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    t = ev.select(
+        F.concat(F.lit("user#"), F.col("user_id")).alias("subj"),
+        F.col("event_type").alias("pred"),
+        F.concat(
+            F.lit("item#"), F.get_json_object("props", "$.k")
+        ).alias("obj"),
+        F.col("event_id").cast("string").alias("url"),
+        F.unix_timestamp("ts").cast("long").alias("ts_epoch"),
+    )
+    w = W.partitionBy("subj", "pred").orderBy(
+        F.desc("ts_epoch"), F.desc("url")
+    )
+    return (
+        t.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+_KG_FACT_LATEST_SQL = """
+SELECT subj, pred, obj, url, ts_epoch FROM (
+  SELECT subj, pred, obj, url, ts_epoch,
+         ROW_NUMBER() OVER (
+           PARTITION BY subj, pred
+           ORDER BY ts_epoch DESC, url DESC) AS rn
+  FROM (
+    SELECT 'user#' || CAST(user_id AS VARCHAR) AS subj,
+           event_type AS pred,
+           'item#' || json_extract_string(props, '$.k') AS obj,
+           CAST(event_id AS VARCHAR) AS url,
+           -- floor, not round: Spark unix_timestamp truncates the
+           -- fractional second, and the tie-break must see the same
+           -- truncated integer both engines order by
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+    FROM events))
+WHERE rn = 1
+"""
+
+
 def _sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sequence packing: whitespace token counts ->
     hash-sharded greedy bins of 512 tokens (shard = the shared diffused
@@ -4174,6 +4337,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_node_rollup": _kg_node_rollup,
         "kg_edge_rollup": _kg_edge_rollup,
         "stream_first_crawl": _stream_first_crawl,
+        "kg_co_neighbors": _kg_co_neighbors,
+        "kg_triangles": _kg_triangles,
+        "kg_pagerank": _kg_pagerank,
+        "kg_bfs": _kg_bfs,
+        "kg_fact_latest": _kg_fact_latest,
         "a10_loss_reductions": _a10_loss_reductions,
         "w6_epoch_shuffle": _w6_epoch_shuffle,
         "m9_selector_weights": _m9_selector_weights,
@@ -4187,13 +4355,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _ngram_jaccard,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
         "dedup_cluster_assign": _dedup_cluster_assign,
+        "ann_pq_topk": _ann_pq_topk,
+        # -- demoted past 50: twice driver-green, still locally checked --
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_ivf_topk": _ann_ivf_topk,
-        "ann_pq_topk": _ann_pq_topk,
         "mm_image_features": _mm_image_features,
         "mm_audio_features": _mm_audio_features,
         "mm_video_frames": _mm_video_frames,
-        # -- demoted past 50: twice driver-green, still locally checked --
         "a2_bag_argmax": _a2_bag_argmax,
         "w1_pr_curve": _w1_pr_curve,
         "j2_embedding_alignment": _j2_embedding_alignment,
@@ -4234,6 +4402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     # Same insertion order as queries() — see the ordering note there.
+    from deepee_spark.operators import graph as _graph_sql
+
     return {
         "q1_pricing_summary": _Q1_SQL,
         "a1_vocab_build": _A1_SQL,
@@ -4267,6 +4437,15 @@ def oracle_sql() -> dict[str, str]:
         "kg_node_rollup": _KG_NODES_SQL,
         "kg_edge_rollup": _KG_EDGES_SQL,
         "stream_first_crawl": _STREAM_FIRST_SQL,
+        "kg_co_neighbors": _KG_CO_NEIGHBORS_SQL,
+        "kg_triangles": _KG_TRIANGLES_SQL,
+        "kg_pagerank": _graph_sql.pagerank_oracle_sql(
+            _KG_EDGE_PROJ_SQL, iters=3
+        ),
+        "kg_bfs": _graph_sql.bfs_oracle_sql(
+            _KG_EDGE_PROJ_SQL, _KG_BFS_SEEDS_SQL, max_hops=3
+        ),
+        "kg_fact_latest": _KG_FACT_LATEST_SQL,
         "a10_loss_reductions": _A10_SQL,
         "w6_epoch_shuffle": _W6_SQL,
         "m9_selector_weights": _M9_SQL,

@@ -1,0 +1,316 @@
+"""Distributed graph analytics over the materialized KG edge tables.
+
+Once the pipeline has emitted triples and rolled them up into node/edge
+tables (plans/pipeline.nodes_from / edges_from), a KG user immediately
+asks graph-shaped questions: which entities share neighbors, how densely
+is a neighborhood interconnected, which nodes are structurally central,
+how far is everything from a seed set. The reference's downstream
+consumers do this off-engine; here each op is a first-class distributed
+DataFrame plan designed for the 10^12-triple graph:
+
+- co_neighbors: entity similarity via shared neighbors (the user-item-
+  user / item-user-item projection of a bipartite edge set). One
+  self-join on the shared endpoint; per-endpoint fanout is capped BEFORE
+  the join so a celebrity hub cannot produce a quadratic bucket.
+- triangle_count: per-node triangle counts by degree orientation
+  (order every edge from the (degree, id)-smaller endpoint to the
+  larger; enumerate wedges only at the smaller endpoint; close them
+  with a semi-equi-join). Wedge work per node is then O(min-degree²),
+  the MR-standard bound (Suri & Vassilvitskii, WWW'11 — public), not
+  O(max-degree²); hub nodes never enumerate their own wedges.
+- pagerank_int: fixed-iteration PageRank in EXACT integer arithmetic.
+  Ranks live in micro-units (SCALE = 1e9); contributions are integer
+  divisions (rank div outdeg) and the damping step is (85 * sum) div
+  100. Integer addition is exact and commutative, so the result is
+  bit-identical regardless of partitioning, shuffle order, or engine —
+  which is what lets a cross-engine SQL oracle hash-match it, unlike
+  float PageRank where partial-sum order drifts. Dangling mass is
+  dropped (documented; both sides agree). Each iteration is one shuffle
+  (groupBy dst) plus a broadcast-size teleport constant; lineage is cut
+  per iteration so the plan does not grow with iters.
+- bfs_distances: multi-source BFS to max_hops in integer hops.
+  Frontier-join formulation: dist(v) = min over iterations; each hop is
+  one join frontier⋈edges + one min-agg. Exact, deterministic.
+
+All outputs are integer or canonically-ordered, so every op here gets a
+hard rows+schema+hash driver oracle (see __spark_entry__.kg_* queries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# PageRank micro-unit scale. 1e9 keeps every intermediate (85 * sum of
+# per-node ranks) far below 2^63 even for graphs with ~1e9 nodes.
+PR_SCALE = 1_000_000_000
+
+
+def co_neighbors(
+    edges: DataFrame, max_fanout: int | None = None
+) -> DataFrame:
+    """(src, dst) -> (a, b, n_shared) pairs of distinct src nodes that
+    share a dst, a < b, with the number of shared neighbors.
+
+    Scale: the self-join key is dst; a dst with fanout f yields f²
+    pairs. `max_fanout` drops dst nodes above the cap before the join
+    (the standard guard: a hub shared by everyone carries no similarity
+    signal anyway). The join input is repartitioned on dst so AQE
+    cannot coalesce the quadratic stage into one task.
+    """
+    e = edges.select("src", "dst").distinct()
+    if max_fanout is not None:
+        keep = e.groupBy("dst").agg(F.count(F.lit(1)).alias("f")).filter(
+            F.col("f") <= max_fanout
+        )
+        e = e.join(keep.select("dst"), "dst")
+    e = e.repartition("dst")
+    a = e.select(F.col("src").alias("a"), "dst")
+    b = e.select(F.col("src").alias("b"), "dst")
+    return (
+        a.join(b, "dst")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+
+
+def undirect(edges: DataFrame) -> DataFrame:
+    """-> distinct canonical (lo, hi) with lo < hi; self-loops dropped."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over the undirected simple graph.
+
+    Degree orientation: rank nodes by (degree, id); orient every edge
+    from the rank-smaller endpoint u to the larger v. Wedges (u; v, w)
+    are enumerated only at u (the smaller endpoint), so per-node wedge
+    work is O(d_min²); the closure check is an equi-join of the wedge
+    set against the oriented edge set on (v, w). Every triangle is
+    found exactly once, then credited to all three corners.
+
+    Returns (node, n_triangles) for nodes in >= 1 triangle.
+    """
+    und = undirect(edges)
+    deg = (
+        und.select(F.col("lo").alias("node"))
+        .unionByName(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient by (degree, id): u -> v iff (d_u, u) < (d_v, v)
+    dl = deg.select(
+        F.col("node").alias("lo"), F.col("d").alias("d_lo")
+    )
+    dh = deg.select(F.col("node").alias("hi"), F.col("d").alias("d_hi"))
+    ranked = und.join(dl, "lo").join(dh, "hi")
+    fwd = (F.col("d_lo") < F.col("d_hi")) | (
+        (F.col("d_lo") == F.col("d_hi")) & (F.col("lo") < F.col("hi"))
+    )
+    oriented = ranked.select(
+        F.when(fwd, F.col("lo")).otherwise(F.col("hi")).alias("u"),
+        F.when(fwd, F.col("hi")).otherwise(F.col("lo")).alias("v"),
+    )
+    # wedges at u: pairs of out-neighbors (v, w), v < w in id order
+    e1 = oriented.select("u", F.col("v").alias("x"))
+    e2 = oriented.select("u", F.col("v").alias("y"))
+    wedges = (
+        e1.join(e2, "u")
+        .filter(F.col("x") < F.col("y"))
+        .select(
+            "u",
+            F.least("x", "y").alias("lo"),
+            F.greatest("x", "y").alias("hi"),
+        )
+    )
+    tri = wedges.join(und, ["lo", "hi"])  # wedge closed by an edge
+    corners = (
+        tri.select(F.col("u").alias("node"))
+        .unionByName(tri.select(F.col("lo").alias("node")))
+        .unionByName(tri.select(F.col("hi").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+
+
+def pagerank_int(
+    edges: DataFrame, iters: int = 3, damping_pct: int = 85
+) -> DataFrame:
+    """Fixed-iteration PageRank in exact integer micro-units.
+
+    rank_0(v)   = PR_SCALE div n                      (n = |nodes|)
+    teleport    = ((100 - damping_pct) * rank_0) div 100
+    rank_i(v)   = teleport
+                + (damping_pct * sum_{u->v} (rank_{i-1}(u) div outdeg(u)))
+                  div 100
+
+    Every operation is BIGINT, so the result is independent of shuffle
+    partitioning and bit-identical across engines (the property the
+    cross-engine oracle needs). Dangling-node mass is dropped rather
+    than redistributed — a documented variant choice, mirrored exactly
+    in the SQL oracle. Each iteration: one shuffle (groupBy dst) + a
+    left join back onto the node set so sink nodes keep their teleport
+    mass; lineage is cut per iteration via localCheckpoint so the plan
+    stays O(1) deep regardless of iters.
+
+    Returns (node, rank) with rank in micro-units (long).
+    """
+    e = edges.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    r0 = PR_SCALE // n
+    teleport = ((100 - damping_pct) * r0) // 100
+    outdeg = e.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("outdeg")
+    )
+    # (src, dst, outdeg) is iteration-invariant: compute once, pin it
+    links = e.join(outdeg, "src").localCheckpoint()
+    rank = nodes.select("node", F.lit(r0).cast("long").alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            links.join(
+                rank.select(F.col("node").alias("src"), "rank"), "src"
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        rank = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(s, 0L)) div 100"
+                    )
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return rank
+
+
+def pagerank_oracle_sql(
+    edges_sql: str, iters: int = 3, damping_pct: int = 85
+) -> str:
+    """DuckDB twin of pagerank_int: the same integer recurrence unrolled
+    as chained CTEs over `edges_sql` (a SELECT yielding src, dst)."""
+    parts = [
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "n AS (SELECT COUNT(*) AS n FROM nodes)",
+        "od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg"
+        " FROM e GROUP BY src)",
+        f"r0 AS (SELECT node, CAST({PR_SCALE} // n.n AS BIGINT) AS rank"
+        " FROM nodes, n)",
+        f"tp AS (SELECT ({100 - damping_pct} * rank) // 100 AS t"
+        " FROM r0 LIMIT 1)",
+    ]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"r{i} AS (SELECT nodes.node, CAST(tp.t + "
+            f"({damping_pct} * COALESCE(SUM({prev}.rank // od.outdeg), 0))"
+            " // 100 AS BIGINT) AS rank"
+            f" FROM nodes CROSS JOIN tp"
+            f" LEFT JOIN e ON e.dst = nodes.node"
+            f" LEFT JOIN {prev} ON {prev}.node = e.src"
+            f" LEFT JOIN od ON od.src = e.src"
+            " GROUP BY nodes.node, tp.t)"
+        )
+        prev = f"r{i}"
+    return ",\n".join(parts) + f"\nSELECT node, rank FROM {prev}"
+
+
+def bfs_distances(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """Multi-source BFS over the UNDIRECTED expansion of (src, dst), up
+    to max_hops. `seeds` is a one-column DataFrame (node). Returns
+    (node, dist) for every reached node, dist in [0, max_hops].
+
+    Frontier formulation: hop i joins the hop-(i-1) frontier against
+    the symmetric edge list, anti-joins out already-visited nodes, and
+    localCheckpoints the new frontier — each hop is one shuffle join on
+    the frontier (small side broadcast-able when the frontier is),
+    never a pass over the full visited set.
+    """
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    visited = seeds.select(
+        F.col(seeds.columns[0]).alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    ).distinct().localCheckpoint()
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            sym.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(
+            nxt.select("node", F.lit(hop).cast("long").alias("dist"))
+        ).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
+def bfs_oracle_sql(
+    edges_sql: str, seeds_sql: str, max_hops: int = 3
+) -> str:
+    """DuckDB twin of bfs_distances: hop CTEs unrolled; dist(v) = the
+    first hop at which v appears (min over the union)."""
+    parts = [
+        f"WITH e0 AS (SELECT src, dst FROM ({edges_sql}))",
+        "sym AS (SELECT DISTINCT src, dst FROM"
+        " (SELECT src, dst FROM e0 UNION ALL"
+        "  SELECT dst AS src, src AS dst FROM e0))",
+        f"h0 AS (SELECT DISTINCT node, CAST(0 AS BIGINT) AS dist"
+        f" FROM ({seeds_sql}))",
+    ]
+    reach = ["SELECT node, dist FROM h0"]
+    prev = "h0"
+    for i in range(1, max_hops + 1):
+        parts.append(
+            f"h{i} AS (SELECT DISTINCT sym.dst AS node,"
+            f" CAST({i} AS BIGINT) AS dist"
+            f" FROM sym JOIN {prev} ON sym.src = {prev}.node)"
+        )
+        reach.append(f"SELECT node, dist FROM h{i}")
+        prev = f"h{i}"
+    return (
+        ",\n".join(parts)
+        + "\nSELECT node, MIN(dist) AS dist FROM ("
+        + " UNION ALL ".join(reach)
+        + ") GROUP BY node"
+    )

@@ -1,0 +1,163 @@
+"""Graph analytics: brute-force oracles on small random graphs, plus a
+DuckDB check that the unrolled-CTE oracle generators reproduce the Spark
+results bit-for-bit (the property the driver contract relies on)."""
+
+from __future__ import annotations
+
+import random
+from collections import defaultdict, deque
+
+import duckdb
+import pytest
+
+from deepee_spark.operators.graph import (
+    PR_SCALE,
+    bfs_distances,
+    bfs_oracle_sql,
+    co_neighbors,
+    pagerank_int,
+    pagerank_oracle_sql,
+    triangle_count,
+)
+
+
+def _rand_edges(n_nodes: int, n_edges: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    out = set()
+    while len(out) < n_edges:
+        a, b = rng.randrange(n_nodes), rng.randrange(n_nodes)
+        if a != b:
+            out.add((a, b))
+    return sorted(out)
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    rows = _rand_edges(40, 160, seed=7)
+    return spark.createDataFrame(rows, "src: long, dst: long").cache()
+
+
+def test_co_neighbors_bruteforce(spark, edges):
+    rows = {(r.src, r.dst) for r in edges.collect()}
+    by_dst = defaultdict(set)
+    for s, d in rows:
+        by_dst[d].add(s)
+    want = defaultdict(int)
+    for srcs in by_dst.values():
+        ss = sorted(srcs)
+        for i, a in enumerate(ss):
+            for b in ss[i + 1 :]:
+                want[(a, b)] += 1
+    got = {(r.a, r.b): r.n_shared for r in co_neighbors(edges).collect()}
+    assert got == dict(want)
+
+
+def test_co_neighbors_fanout_cap(spark, edges):
+    # with the cap at 1 no dst is shared, so no pairs survive
+    assert co_neighbors(edges, max_fanout=1).count() == 0
+    capped = co_neighbors(edges, max_fanout=3)
+    full = co_neighbors(edges)
+    assert capped.count() < full.count()
+
+
+def test_triangle_count_bruteforce(spark, edges):
+    und = set()
+    for r in edges.collect():
+        a, b = sorted((r.src, r.dst))
+        und.add((a, b))
+    adj = defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = defaultdict(int)
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            if c > b:  # each triangle once: a < b < c
+                for v in (a, b, c):
+                    want[v] += 1
+    got = {r.node: r.n_triangles for r in triangle_count(edges).collect()}
+    assert got == dict(want)
+    assert sum(got.values()) % 3 == 0 and sum(got.values()) > 0
+
+
+def _pagerank_py(rows, iters=3, damping_pct=85):
+    e = sorted(set(rows))
+    nodes = sorted({a for a, _ in e} | {b for _, b in e})
+    n = len(nodes)
+    r0 = PR_SCALE // n
+    tp = ((100 - damping_pct) * r0) // 100
+    outdeg = defaultdict(int)
+    for a, _ in e:
+        outdeg[a] += 1
+    rank = {v: r0 for v in nodes}
+    for _ in range(iters):
+        s = defaultdict(int)
+        for a, b in e:
+            s[b] += rank[a] // outdeg[a]
+        rank = {v: tp + (damping_pct * s[v]) // 100 for v in nodes}
+    return rank
+
+
+def test_pagerank_exact_integer(spark, edges):
+    rows = [(r.src, r.dst) for r in edges.collect()]
+    want = _pagerank_py(rows)
+    got = {r.node: r.rank for r in pagerank_int(edges, iters=3).collect()}
+    assert got == want  # EXACT, not approx: integer arithmetic end to end
+    # mass sanity: total rank stays within a teleport-rounding band
+    assert 0 < sum(got.values()) <= PR_SCALE
+
+
+def test_pagerank_duckdb_oracle_matches(spark, edges):
+    got = {r.node: r.rank for r in pagerank_int(edges, iters=3).collect()}
+    pdf = edges.toPandas()
+    con = duckdb.connect()
+    con.register("edges_tbl", pdf)
+    sql = pagerank_oracle_sql("SELECT src, dst FROM edges_tbl", iters=3)
+    want = dict(con.execute(sql).fetchall())
+    assert got == want
+
+
+def _bfs_py(rows, seeds, max_hops=3):
+    adj = defaultdict(set)
+    for a, b in rows:
+        adj[a].add(b)
+        adj[b].add(a)
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        if dist[u] == max_hops:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+def test_bfs_bruteforce_and_oracle(spark, edges):
+    rows = [(r.src, r.dst) for r in edges.collect()]
+    seeds = [0, 1]
+    want = _bfs_py(rows, seeds, max_hops=3)
+    seeds_df = spark.createDataFrame([(s,) for s in seeds], "node: long")
+    got = {
+        r.node: r.dist
+        for r in bfs_distances(edges, seeds_df, max_hops=3).collect()
+    }
+    assert got == want
+    con = duckdb.connect()
+    con.register("edges_tbl", edges.toPandas())
+    sql = bfs_oracle_sql(
+        "SELECT src, dst FROM edges_tbl",
+        "SELECT UNNEST([0, 1]) AS node",
+        max_hops=3,
+    )
+    assert dict(con.execute(sql).fetchall()) == want
+
+
+def test_bfs_early_exhaustion(spark):
+    # a 2-node path exhausts at hop 1; hops 2..5 must not loop or crash
+    e = spark.createDataFrame([(1, 2)], "src: long, dst: long")
+    seeds = spark.createDataFrame([(1,)], "node: long")
+    got = {r.node: r.dist for r in bfs_distances(e, seeds, max_hops=5).collect()}
+    assert got == {1: 0, 2: 1}
