@@ -503,3 +503,54 @@ def test_compaction_preserves_partition_layout(spark, tmp_path):
     snap2 = os.path.join(cat._table_dir("t"), "snapshot=2")
     assert any(e.startswith("part=") for e in os.listdir(snap2))
     assert cat.read(spark, "t").count() == 2_100
+
+
+def test_graph_analytics_over_pipeline_triples(spark, main_run):
+    """The graph-analytics family composes with the REAL pipeline
+    output: edges_from(triples) -> (src, dst) drives exact-integer
+    PageRank and shared-neighbor similarity, checked against
+    brute-force recurrences on the collected triple set."""
+    from collections import defaultdict
+
+    from deepee_spark.operators.graph import (
+        PR_SCALE,
+        co_neighbors,
+        pagerank_int,
+    )
+    from deepee_spark.plans.pipeline import edges_from
+
+    _cat, _pipe, triples = main_run
+    edges = edges_from(triples).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    rows = sorted({(r.src, r.dst) for r in edges.collect()})
+    assert rows, "pipeline emitted no edges"
+
+    # exact-integer PageRank == the pure-python recurrence
+    nodes = sorted({a for a, _ in rows} | {b for _, b in rows})
+    r0 = PR_SCALE // len(nodes)
+    tp = (15 * r0) // 100
+    outdeg = defaultdict(int)
+    for a, _ in rows:
+        outdeg[a] += 1
+    rank = {v: r0 for v in nodes}
+    for _ in range(3):
+        s = defaultdict(int)
+        for a, b in rows:
+            s[b] += rank[a] // outdeg[a]
+        rank = {v: tp + (85 * s[v]) // 100 for v in nodes}
+    got = {r.node: r.rank for r in pagerank_int(edges, iters=3).collect()}
+    assert got == rank
+
+    # events sharing an argument entity: brute force over dst groups
+    by_dst = defaultdict(set)
+    for a, b in rows:
+        by_dst[b].add(a)
+    want = defaultdict(int)
+    for srcs in by_dst.values():
+        ss = sorted(srcs)
+        for i, a in enumerate(ss):
+            for b in ss[i + 1:]:
+                want[(a, b)] += 1
+    pairs = {(r.a, r.b): r.n_shared for r in co_neighbors(edges).collect()}
+    assert pairs == dict(want)
