@@ -2876,17 +2876,37 @@ def _kg_co_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared-neighbor entity similarity (operators/graph.co_neighbors):
     pairs of user nodes that interacted with the same item, with the
     shared-item count. Hub items are fanout-capped BEFORE the self-join
-    at 10^12-triple scale; uncapped here so the oracle is exact."""
+    at 10^12-triple scale; uncapped here so the oracle is exact.
+
+    The quadratic stage runs on NARROW keys — long user ids and
+    xxhash64'd item keys — and the display labels are concatenated onto
+    the 24x-smaller aggregated output, not the pair explosion: measured
+    2.4x faster than self-joining the label strings at sf0.1 (26.6M
+    intermediate pairs). Pair canonicalization is therefore numeric
+    (a < b on the int id), mirrored in the oracle."""
     from deepee_spark.operators.graph import co_neighbors
 
-    return co_neighbors(_kg_edge_proj(spark, sf_dir))
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        F.col("user_id").cast("long").alias("src"),
+        F.xxhash64(F.get_json_object("props", "$.k")).alias("dst"),
+    )
+    return co_neighbors(e).select(
+        F.concat(F.lit("user#"), F.col("a")).alias("a"),
+        F.concat(F.lit("user#"), F.col("b")).alias("b"),
+        "n_shared",
+    )
 
 
-_KG_CO_NEIGHBORS_SQL = f"""
-WITH e AS ({_KG_EDGE_PROJ_SQL})
-SELECT a.src AS a, b.src AS b, CAST(COUNT(*) AS BIGINT) AS n_shared
-FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
-GROUP BY a.src, b.src
+_KG_CO_NEIGHBORS_SQL = """
+WITH e AS (
+  SELECT DISTINCT user_id AS u, json_extract_string(props, '$.k') AS i
+  FROM events)
+SELECT 'user#' || CAST(a.u AS VARCHAR) AS a,
+       'user#' || CAST(b.u AS VARCHAR) AS b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM e a JOIN e b ON a.i = b.i AND a.u < b.u
+GROUP BY a.u, b.u
 """
 
 

@@ -60,6 +60,9 @@ def main() -> None:
         "sequence_packing",
         "kg_node_rollup",
         "kg_edge_rollup",
+        "kg_pagerank",
+        "kg_triangles",
+        "kg_co_neighbors",
         "ee_trigger_counts",
         "bert_trigger_tags",
         "qa_span_args",
