@@ -2910,6 +2910,90 @@ GROUP BY a.u, b.u
 """
 
 
+def _kg_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard similarity (operators/graph.neighbor_jaccard)
+    between user nodes, as an exact integer fraction (jaccard_e6 =
+    (1e6*|∩|) div |∪|) — no float division to drift between engines.
+    Same narrow-key discipline as kg_co_neighbors; top-1000 by
+    (jaccard_e6, a, b) keeps the driver payload bounded while still
+    exercising the full quadratic stage."""
+    from deepee_spark.operators.graph import neighbor_jaccard
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        F.col("user_id").cast("long").alias("src"),
+        F.xxhash64(F.get_json_object("props", "$.k")).alias("dst"),
+    )
+    out = neighbor_jaccard(e).select(
+        F.concat(F.lit("user#"), F.col("a")).alias("a"),
+        F.concat(F.lit("user#"), F.col("b")).alias("b"),
+        "n_shared",
+        "deg_a",
+        "deg_b",
+        "jaccard_e6",
+    )
+    return out.orderBy(
+        F.desc("jaccard_e6"), "a", "b"
+    ).limit(1000)
+
+
+_KG_NEIGHBOR_JACCARD_SQL = """
+WITH e AS (
+  SELECT DISTINCT user_id AS u, json_extract_string(props, '$.k') AS i
+  FROM events),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY u),
+pairs AS (
+  SELECT a.u AS ua, b.u AS ub, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM e a JOIN e b ON a.i = b.i AND a.u < b.u
+  GROUP BY a.u, b.u)
+SELECT 'user#' || CAST(ua AS VARCHAR) AS a,
+       'user#' || CAST(ub AS VARCHAR) AS b,
+       n_shared, da.deg AS deg_a, db.deg AS deg_b,
+       (1000000 * n_shared) // (da.deg + db.deg - n_shared) AS jaccard_e6
+FROM pairs
+JOIN deg da ON da.u = ua
+JOIN deg db ON db.u = ub
+ORDER BY jaccard_e6 DESC,
+         'user#' || CAST(ua AS VARCHAR),
+         'user#' || CAST(ub AS VARCHAR)
+LIMIT 1000
+"""
+
+
+def _kg_functional_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-predicate conflict detection: for predicates declared
+    single-valued ('signup' here — one signup item per user), surface
+    subjects asserting more than one distinct object. The consistency
+    check that runs right after latest-fact merge in a KG build; one
+    shuffle on (subj, pred) with a two-phase distinct count."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "signup"
+    )
+    t = ev.select(
+        F.concat(F.lit("user#"), F.col("user_id")).alias("subj"),
+        F.col("event_type").alias("pred"),
+        F.concat(
+            F.lit("item#"), F.get_json_object("props", "$.k")
+        ).alias("obj"),
+    )
+    return (
+        t.groupBy("subj", "pred")
+        .agg(F.countDistinct("obj").cast("long").alias("n_obj"))
+        .filter(F.col("n_obj") > 1)
+    )
+
+
+_KG_FUNCTIONAL_CONFLICTS_SQL = """
+SELECT 'user#' || CAST(user_id AS VARCHAR) AS subj,
+       event_type AS pred,
+       CAST(COUNT(DISTINCT 'item#' || json_extract_string(props, '$.k'))
+            AS BIGINT) AS n_obj
+FROM events WHERE event_type = 'signup'
+GROUP BY user_id, event_type
+HAVING COUNT(DISTINCT json_extract_string(props, '$.k')) > 1
+"""
+
+
 def _kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts (operators/graph.triangle_count, degree-
     oriented wedge enumeration) over the co-purchase projection: items
@@ -4362,14 +4446,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _kg_pagerank,
         "kg_bfs": _kg_bfs,
         "kg_fact_latest": _kg_fact_latest,
+        "kg_neighbor_jaccard": _kg_neighbor_jaccard,
+        "kg_functional_conflicts": _kg_functional_conflicts,
         "a10_loss_reductions": _a10_loss_reductions,
         "w6_epoch_shuffle": _w6_epoch_shuffle,
         "m9_selector_weights": _m9_selector_weights,
         # -- unique operator probes (kept inside the 50-entry window) --
-        "j5_template_fanout": _j5_template_fanout,
         "s11_framenet_exemplars": _s11_framenet_exemplars,
         "a4_chunk_prf": _a4_chunk_prf,
-        "dedup_exact": _dedup_exact,
         "dedup_minhash_signatures": _minhash_sig,
         "dedup_simhash": _simhash,
         "dedup_ngram_jaccard": _ngram_jaccard,
@@ -4377,6 +4461,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_assign": _dedup_cluster_assign,
         "ann_pq_topk": _ann_pq_topk,
         # -- demoted past 50: twice driver-green, still locally checked --
+        "j5_template_fanout": _j5_template_fanout,
+        "dedup_exact": _dedup_exact,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "mm_image_features": _mm_image_features,
@@ -4466,6 +4552,8 @@ def oracle_sql() -> dict[str, str]:
             _KG_EDGE_PROJ_SQL, _KG_BFS_SEEDS_SQL, max_hops=3
         ),
         "kg_fact_latest": _KG_FACT_LATEST_SQL,
+        "kg_neighbor_jaccard": _KG_NEIGHBOR_JACCARD_SQL,
+        "kg_functional_conflicts": _KG_FUNCTIONAL_CONFLICTS_SQL,
         "a10_loss_reductions": _A10_SQL,
         "w6_epoch_shuffle": _W6_SQL,
         "m9_selector_weights": _M9_SQL,

@@ -75,6 +75,43 @@ def co_neighbors(
     )
 
 
+def neighbor_jaccard(
+    edges: DataFrame, max_fanout: int | None = None
+) -> DataFrame:
+    """Neighbor-set Jaccard similarity for pairs of src nodes:
+    |N(a) ∩ N(b)| / |N(a) ∪ N(b)|, reported as an EXACT integer
+    fraction — (n_shared, deg_a, deg_b, jaccard_e6) with jaccard_e6 =
+    (1e6 * n_shared) div (deg_a + deg_b - n_shared) — so the result is
+    engine-independent (no float division to drift).
+
+    The quadratic stage is co_neighbors (fanout-cappable); degrees are
+    a node-count-sized dimension joined onto the aggregated pair
+    output, broadcast-able at any realistic node count."""
+    e = edges.select("src", "dst").distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    pairs = co_neighbors(e, max_fanout)
+    return (
+        pairs.join(
+            deg.select(F.col("src").alias("a"), F.col("deg").alias("deg_a")),
+            "a",
+        )
+        .join(
+            deg.select(F.col("src").alias("b"), F.col("deg").alias("deg_b")),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            "n_shared",
+            "deg_a",
+            "deg_b",
+            F.expr(
+                "(1000000 * n_shared) div (deg_a + deg_b - n_shared)"
+            ).cast("long").alias("jaccard_e6"),
+        )
+    )
+
+
 def undirect(edges: DataFrame) -> DataFrame:
     """-> distinct canonical (lo, hi) with lo < hi; self-loops dropped."""
     return (

@@ -161,3 +161,30 @@ def test_bfs_early_exhaustion(spark):
     seeds = spark.createDataFrame([(1,)], "node: long")
     got = {r.node: r.dist for r in bfs_distances(e, seeds, max_hops=5).collect()}
     assert got == {1: 0, 2: 1}
+
+
+def test_neighbor_jaccard_bruteforce(spark, edges):
+    from deepee_spark.operators.graph import neighbor_jaccard
+
+    rows = {(r.src, r.dst) for r in edges.collect()}
+    nbrs = defaultdict(set)
+    for s, d in rows:
+        nbrs[s].add(d)
+    srcs = sorted(nbrs)
+    want = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            inter = len(nbrs[a] & nbrs[b])
+            if inter:
+                union = len(nbrs[a] | nbrs[b])
+                want[(a, b)] = (
+                    inter,
+                    len(nbrs[a]),
+                    len(nbrs[b]),
+                    (1_000_000 * inter) // union,
+                )
+    got = {
+        (r.a, r.b): (r.n_shared, r.deg_a, r.deg_b, r.jaccard_e6)
+        for r in neighbor_jaccard(edges).collect()
+    }
+    assert got == want
