@@ -55,8 +55,13 @@ def co_neighbors(
     Scale: the self-join key is dst; a dst with fanout f yields f²
     pairs. `max_fanout` drops dst nodes above the cap before the join
     (the standard guard: a hub shared by everyone carries no similarity
-    signal anyway). The join input is repartitioned on dst so AQE
-    cannot coalesce the quadratic stage into one task.
+    signal anyway). The probe side is repartitioned on dst with an
+    EXPLICIT partition count — a bare repartition("dst") is
+    REPARTITION_BY_COL, which AQE coalesces by input BYTES, and the
+    input here is tiny relative to its quadratic output (73k rows ->
+    26.6M pairs at sf0.1), so AQE would serialize the whole explosion
+    into one task (measured: flat 9.5s at both 4 and 16 cores before
+    this, 4x spread after). Same guard as operators/dedup.py:253.
     """
     e = edges.select("src", "dst").distinct()
     if max_fanout is not None:
@@ -64,7 +69,8 @@ def co_neighbors(
             F.col("f") <= max_fanout
         )
         e = e.join(keep.select("dst"), "dst")
-    e = e.repartition("dst")
+    n_parts = edges.sparkSession.sparkContext.defaultParallelism
+    e = e.repartition(n_parts, "dst")
     a = e.select(F.col("src").alias("a"), "dst")
     b = e.select(F.col("src").alias("b"), "dst")
     return (

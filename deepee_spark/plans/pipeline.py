@@ -617,3 +617,72 @@ class Pipeline:
             partition_by=["pred_type"],
         )
         return nodes, edges
+
+    def enrich_nodes(
+        self,
+        nodes: DataFrame,
+        edges: DataFrame,
+        input_fingerprint: str,
+        resume: bool = True,
+        pagerank_iters: int = 3,
+    ) -> DataFrame:
+        """Analytics-enriched node table: the materialized `nodes` joined
+        with exact-integer PageRank (operators/graph.pagerank_int over
+        the subj->obj edge set) and in/out degree, committed as
+        `node_stats` under the standard fingerprint contract. PageRank
+        is shuffle-order-independent (integer micro-units), so the
+        committed table is bit-identical across reruns — resume and
+        re-derivation can never disagree. Nodes outside the edge set
+        (none today; future ingest paths) keep rank 0.
+
+        One groupBy-dst shuffle per PageRank iteration plus two degree
+        aggregates; all joins onto `nodes` are node-count-sized."""
+        from deepee_spark.operators.graph import pagerank_int
+
+        def build() -> DataFrame:
+            e = edges.select("subj", "obj")
+            pr = pagerank_int(
+                e.select(
+                    F.col("subj").alias("src"), F.col("obj").alias("dst")
+                ),
+                iters=pagerank_iters,
+            )
+            out_deg = e.groupBy("subj").agg(
+                F.count(F.lit(1)).cast("long").alias("out_degree")
+            )
+            in_deg = e.groupBy("obj").agg(
+                F.count(F.lit(1)).cast("long").alias("in_degree")
+            )
+            return (
+                nodes.join(
+                    pr.withColumnRenamed("node", "node_id"), "node_id", "left"
+                )
+                .join(
+                    out_deg.withColumnRenamed("subj", "node_id"),
+                    "node_id",
+                    "left",
+                )
+                .join(
+                    in_deg.withColumnRenamed("obj", "node_id"),
+                    "node_id",
+                    "left",
+                )
+                .select(
+                    nodes["*"],
+                    F.coalesce("rank", F.lit(0)).cast("long").alias("rank"),
+                    F.coalesce("out_degree", F.lit(0))
+                    .cast("long")
+                    .alias("out_degree"),
+                    F.coalesce("in_degree", F.lit(0))
+                    .cast("long")
+                    .alias("in_degree"),
+                )
+            )
+
+        return self._stage(
+            "node_stats",
+            f"{input_fingerprint}/node_stats/v1",
+            build,
+            resume,
+            partition_by=["kind"],
+        )

@@ -554,3 +554,51 @@ def test_graph_analytics_over_pipeline_triples(spark, main_run):
                 want[(a, b)] += 1
     pairs = {(r.a, r.b): r.n_shared for r in co_neighbors(edges).collect()}
     assert pairs == dict(want)
+
+
+def test_enrich_nodes_stage(spark, main_run):
+    """node_stats = nodes + exact-integer PageRank + in/out degree,
+    committed under the stage contract (resume skips; kind partitions
+    reach the layout); rank checked against the pure-python recurrence
+    over the distinct (subj, obj) edge set."""
+    import os
+    from collections import defaultdict
+
+    from deepee_spark.operators.graph import PR_SCALE
+
+    cat, pipe, triples = main_run
+    nodes, edges = pipe.materialize_graph(triples, f"corpus:{N_DOCS}")
+    stats = pipe.enrich_nodes(nodes, edges, f"corpus:{N_DOCS}")
+
+    assert stats.count() == nodes.count()
+
+    e = sorted({(r.subj, r.obj) for r in edges.select("subj", "obj").collect()})
+    vs = sorted({a for a, _ in e} | {b for _, b in e})
+    r0 = PR_SCALE // len(vs)
+    tp = (15 * r0) // 100
+    outdeg = defaultdict(int)
+    for a, _ in e:
+        outdeg[a] += 1
+    rank = {v: r0 for v in vs}
+    for _ in range(3):
+        s = defaultdict(int)
+        for a, b in e:
+            s[b] += rank[a] // outdeg[a]
+        rank = {v: tp + (85 * s[v]) // 100 for v in vs}
+    got = {r.node_id: r.rank for r in stats.collect()}
+    assert {v: got[v] for v in vs} == rank
+
+    # degrees reconcile with the raw edge multiset (non-distinct pairs)
+    raw_out = defaultdict(int)
+    for r in edges.select("subj", "obj").collect():
+        raw_out[r.subj] += 1
+    for r in stats.collect():
+        assert r.out_degree == raw_out.get(r.node_id, 0)
+
+    # resume: same fingerprint skips the stage
+    before = list(pipe.skipped)
+    pipe.enrich_nodes(nodes, edges, f"corpus:{N_DOCS}")
+    assert pipe.skipped[len(before):] == ["node_stats"]
+
+    sdir = os.path.join(cat._table_dir("node_stats"), "snapshot=0")
+    assert any(p.startswith("kind=") for p in os.listdir(sdir))
