@@ -208,11 +208,22 @@ def pagerank_int(
     Returns (node, rank) with rank in micro-units (long).
     """
     e = edges.select("src", "dst").distinct()
+    n_parts = edges.sparkSession.sparkContext.defaultParallelism
+    # Iteration-invariant inputs are PERSISTED PRE-PARTITIONED on their
+    # join keys (not localCheckpoint'd: the PySpark localCheckpoint
+    # round-trip surfaces as UnknownPartitioning, so every iteration
+    # would re-shuffle the full edge list — measured 20s/run extra at
+    # 20M edges). InMemoryRelation keeps its child's hashpartitioning,
+    # so the per-iteration joins exchange only the node-count-sized
+    # rank/contrib side; the one unavoidable big shuffle per iteration
+    # is the groupBy(dst). MEMORY_AND_DISK persist spills instead of
+    # OOMing at scale.
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .repartition(n_parts, "node")
+        .persist()
     )
     n = nodes.count()
     r0 = PR_SCALE // n
@@ -220,13 +231,21 @@ def pagerank_int(
     outdeg = e.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("outdeg")
     )
-    # (src, dst, outdeg) is iteration-invariant: compute once, pin it
-    links = e.join(outdeg, "src").localCheckpoint()
+    links = e.join(outdeg, "src").repartition(n_parts, "src").persist()
     rank = nodes.select("node", F.lit(r0).cast("long").alias("rank"))
+    # SHUFFLE_HASH on the rank/contrib side: the links⋈rank join would
+    # otherwise plan as sort-merge and re-sort the full edge list every
+    # iteration (measured 80s/run at 20M edges); hash-building the
+    # node-count-sized side and streaming the edges is the plan that
+    # holds at 10^12 edges too (the build side is per-partition small,
+    # and unlike a broadcast hint it never assumes rank fits anywhere).
     for _ in range(iters):
         contrib = (
             links.join(
-                rank.select(F.col("node").alias("src"), "rank"), "src"
+                rank.select(F.col("node").alias("src"), "rank").hint(
+                    "shuffle_hash"
+                ),
+                "src",
             )
             .select(
                 F.col("dst").alias("node"),
@@ -236,7 +255,7 @@ def pagerank_int(
             .agg(F.sum("c").alias("s"))
         )
         rank = (
-            nodes.join(contrib, "node", "left")
+            nodes.join(contrib.hint("shuffle_hash"), "node", "left")
             .select(
                 "node",
                 (
@@ -248,6 +267,9 @@ def pagerank_int(
             )
             .localCheckpoint()
         )
+    # rank is localCheckpoint-pinned (eager), so the caches can go
+    nodes.unpersist()
+    links.unpersist()
     return rank
 
 
