@@ -162,8 +162,14 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         F.when(fwd, F.col("lo")).otherwise(F.col("hi")).alias("u"),
         F.when(fwd, F.col("hi")).otherwise(F.col("lo")).alias("v"),
     )
-    # wedges at u: pairs of out-neighbors (v, w), v < w in id order
-    e1 = oriented.select("u", F.col("v").alias("x"))
+    # wedges at u: pairs of out-neighbors (v, w), v < w in id order.
+    # Same AQE guard as co_neighbors: the wedge join's input is tiny
+    # relative to its quadratic output, so an explicit partition count
+    # keeps AQE from coalescing the explosion into one task.
+    n_parts = edges.sparkSession.sparkContext.defaultParallelism
+    e1 = oriented.select("u", F.col("v").alias("x")).repartition(
+        n_parts, "u"
+    )
     e2 = oriented.select("u", F.col("v").alias("y"))
     wedges = (
         e1.join(e2, "u")
