@@ -149,3 +149,79 @@ def stream_arguments_to_catalog(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def stream_edges_to_catalog(
+    spark: SparkSession,
+    source_dir: str,
+    catalog,
+    checkpoint_dir: str,
+    table: str = "edges_live",
+    available_now: bool = True,
+):
+    """Streaming GRAPH MAINTENANCE: each micro-batch's argument rows are
+    rolled up to (subj, pred, obj, weight) edge-count deltas and MERGED
+    into a live edge table via StageCatalog.merge_accumulate — the
+    Iceberg `MERGE INTO` shape (union + one keyed groupBy-sum), so the
+    graph's support counters stay current as crawl drops arrive instead
+    of waiting for the next full materialize_graph run.
+
+    ``obj`` here is the surface mention, not the canonical entity:
+    canonicalization is a global fixpoint (module docstring) and stays
+    with the periodic batch job, whose edges table supersedes this live
+    one. Same epoch-idempotence contract as stream_arguments_to_catalog:
+    a replayed foreachBatch epoch is detected via the stream_batch_id
+    stamped into the snapshot meta and re-applies NOTHING — load-bearing
+    here, because a merge is not idempotent by construction the way a
+    skipped append is.
+    """
+    from pyspark.sql import functions as F
+
+    def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        last = catalog.latest_meta(table) or {}
+        if last.get("stream_batch_id") is not None and epoch_id <= int(
+            last["stream_batch_id"]
+        ):
+            return  # replayed epoch: the merge already happened
+        delta = batch_df.select(
+            F.concat_ws(
+                "#",
+                F.col("event_type"),
+                F.col("url"),
+                F.col("sent_id").cast("string"),
+            ).alias("subj"),
+            F.concat_ws(":", "event_type", "role").alias("pred"),
+            F.col("surface").alias("obj"),
+        ).groupBy("subj", "pred", "obj").agg(
+            F.count(F.lit(1)).cast("long").alias("weight")
+        )
+        catalog.merge_accumulate(
+            spark,
+            delta,
+            table,
+            keys=["subj", "pred", "obj"],
+            counters=["weight"],
+            fingerprint=f"stream-edges:{source_dir}:epoch={epoch_id}",
+        )
+        meta = catalog.latest_meta(table)
+        import json as _json
+        import os as _os
+
+        meta["stream_batch_id"] = int(epoch_id)
+        snap_dir = _os.path.join(
+            catalog._table_dir(table), f"snapshot={meta['snapshot']}"
+        )
+        with open(_os.path.join(snap_dir, "_meta.json"), "w") as f:
+            _json.dump(meta, f)
+
+    args = stream_arguments(stream_documents(spark, source_dir))
+    writer = (
+        args.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

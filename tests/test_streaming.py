@@ -248,3 +248,77 @@ def test_stream_appends_snapshots_to_catalog(spark, tmp_path):
     stream_arguments_to_catalog(spark, src, cat, ckpt)
     assert len(cat._snapshots("arguments")) == snaps_before
     assert cat.latest_meta("arguments")["rows"] == total
+
+
+def test_stream_edge_merge_maintains_live_graph(spark, tmp_path):
+    """Streaming graph maintenance: per-batch edge deltas MERGE into a
+    live counter table; after two drops the weights equal the batch
+    rollup over the full input, and a replayed availableNow run with no
+    new input changes nothing (merge idempotence via epoch markers)."""
+    from deepee_spark.corpus import corpus_df
+    from deepee_spark.extract import documents_stage
+    from deepee_spark.functions.featurize import featurize_sentences
+    from deepee_spark.plans.pipeline import (
+        arguments_from_triggers,
+        triggers_from_sentences,
+    )
+    from deepee_spark.segment import sentences_stage
+    from pyspark.sql import functions as F
+
+    from deepee_spark.sources.tables import StageCatalog
+    from deepee_spark.streaming.ingest import stream_edges_to_catalog
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    cat = StageCatalog(str(tmp_path / "cat"))
+
+    docs = corpus_df(spark, 60)
+    docs.filter(
+        "CAST(regexp_extract(url, '([0-9]+)$', 1) AS INT) % 2 = 0"
+    ).write.mode("append").parquet(src)
+    stream_edges_to_catalog(spark, src, cat, ckpt)
+    first = {
+        (r.subj, r.pred, r.obj): r.weight
+        for r in cat.read(spark, "edges_live").collect()
+    }
+    assert first and all(w >= 1 for w in first.values())
+
+    docs.filter(
+        "CAST(regexp_extract(url, '([0-9]+)$', 1) AS INT) % 2 = 1"
+    ).write.mode("append").parquet(src)
+    stream_edges_to_catalog(spark, src, cat, ckpt)
+    live = {
+        (r.subj, r.pred, r.obj): r.weight
+        for r in cat.read(spark, "edges_live").collect()
+    }
+
+    batch_args = arguments_from_triggers(
+        triggers_from_sentences(
+            featurize_sentences(
+                sentences_stage(documents_stage(spark.read.parquet(src)))
+            )
+        )
+    )
+    want = {
+        (r.subj, r.pred, r.obj): r.weight
+        for r in batch_args.selectExpr(
+            "concat_ws('#', event_type, url, CAST(sent_id AS STRING)) AS subj",
+            "concat_ws(':', event_type, role) AS pred",
+            "surface AS obj",
+        )
+        .groupBy("subj", "pred", "obj")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+        .collect()
+    }
+    assert live == want
+    # counters really accumulated across drops (not just unioned rows)
+    assert set(first) <= set(live)
+
+    # no new input: nothing merges, no snapshot appears
+    snaps = len(cat._snapshots("edges_live"))
+    stream_edges_to_catalog(spark, src, cat, ckpt)
+    assert len(cat._snapshots("edges_live")) == snaps
+    assert {
+        (r.subj, r.pred, r.obj): r.weight
+        for r in cat.read(spark, "edges_live").collect()
+    } == want
