@@ -239,44 +239,54 @@ def pagerank_int(
     )
     links = e.join(outdeg, "src").repartition(n_parts, "src").persist()
     rank = nodes.select("node", F.lit(r0).cast("long").alias("rank"))
-    # SHUFFLE_HASH on the rank/contrib side: the links⋈rank join would
-    # otherwise plan as sort-merge and re-sort the full edge list every
-    # iteration (measured 80s/run at 20M edges); hash-building the
-    # node-count-sized side and streaming the edges is the plan that
-    # holds at 10^12 edges too (the build side is per-partition small,
-    # and unlike a broadcast hint it never assumes rank fits anywhere).
     for _ in range(iters):
-        contrib = (
-            links.join(
-                rank.select(F.col("node").alias("src"), "rank").hint(
-                    "shuffle_hash"
-                ),
-                "src",
-            )
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("rank div outdeg").alias("c"),
-            )
-            .groupBy("node")
-            .agg(F.sum("c").alias("s"))
-        )
-        rank = (
-            nodes.join(contrib.hint("shuffle_hash"), "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.expr(
-                        f"({damping_pct} * coalesce(s, 0L)) div 100"
-                    )
-                ).cast("long").alias("rank"),
-            )
-            .localCheckpoint()
-        )
+        rank = _pr_iteration(
+            links, rank, nodes, teleport, damping_pct
+        ).localCheckpoint()
     # rank is localCheckpoint-pinned (eager), so the caches can go
     nodes.unpersist()
     links.unpersist()
     return rank
+
+
+def _pr_iteration(
+    links: DataFrame,
+    rank: DataFrame,
+    nodes: DataFrame,
+    teleport: int,
+    damping_pct: int,
+) -> DataFrame:
+    """One PageRank iteration, un-checkpointed (split out so the plan
+    gate in tests/test_plans.py can assert its join strategy).
+
+    SHUFFLE_HASH on the rank/contrib side: the links⋈rank join would
+    otherwise plan as sort-merge and re-sort the full edge list every
+    iteration (measured 80s/run at 20M edges); hash-building the
+    node-count-sized side and streaming the edges is the plan that
+    holds at 10^12 edges too (the build side is per-partition small,
+    and unlike a broadcast hint it never assumes rank fits anywhere).
+    """
+    contrib = (
+        links.join(
+            rank.select(F.col("node").alias("src"), "rank").hint(
+                "shuffle_hash"
+            ),
+            "src",
+        )
+        .select(
+            F.col("dst").alias("node"),
+            F.expr("rank div outdeg").alias("c"),
+        )
+        .groupBy("node")
+        .agg(F.sum("c").alias("s"))
+    )
+    return nodes.join(contrib.hint("shuffle_hash"), "node", "left").select(
+        "node",
+        (
+            F.lit(teleport)
+            + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+        ).cast("long").alias("rank"),
+    )
 
 
 def pagerank_oracle_sql(

@@ -259,3 +259,50 @@ def test_sequence_packing_single_exchange(spark, docs_parquet):
     # formatted plans list each physical Exchange twice (tree + detail)
     assert n_exchanges <= 2, plan
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_co_neighbors_explosion_is_not_coalesced(spark):
+    """The co-neighbor pair explosion must keep its explicit partition
+    count: a bare repartition("dst") is REPARTITION_BY_COL, which AQE
+    coalesces by INPUT bytes — the input is tiny relative to the
+    quadratic output, so AQE would serialize the explosion into one
+    task (measured flat 9.5s at 4 and 16 cores before the guard)."""
+    from deepee_spark.operators.graph import co_neighbors
+
+    edges = spark.createDataFrame(
+        [(i % 97, i % 13) for i in range(1000)], "src: long, dst: long"
+    )
+    plan = formatted_plan(co_neighbors(edges))
+    # the explicit-count repartition survives as a non-AQE-coalescible
+    # exchange: REPARTITION_BY_NUM, not REPARTITION_BY_COL
+    assert "REPARTITION_BY_NUM" in plan, plan
+
+
+def test_pagerank_iteration_avoids_sortmerge(spark):
+    """Each PageRank iteration joins the full edge list with the rank
+    table: sort-merge would re-sort the edges every iteration (measured
+    +22s/run at 20M edges), so both the contribution join and the
+    nodes⋈contrib join must plan as shuffled hash joins. Asserted on
+    the un-checkpointed iteration plan (_pr_iteration) — pagerank_int's
+    own return value is checkpoint-pinned and shows no joins."""
+    from deepee_spark.operators.graph import PR_SCALE, _pr_iteration
+
+    edges = spark.createDataFrame(
+        [(i % 50, (i * 7) % 50) for i in range(400) if i % 50 != (i * 7) % 50],
+        "src: long, dst: long",
+    )
+    e = edges.distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
+    # in pagerank_int, links is built ONCE and persisted pre-partitioned;
+    # hash-hint the test-local construction so the gate sees only the
+    # per-iteration joins
+    links = e.join(outdeg.hint("shuffle_hash"), "src")
+    rank = nodes.select("node", F.lit(PR_SCALE // 50).cast("long").alias("rank"))
+    plan = formatted_plan(_pr_iteration(links, rank, nodes, 1000, 85))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("ShuffledHashJoin") >= 2, plan
