@@ -334,6 +334,12 @@ def bfs_distances(
     the frontier (small side broadcast-able when the frontier is),
     never a pass over the full visited set.
     """
+    n_parts = edges.sparkSession.sparkContext.defaultParallelism
+    # hop-invariant edge list persisted PRE-PARTITIONED on the probe
+    # key, same rationale as pagerank_int: localCheckpoint loses the
+    # partitioning in PySpark and sort-merge would re-sort the full
+    # edge list every hop; with the persist + shuffle_hash hints only
+    # the frontier (the small, changing side) moves per hop.
     sym = (
         edges.select("src", "dst")
         .unionByName(
@@ -342,7 +348,8 @@ def bfs_distances(
             )
         )
         .distinct()
-        .localCheckpoint()
+        .repartition(n_parts, "src")
+        .persist()
     )
     visited = seeds.select(
         F.col(seeds.columns[0]).alias("node"),
@@ -351,7 +358,12 @@ def bfs_distances(
     frontier = visited.select("node")
     for hop in range(1, max_hops + 1):
         nxt = (
-            sym.join(frontier.withColumnRenamed("node", "src"), "src")
+            sym.join(
+                frontier.withColumnRenamed("node", "src").hint(
+                    "shuffle_hash"
+                ),
+                "src",
+            )
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
@@ -363,6 +375,7 @@ def bfs_distances(
             nxt.select("node", F.lit(hop).cast("long").alias("dist"))
         ).localCheckpoint()
         frontier = nxt
+    sym.unpersist()
     return visited
 
 
