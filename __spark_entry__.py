@@ -2994,6 +2994,43 @@ HAVING COUNT(DISTINCT json_extract_string(props, '$.k')) > 1
 """
 
 
+def _kg_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (operators/sketches.kmv_distinct): per
+    predicate, the k-minimum-values sketch of the distinct subject set
+    and its integer cardinality estimate. The sketch state (kth_hash)
+    and the estimate are pure BIGINT over the shared diffused rolling
+    hash, so the DuckDB twin reproduces them bit-for-bit — the one
+    distinct-count sketch with a hard cross-engine oracle (HLL isn't)."""
+    from deepee_spark.operators.sketches import kmv_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    t = ev.select(
+        F.col("event_type").alias("pred"),
+        F.concat(F.lit("user#"), F.col("user_id")).alias("subj"),
+    )
+    return kmv_distinct(t, ["pred"], "subj", k=64)
+
+
+_KG_DISTINCT_SKETCH_SQL = f"""
+WITH hashed AS (SELECT DISTINCT event_type AS pred,
+       ({_HASH_SQL.format(col="'user#' || CAST(user_id AS VARCHAR)")}
+        * 2654435761) % 1000000007 AS h
+FROM events),
+ranked AS (
+  SELECT pred, h,
+         ROW_NUMBER() OVER (PARTITION BY pred ORDER BY h) AS rn
+  FROM hashed)
+SELECT pred,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(MAX(h) AS BIGINT) AS kth_hash,
+       CAST(CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+                 ELSE (63 * CAST(1000000007 AS BIGINT)) // MAX(h)
+            END AS BIGINT) AS distinct_est
+FROM ranked WHERE rn <= 64
+GROUP BY pred
+"""
+
+
 def _kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts (operators/graph.triangle_count, degree-
     oriented wedge enumeration) over the co-purchase projection: items
@@ -4448,6 +4485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fact_latest": _kg_fact_latest,
         "kg_neighbor_jaccard": _kg_neighbor_jaccard,
         "kg_functional_conflicts": _kg_functional_conflicts,
+        "kg_distinct_sketch": _kg_distinct_sketch,
         "a10_loss_reductions": _a10_loss_reductions,
         "w6_epoch_shuffle": _w6_epoch_shuffle,
         "m9_selector_weights": _m9_selector_weights,
@@ -4455,12 +4493,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s11_framenet_exemplars": _s11_framenet_exemplars,
         "a4_chunk_prf": _a4_chunk_prf,
         "dedup_minhash_signatures": _minhash_sig,
-        "dedup_simhash": _simhash,
         "dedup_ngram_jaccard": _ngram_jaccard,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
         "dedup_cluster_assign": _dedup_cluster_assign,
         "ann_pq_topk": _ann_pq_topk,
         # -- demoted past 50: twice driver-green, still locally checked --
+        "dedup_simhash": _simhash,
         "j5_template_fanout": _j5_template_fanout,
         "dedup_exact": _dedup_exact,
         "ann_cosine_topk": _ann_cosine_topk,
@@ -4554,6 +4592,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_fact_latest": _KG_FACT_LATEST_SQL,
         "kg_neighbor_jaccard": _KG_NEIGHBOR_JACCARD_SQL,
         "kg_functional_conflicts": _KG_FUNCTIONAL_CONFLICTS_SQL,
+        "kg_distinct_sketch": _KG_DISTINCT_SKETCH_SQL,
         "a10_loss_reductions": _A10_SQL,
         "w6_epoch_shuffle": _W6_SQL,
         "m9_selector_weights": _M9_SQL,

@@ -1,0 +1,93 @@
+"""KMV (k-minimum-values) distinct-count sketch.
+
+The 100 TB operational question "how many distinct entities does each
+predicate touch" cannot afford an exact count-distinct per group at
+full scale. The standard sketch answers (HyperLogLog via Spark's
+approx_count_distinct) are engine-specific — no cross-engine oracle can
+check them. KMV (Bar-Yossef et al., "Counting distinct elements in a
+data stream", RANDOM'02 — public) is the sketch that CAN be checked
+bit-for-bit: the sketch state is literally the k smallest hash values
+of the distinct elements, and with a shared deterministic hash both
+engines compute the identical sketch AND the identical integer
+estimate (k-1)*M div h_(k).
+
+Plan shape at scale: one distinct shuffle on (key, hash) — partial
+aggregation collapses duplicates map-side — then one partitioned
+window ordered by hash (parallel across keys; within a key the window
+only has to surface k rows). No collect, no per-group state larger
+than k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from .dedup import MOD, str_hash
+from .sampling import DIFFUSION
+
+KMV_K = 64
+
+
+def kmv_hash(col):
+    """Diffused rolling hash, uniform on [0, MOD) — str_hash is an
+    ordered fold (prefix-correlated), the multiply spreads it."""
+    return (str_hash(col) * F.lit(DIFFUSION)) % F.lit(MOD)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Per key: the KMV sketch summary and integer distinct estimate.
+
+    Returns (key..., n_kept, kth_hash, distinct_est) where
+      n_kept       = min(k, observed distinct hashes)
+      kth_hash     = the largest retained hash (the sketch threshold)
+      distinct_est = n_kept if n_kept < k (sketch is exact below k),
+                     else (k-1) * MOD div kth_hash — all BIGINT, so the
+                     DuckDB twin hash-matches exactly.
+    """
+    hashed = df.select(
+        *key_cols, kmv_hash(F.col(value_col)).alias("h")
+    ).distinct()
+    rn = F.row_number().over(W.partitionBy(*key_cols).orderBy("h"))
+    kept = hashed.withColumn("rn", rn).filter(F.col("rn") <= k)
+    return kept.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.max("h").cast("long").alias("kth_hash"),
+        F.when(
+            F.count(F.lit(1)) < k, F.count(F.lit(1))
+        )
+        .otherwise(
+            F.expr(f"({k - 1} * CAST({MOD} AS BIGINT)) div max(h)")
+        )
+        .cast("long")
+        .alias("distinct_est"),
+    )
+
+
+def kmv_oracle_sql(
+    source_sql: str, key_cols: list[str], k: int = KMV_K
+) -> str:
+    """DuckDB twin over `source_sql`, a SELECT yielding the key columns
+    plus a column `h` computed with the shared hash formula."""
+    keys = ", ".join(key_cols)
+    return f"""
+WITH hashed AS (SELECT DISTINCT {keys}, h FROM ({source_sql})),
+ranked AS (
+  SELECT {keys}, h,
+         ROW_NUMBER() OVER (PARTITION BY {keys} ORDER BY h) AS rn
+  FROM hashed)
+SELECT {keys},
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(MAX(h) AS BIGINT) AS kth_hash,
+       CAST(CASE WHEN COUNT(*) < {k} THEN COUNT(*)
+                 ELSE ({k - 1} * CAST({MOD} AS BIGINT)) // MAX(h)
+            END AS BIGINT) AS distinct_est
+FROM ranked WHERE rn <= {k}
+GROUP BY {keys}
+"""

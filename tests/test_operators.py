@@ -275,3 +275,58 @@ def test_salted_linking_equals_broadcast_linking(spark):
         map(tuple, s.select(cols).collect())
     )
     assert s.count() == 300 + 20  # washington + beijing/smith mentions
+
+
+def test_kmv_sketch_exact_below_k_and_estimates_above(spark):
+    """KMV: exact cardinality below k; above k the integer estimate
+    lands within the sketch's statistical error (k=64 → ~13% relative
+    std; assert 3 sigma). Duplicates must not move the sketch."""
+    from deepee_spark.operators.sketches import kmv_distinct
+
+    small = spark.range(40).select(
+        F.lit("g").alias("g"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    row = kmv_distinct(small, ["g"], "v").collect()[0]
+    assert row.n_kept == 40 and row.distinct_est == 40
+
+    big = spark.range(10_000).select(
+        F.lit("g").alias("g"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    row = kmv_distinct(big, ["g"], "v").collect()[0]
+    assert row.n_kept == 64
+    assert abs(row.distinct_est - 10_000) / 10_000 < 0.40
+
+    # idempotent under duplication: the sketch sees distinct hashes
+    dup = big.unionByName(big)
+    row2 = kmv_distinct(dup, ["g"], "v").collect()[0]
+    assert (row2.n_kept, row2.kth_hash, row2.distinct_est) == (
+        row.n_kept, row.kth_hash, row.distinct_est
+    )
+
+
+def test_kmv_duckdb_twin_bit_identical(spark):
+    """The oracle generator reproduces sketch state AND estimate."""
+    import duckdb
+
+    from deepee_spark.operators.dedup import MOD
+    from deepee_spark.operators.sampling import DIFFUSION
+    from deepee_spark.operators.sketches import kmv_distinct, kmv_oracle_sql
+
+    df = spark.range(3_000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.concat(F.lit("v"), (F.col("id") * 7919) % 997).alias("v"),
+    )
+    got = {
+        r.g: (r.n_kept, r.kth_hash, r.distinct_est)
+        for r in kmv_distinct(df, ["g"], "v").collect()
+    }
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    hash_sql = (
+        "(list_reduce(list_prepend(0::BIGINT, list_transform("
+        "string_split(v, ''), c -> ascii(c)::BIGINT)), "
+        f"(a, b) -> (a * 31 + b) % {MOD}) * {DIFFUSION}) % {MOD}"
+    )
+    sql = kmv_oracle_sql(f"SELECT g, {hash_sql} AS h FROM t", ["g"])
+    want = {g: (n, kth, est) for g, n, kth, est in con.execute(sql).fetchall()}
+    assert got == want
