@@ -288,3 +288,38 @@ def test_s11_framenet_ingest_and_fanout(spark, tmp_path):
         for sp in e["fe"]
     )
     assert got == want
+
+
+def test_ntriples_roundtrip_bitexact(spark, tmp_path):
+    """N-Triples export -> import roundtrips bit-exactly, including
+    terms with spaces, quotes, angle brackets, newlines, '+', '%', and
+    non-ASCII; every emitted line is spec-shaped."""
+    from pyspark.sql import functions as F
+
+    from deepee_spark.sources.ntriples import (
+        read_ntriples,
+        to_ntriples,
+        write_ntriples,
+    )
+
+    rows = [
+        ("Attack#http://x/1#0", "Attack:Attacker", "ent one"),
+        ('we"ird', "pred<>", "a+b%20c"),
+        ("line\nbreak", "tab\there", "ünïcödé 事件"),
+        ("plain", "p", "o"),
+    ]
+    df = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    path = str(tmp_path / "nt")
+    write_ntriples(df, path)
+
+    # every line matches the N-Triples shape: three IRIs, dot, no raw
+    # newline/quote/space inside a term
+    for line in [r.line for r in to_ntriples(df).collect()]:
+        assert line.endswith(" .")
+        parts = line[:-2].split(" ")
+        assert len(parts) == 3 and all(
+            p.startswith("<urn:deepee:") and p.endswith(">") for p in parts
+        )
+
+    back = read_ntriples(spark, path)
+    assert {tuple(r) for r in back.collect()} == set(rows)
