@@ -63,6 +63,8 @@ def main() -> None:
         "kg_pagerank",
         "kg_triangles",
         "kg_co_neighbors",
+        "kg_distinct_sketch",
+        "kg_fact_latest",
         "ee_trigger_counts",
         "bert_trigger_tags",
         "qa_span_args",

@@ -92,7 +92,12 @@ def neighbor_jaccard(
 
     The quadratic stage is co_neighbors (fanout-cappable); degrees are
     a node-count-sized dimension joined onto the aggregated pair
-    output, broadcast-able at any realistic node count."""
+    output, broadcast-able at any realistic node count.
+
+    With max_fanout set, degrees stay TRUE (uncapped) while shared
+    counts only accumulate through non-hub dsts, so the reported
+    jaccard is a LOWER BOUND — the right direction for a similarity
+    threshold (capping can only miss pairs, never inflate them)."""
     e = edges.select("src", "dst").distinct()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     pairs = co_neighbors(e, max_fanout)

@@ -618,6 +618,52 @@ class Pipeline:
         )
         return nodes, edges
 
+    def accumulate_degrees(
+        self, delta_triples: DataFrame, input_fingerprint: str
+    ) -> DataFrame:
+        """Incremental degree maintenance for crawl drops: the DELTA
+        triples' per-node in/out counts are MERGEd into a `node_degrees`
+        counter table (StageCatalog.merge_accumulate — union + one keyed
+        groupBy-sum), so daily degree stats cost the drop's own compute
+        plus a metadata commit, never a rescan of the 10^12-row triple
+        table.
+
+        Semantics: these are OBSERVATION (support-weighted) degrees —
+        one count per triple row, additive across drops, which is what
+        a counter can maintain exactly. enrich_nodes' degrees count
+        distinct edges instead; distinctness across drops needs the
+        full table and belongs to that periodic batch, like PageRank —
+        a global fixpoint never maintained incrementally (the same
+        split as canonicalization: local counters stream, global
+        properties batch)."""
+        deg = (
+            delta_triples.select(
+                F.col("subj").alias("node_id"),
+                F.lit(1).cast("long").alias("out_degree"),
+                F.lit(0).cast("long").alias("in_degree"),
+            )
+            .unionByName(
+                delta_triples.select(
+                    F.col("obj").alias("node_id"),
+                    F.lit(0).cast("long").alias("out_degree"),
+                    F.lit(1).cast("long").alias("in_degree"),
+                )
+            )
+            .groupBy("node_id")
+            .agg(
+                F.sum("out_degree").cast("long").alias("out_degree"),
+                F.sum("in_degree").cast("long").alias("in_degree"),
+            )
+        )
+        return self.catalog.merge_accumulate(
+            self.spark,
+            deg,
+            "node_degrees",
+            keys=["node_id"],
+            counters=["out_degree", "in_degree"],
+            fingerprint=f"{input_fingerprint}/node_degrees/v1",
+        )
+
     def enrich_nodes(
         self,
         nodes: DataFrame,

@@ -188,3 +188,31 @@ def test_neighbor_jaccard_bruteforce(spark, edges):
         for r in neighbor_jaccard(edges).collect()
     }
     assert got == want
+
+
+def test_pagerank_dangling_selfloop_singleton(spark):
+    """Edge cases the random graph misses: a dangling node (outdeg 0 —
+    its mass is dropped, both engines agree), a self-loop (feeds
+    itself), and a single-edge graph."""
+    cases = [
+        [(1, 2), (2, 1), (3, 1)],        # 3 is a source, 1 has indeg 2
+        [(1, 2)],                        # 2 is dangling
+        [(1, 2), (2, 3), (4, 4)],        # self-loop at 4; 3 dangling
+    ]
+    for rows in cases:
+        e = spark.createDataFrame(rows, "src: long, dst: long")
+        got = {r.node: r.rank for r in pagerank_int(e, iters=3).collect()}
+        assert got == _pagerank_py(rows), rows
+        con = duckdb.connect()
+        con.register("edges_tbl", e.toPandas())
+        sql = pagerank_oracle_sql("SELECT src, dst FROM edges_tbl", iters=3)
+        assert dict(con.execute(sql).fetchall()) == got, rows
+
+
+def test_bfs_disconnected_component_unreached(spark):
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src: long, dst: long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node: long")
+    got = {r.node: r.dist for r in bfs_distances(e, seeds, max_hops=5).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}  # the 10-11 island stays unreached

@@ -602,3 +602,37 @@ def test_enrich_nodes_stage(spark, main_run):
 
     sdir = os.path.join(cat._table_dir("node_stats"), "snapshot=0")
     assert any(p.startswith("kind=") for p in os.listdir(sdir))
+
+
+def test_accumulate_degrees_across_drops(spark, tmp_path):
+    """Two crawl drops merge their per-node observation-degree deltas
+    into one counter table that equals a full-table recount; a replayed
+    merge with the same fingerprint... is a new snapshot but the totals
+    stay a pure function of what was merged."""
+    from deepee_spark.corpus import corpus_df
+
+    cat = StageCatalog(str(tmp_path / "cat"))
+    pipe = Pipeline(spark, cat)
+    docs = corpus_df(spark, 60)
+    a = docs.filter("CAST(regexp_extract(url, '([0-9]+)$', 1) AS INT) % 2 = 0")
+    b = docs.filter("CAST(regexp_extract(url, '([0-9]+)$', 1) AS INT) % 2 = 1")
+
+    t1 = pipe.run(a, "drop:a", resume=False)
+    pipe.accumulate_degrees(t1, "drop:a")
+    t2 = pipe.run_incremental(b, "drop:a+b")
+    # the second merge takes only the DELTA (drop b's day partitions =
+    # everything not in t1)
+    delta = t2.join(
+        t1.select("url").distinct(), "url", "left_anti"
+    )
+    merged = pipe.accumulate_degrees(delta, "drop:a+b")
+
+    full = t2.selectExpr("subj AS node_id", "1 AS o", "0 AS i").unionByName(
+        t2.selectExpr("obj AS node_id", "0 AS o", "1 AS i")
+    ).groupBy("node_id").agg(
+        F.sum("o").cast("long").alias("out_degree"),
+        F.sum("i").cast("long").alias("in_degree"),
+    )
+    got = {r.node_id: (r.out_degree, r.in_degree) for r in merged.collect()}
+    want = {r.node_id: (r.out_degree, r.in_degree) for r in full.collect()}
+    assert got == want
