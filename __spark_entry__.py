@@ -3088,6 +3088,35 @@ def _kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_int(_kg_edge_proj(spark, sf_dir), iters=3)
 
 
+def _kg_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-weighted PageRank (operators/graph.pagerank_int_weighted):
+    rank mass splits proportionally to observation counts — the natural
+    rank over the rollup's weighted edges. Exact BIGINT recurrence,
+    unrolled-CTE oracle."""
+    from deepee_spark.operators.graph import pagerank_int_weighted
+
+    ev = _t(spark, sf_dir, "events")
+    e = (
+        ev.select(
+            F.concat(F.lit("user#"), F.col("user_id")).alias("src"),
+            F.concat(
+                F.lit("item#"), F.get_json_object("props", "$.k")
+            ).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )
+    return pagerank_int_weighted(e, iters=3)
+
+
+_KG_WEDGES_SQL = """
+SELECT 'user#' || CAST(user_id AS VARCHAR) AS src,
+       'item#' || json_extract_string(props, '$.k') AS dst,
+       CAST(COUNT(*) AS BIGINT) AS weight
+FROM events GROUP BY 1, 2
+"""
+
+
 def _kg_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS to 3 hops (operators/graph.bfs_distances) over
     the undirected expansion of the KG edges, seeded at every 50th user
@@ -4481,6 +4510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_co_neighbors": _kg_co_neighbors,
         "kg_triangles": _kg_triangles,
         "kg_pagerank": _kg_pagerank,
+        "kg_pagerank_weighted": _kg_pagerank_weighted,
         "kg_bfs": _kg_bfs,
         "kg_fact_latest": _kg_fact_latest,
         "kg_neighbor_jaccard": _kg_neighbor_jaccard,
@@ -4492,12 +4522,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- unique operator probes (kept inside the 50-entry window) --
         "s11_framenet_exemplars": _s11_framenet_exemplars,
         "a4_chunk_prf": _a4_chunk_prf,
-        "dedup_minhash_signatures": _minhash_sig,
         "dedup_ngram_jaccard": _ngram_jaccard,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
         "dedup_cluster_assign": _dedup_cluster_assign,
         "ann_pq_topk": _ann_pq_topk,
         # -- demoted past 50: twice driver-green, still locally checked --
+        "dedup_minhash_signatures": _minhash_sig,
         "dedup_simhash": _simhash,
         "j5_template_fanout": _j5_template_fanout,
         "dedup_exact": _dedup_exact,
@@ -4585,6 +4615,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangles": _KG_TRIANGLES_SQL,
         "kg_pagerank": _graph_sql.pagerank_oracle_sql(
             _KG_EDGE_PROJ_SQL, iters=3
+        ),
+        "kg_pagerank_weighted": _graph_sql.pagerank_weighted_oracle_sql(
+            _KG_WEDGES_SQL, iters=3
         ),
         "kg_bfs": _graph_sql.bfs_oracle_sql(
             _KG_EDGE_PROJ_SQL, _KG_BFS_SEEDS_SQL, max_hops=3

@@ -294,6 +294,108 @@ def _pr_iteration(
     )
 
 
+def pagerank_int_weighted(
+    edges: DataFrame, iters: int = 3, damping_pct: int = 85
+) -> DataFrame:
+    """Support-weighted PageRank in exact integer micro-units: the KG
+    edge table carries observation weights, and a contribution should
+    follow the evidence — rank mass splits proportionally to edge
+    weight instead of uniformly.
+
+    contribution(u->v) = (rank(u) * w(u,v)) div W(u),  W(u) = Σ_v w
+    rank_i(v) = teleport + (d * Σ contributions) div 100
+
+    Overflow bound: the largest intermediate is rank*w with rank <
+    PR_SCALE (1e9), so any edge weight below 2^63 / 1e9 ≈ 9.2e9
+    observations stays exact BIGINT — far beyond any real support
+    count. Same exactness property as pagerank_int: integer end-to-end,
+    so the unrolled-CTE twin (pagerank_weighted_oracle_sql)
+    hash-matches.
+
+    `edges` must carry (src, dst, weight); multi-edges are summed first.
+    """
+    e = (
+        edges.groupBy("src", "dst")
+        .agg(F.sum("weight").cast("long").alias("w"))
+    )
+    n_parts = edges.sparkSession.sparkContext.defaultParallelism
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .repartition(n_parts, "node")
+        .persist()
+    )
+    n = nodes.count()
+    r0 = PR_SCALE // n
+    teleport = ((100 - damping_pct) * r0) // 100
+    outw = e.groupBy("src").agg(F.sum("w").cast("long").alias("outw"))
+    links = e.join(outw, "src").repartition(n_parts, "src").persist()
+    rank = nodes.select("node", F.lit(r0).cast("long").alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            links.join(
+                rank.select(F.col("node").alias("src"), "rank").hint(
+                    "shuffle_hash"
+                ),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(rank * w) div outw").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        rank = (
+            nodes.join(contrib.hint("shuffle_hash"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    nodes.unpersist()
+    links.unpersist()
+    return rank
+
+
+def pagerank_weighted_oracle_sql(
+    edges_sql: str, iters: int = 3, damping_pct: int = 85
+) -> str:
+    """DuckDB twin of pagerank_int_weighted over `edges_sql`
+    (a SELECT yielding src, dst, weight)."""
+    parts = [
+        "WITH e AS (SELECT src, dst, CAST(SUM(weight) AS BIGINT) AS w"
+        f" FROM ({edges_sql}) GROUP BY src, dst)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "n AS (SELECT COUNT(*) AS n FROM nodes)",
+        "ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw"
+        " FROM e GROUP BY src)",
+        f"r0 AS (SELECT node, CAST({PR_SCALE} // n.n AS BIGINT) AS rank"
+        " FROM nodes, n)",
+        f"tp AS (SELECT ({100 - damping_pct} * rank) // 100 AS t"
+        " FROM r0 LIMIT 1)",
+    ]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"r{i} AS (SELECT nodes.node, CAST(tp.t + "
+            f"({damping_pct} * COALESCE(SUM(({prev}.rank * e.w) // ow.outw), 0))"
+            " // 100 AS BIGINT) AS rank"
+            f" FROM nodes CROSS JOIN tp"
+            f" LEFT JOIN e ON e.dst = nodes.node"
+            f" LEFT JOIN {prev} ON {prev}.node = e.src"
+            f" LEFT JOIN ow ON ow.src = e.src"
+            " GROUP BY nodes.node, tp.t)"
+        )
+        prev = f"r{i}"
+    return ",\n".join(parts) + f"\nSELECT node, rank FROM {prev}"
+
+
 def pagerank_oracle_sql(
     edges_sql: str, iters: int = 3, damping_pct: int = 85
 ) -> str:

@@ -216,3 +216,46 @@ def test_bfs_disconnected_component_unreached(spark):
     seeds = spark.createDataFrame([(1,)], "node: long")
     got = {r.node: r.dist for r in bfs_distances(e, seeds, max_hops=5).collect()}
     assert got == {1: 0, 2: 1, 3: 2}  # the 10-11 island stays unreached
+
+
+def test_pagerank_weighted_exact(spark):
+    from deepee_spark.operators.graph import (
+        pagerank_int_weighted,
+        pagerank_weighted_oracle_sql,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (a, b, rng.randrange(1, 9))
+        for a, b in _rand_edges(30, 100, seed=11)
+    ]
+    e = spark.createDataFrame(rows, "src: long, dst: long, weight: long")
+
+    # pure-python twin of the weighted recurrence
+    w = {}
+    for a, b, x in rows:
+        w[(a, b)] = w.get((a, b), 0) + x
+    nodes = sorted({a for a, _ in w} | {b for _, b in w})
+    r0 = PR_SCALE // len(nodes)
+    tp = (15 * r0) // 100
+    outw = defaultdict(int)
+    for (a, _), x in w.items():
+        outw[a] += x
+    rank = {v: r0 for v in nodes}
+    for _ in range(3):
+        s = defaultdict(int)
+        for (a, b), x in w.items():
+            s[b] += (rank[a] * x) // outw[a]
+        rank = {v: tp + (85 * s[v]) // 100 for v in nodes}
+
+    got = {
+        r.node: r.rank for r in pagerank_int_weighted(e, iters=3).collect()
+    }
+    assert got == rank
+
+    con = duckdb.connect()
+    con.register("edges_tbl", e.toPandas())
+    sql = pagerank_weighted_oracle_sql(
+        "SELECT src, dst, weight FROM edges_tbl", iters=3
+    )
+    assert dict(con.execute(sql).fetchall()) == rank
