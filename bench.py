@@ -65,6 +65,8 @@ def main() -> None:
         "kg_co_neighbors",
         "kg_distinct_sketch",
         "kg_fact_latest",
+        "kg_fact_asof",
+        "kg_kcore",
         "ee_trigger_counts",
         "bert_trigger_tags",
         "qa_span_args",

@@ -515,3 +515,103 @@ def bfs_oracle_sql(
         + " UNION ALL ".join(reach)
         + ") GROUP BY node"
     )
+
+
+def kcore(edges: DataFrame, k: int, max_rounds: int = 20) -> DataFrame:
+    """k-core of the undirected simple graph: the maximal subgraph in
+    which every node has degree >= k. Returns (node, deg) where deg is
+    the node's degree WITHIN the core.
+
+    Iterative peeling: each round computes degrees over the surviving
+    edge set and drops nodes below k; edges touching a dropped node die
+    with it. Converges when the survivor count stops changing (the set
+    shrinks monotonically, so equal counts mean equal sets); bounded by
+    `max_rounds` as a runaway guard — the peel depth of real web/KG
+    graphs is small (it is at most the degeneracy ordering depth), and
+    callers that need a hard bound pass the same constant to
+    kcore_oracle_sql so both engines unroll identically.
+
+    Scale shape: per round ONE agg (groupBy src over the symmetric edge
+    list — degree(v) = outdegree in the symmetric form) plus two
+    semi-joins that filter the edge list to surviving endpoints, both
+    hash-built on the node-count-sized survivor side (shuffle_hash: the
+    edge side streams, nothing assumes survivors fit in one task).
+    localCheckpoint per round cuts lineage so the plan stays O(1) deep.
+    """
+    lohi = undirect(edges)
+    sym = lohi.select(
+        F.col("lo").alias("src"), F.col("hi").alias("dst")
+    ).unionByName(
+        lohi.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
+    )
+    n_parts = edges.sparkSession.sparkContext.defaultParallelism
+    cur = sym.repartition(n_parts, "src").localCheckpoint()
+    n_alive = -1
+    alive = None
+    for _ in range(max_rounds):
+        alive = (
+            cur.groupBy("src")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select(F.col("src").alias("node"), "deg")
+            .localCheckpoint()
+        )
+        n_next = alive.count()
+        if n_next == n_alive or n_next == 0:
+            break
+        n_alive = n_next
+        cur = (
+            cur.join(
+                alive.select(F.col("node").alias("src")).hint(
+                    "shuffle_hash"
+                ),
+                "src",
+                "left_semi",
+            )
+            .join(
+                alive.select(F.col("node").alias("dst")).hint(
+                    "shuffle_hash"
+                ),
+                "dst",
+                "left_semi",
+            )
+            .localCheckpoint()
+        )
+    return alive
+
+
+def kcore_oracle_sql(edges_sql: str, k: int, rounds: int) -> str:
+    """DuckDB twin of kcore with the peeling unrolled `rounds` times.
+    Once the peel has converged every further round is a no-op, so any
+    rounds >= the true peel depth reproduces the fixpoint bit-for-bit
+    (pytest asserts convergence within `rounds` on the contract data).
+
+    The per-round CTEs are MATERIALIZED: each survivor set s_i is
+    referenced three times by round i+1, and DuckDB inlines plain CTEs,
+    so without materialization the plan tree grows 3^rounds and the
+    optimizer never returns."""
+    parts = [
+        f"WITH e0x AS (SELECT src, dst FROM ({edges_sql})"
+        " WHERE src <> dst)",
+        "s0 AS (SELECT DISTINCT lo AS src, hi AS dst FROM"
+        " (SELECT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi"
+        "  FROM e0x)"
+        " UNION ALL"
+        " SELECT DISTINCT hi AS src, lo AS dst FROM"
+        " (SELECT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi"
+        "  FROM e0x))",
+    ]
+    prev = "s0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT src AS node,"
+            f" CAST(COUNT(*) AS BIGINT) AS deg"
+            f" FROM {prev} GROUP BY src HAVING COUNT(*) >= {k})"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT e.src, e.dst FROM {prev} e"
+            f" JOIN a{i} x ON e.src = x.node"
+            f" JOIN a{i} y ON e.dst = y.node)"
+        )
+        prev = f"s{i}"
+    return ",\n".join(parts) + f"\nSELECT node, deg FROM a{rounds}"

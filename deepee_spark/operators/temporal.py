@@ -1,0 +1,140 @@
+"""Temporal fact operators over the (subj, pred, obj, ts) triple stream.
+
+A KG built from rolling web crawls is bitemporal in practice: every fact
+carries the crawl timestamp that asserted it, re-crawls re-assert or
+contradict earlier facts, and downstream consumers ask two canonical
+questions the latest-wins merge (__spark_entry__.kg_fact_latest) cannot
+answer:
+
+- "What did the KG believe about X at time t?"  -> asof_join
+- "Over which time ranges did each fact hold?"  -> fact_validity_intervals
+
+The reference stops at per-document extraction (its eval joins are
+timeless set intersections, MOGANED utils.py:39-47); these operators are
+the temporal algebra its KG consumers run off-engine, built Spark-first:
+
+- asof_join: union-and-carry-forward formulation. Facts and probes are
+  tagged, unioned, and scanned ONCE per key ordered by (ts, tag) with a
+  last-non-null window — one shuffle on the key, no range join, no
+  per-probe scan. The naive theta-join (probe.ts >= fact.ts + argmax)
+  is O(facts x probes) per key and dies at web scale; this formulation
+  is linear in (facts + probes) after the shuffle and survives 10^12
+  rows. Its driver oracle is DuckDB's NATIVE ASOF JOIN — a genuinely
+  different algorithm (per-key binary search), so agreement is a hard
+  cross-engine check, not the same plan twice.
+- fact_validity_intervals: gaps-and-islands change-point compression.
+  Consecutive re-assertions of the same obj collapse into one interval;
+  an interval closes when the obj changes ([valid_from, valid_to),
+  valid_to NULL = still current). Three windows over ONE partitioning
+  of the same key prefix — a single shuffle end to end.
+
+Both require the caller to feed at most one fact per (key, ts): ties at
+identical timestamps have no defined order. Resolve upstream with the
+latest-wins tie-break (kg_fact_latest's (ts, url) rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+_TAG = "_is_probe"
+
+
+def asof_join(
+    facts: DataFrame,
+    probes: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """For every probe row, attach the `value_cols` of the most recent
+    fact with the same `keys` and fact.ts <= probe.ts (inclusive).
+    Probes with no prior fact keep NULL values (left-asof semantics).
+
+    Probe columns other than keys/ts pass through unchanged; they must
+    not collide with `value_cols`. One shuffle (the window partition);
+    at same-ts ties the fact sorts before the probe, so a fact is
+    visible to probes at its own timestamp — matching DuckDB's
+    `ASOF JOIN ON probe.ts >= fact.ts`.
+    """
+    overlap = set(value_cols) & set(probes.columns)
+    if overlap:
+        raise ValueError(f"probe columns collide with value_cols: {overlap}")
+    probe_extra = [
+        c for c in probes.columns if c not in keys and c != ts_col
+    ]
+    fact_types = {f.name: f.dataType for f in facts.schema.fields}
+    probe_types = {f.name: f.dataType for f in probes.schema.fields}
+
+    f_side = facts.select(
+        *keys,
+        ts_col,
+        *value_cols,
+        *[
+            F.lit(None).cast(probe_types[c]).alias(c)
+            for c in probe_extra
+        ],
+        F.lit(0).alias(_TAG),
+    )
+    p_side = probes.select(
+        *keys,
+        ts_col,
+        *[
+            F.lit(None).cast(fact_types[c]).alias(c)
+            for c in value_cols
+        ],
+        *probe_extra,
+        F.lit(1).alias(_TAG),
+    )
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(F.col(ts_col).asc(), F.col(_TAG).asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = f_side.unionByName(p_side)
+    for c in value_cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out.filter(F.col(_TAG) == 1).drop(_TAG)
+
+
+def fact_validity_intervals(
+    facts: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    obj_col: str,
+) -> DataFrame:
+    """Compress each key's assertion history into validity intervals.
+
+    Input: one fact per (keys, ts). Output one row per maximal run of
+    consecutive assertions of the same `obj_col`:
+      (keys..., obj, valid_from, valid_to, n_assertions)
+    valid_from = first assertion ts of the run; valid_to = the ts at
+    which a DIFFERENT obj was next asserted (NULL while still current);
+    n_assertions = how many times the run re-asserted the value.
+
+    Standard gaps-and-islands: lag-based change flag -> running-sum
+    segment id -> group -> lead for the closing bound. All three
+    windows share the key partitioning, so Catalyst plans ONE exchange.
+    """
+    w_ord = W.partitionBy(*keys).orderBy(ts_col)
+    w_run = w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    seg = (
+        facts.withColumn(
+            "_chg",
+            F.when(
+                F.lag(obj_col).over(w_ord).eqNullSafe(F.col(obj_col)),
+                F.lit(0),
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn("_seg", F.sum("_chg").over(w_run))
+    )
+    grouped = seg.groupBy(*keys, "_seg").agg(
+        F.min(obj_col).alias(obj_col),
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).cast("long").alias("n_assertions"),
+    )
+    w_next = W.partitionBy(*keys).orderBy("valid_from")
+    return grouped.withColumn(
+        "valid_to", F.lead("valid_from").over(w_next)
+    ).drop("_seg")

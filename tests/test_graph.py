@@ -259,3 +259,64 @@ def test_pagerank_weighted_exact(spark):
         "SELECT src, dst, weight FROM edges_tbl", iters=3
     )
     assert dict(con.execute(sql).fetchall()) == rank
+
+
+def _peel(edge_list: list[tuple[int, int]], k: int):
+    und = {tuple(sorted(e)) for e in edge_list}
+    alive: set[int] = set()
+    for a, b in und:
+        alive |= {a, b}
+    while True:
+        deg = {n: 0 for n in alive}
+        for a, b in und:
+            if a in alive and b in alive:
+                deg[a] += 1
+                deg[b] += 1
+        nxt = {n for n in alive if deg[n] >= k}
+        if nxt == alive:
+            return {(n, deg[n]) for n in alive}
+        alive = nxt
+
+
+@pytest.fixture(scope="module")
+def sparse_edges(spark):
+    # sparse enough that k=2 genuinely peels and k=3 peels to empty
+    rows = _rand_edges(60, 90, seed=11)
+    return rows, spark.createDataFrame(rows, "src: long, dst: long").cache()
+
+
+def test_kcore_bruteforce(spark, sparse_edges):
+    from deepee_spark.operators.graph import kcore
+
+    rows, edf = sparse_edges
+    for k in (2, 3):
+        got = {(r.node, r.deg) for r in kcore(edf, k).collect()}
+        assert got == _peel(rows, k), f"k={k}"
+
+
+def test_kcore_duckdb_oracle_matches(spark, sparse_edges):
+    from deepee_spark.operators.graph import kcore, kcore_oracle_sql
+
+    rows, edf = sparse_edges
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?,?)", rows)
+    for k in (2, 3):
+        got = {(r.node, r.deg) for r in kcore(edf, k).collect()}
+        oracle = {
+            (r[0], r[1])
+            for r in con.execute(
+                kcore_oracle_sql("SELECT src, dst FROM e", k, rounds=12)
+            ).fetchall()
+        }
+        assert got == oracle, f"k={k}"
+
+
+def test_kcore_dense_graph(spark, edges):
+    # the dense fixture barely peels at k=4: the converged core must
+    # still match the reference peel exactly
+    from deepee_spark.operators.graph import kcore
+
+    rows = [(r.src, r.dst) for r in edges.collect()]
+    got = {(r.node, r.deg) for r in kcore(edges, 4).collect()}
+    assert got == _peel(rows, 4)

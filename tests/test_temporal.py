@@ -1,0 +1,121 @@
+"""Temporal fact operators: brute-force oracles on random histories,
+plus a DuckDB NATIVE ASOF JOIN cross-check — the same hard cross-engine
+property the driver contract relies on (two different algorithms, one
+answer)."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from deepee_spark.operators.temporal import asof_join, fact_validity_intervals
+
+
+@pytest.fixture(scope="module")
+def history(spark):
+    rng = random.Random(42)
+    facts = [
+        (k, t, f"v{k}_{t}")
+        for k in range(8)
+        for t in sorted(rng.sample(range(100), 12))
+    ]
+    # probes deliberately cover: keys with no facts (k=8,9), ts before
+    # any fact, ts at exactly a fact's ts (inclusive boundary)
+    probes = [
+        (rng.randrange(10), rng.randrange(110), i) for i in range(200)
+    ]
+    fdf = spark.createDataFrame(facts, "k: long, ts: long, val: string")
+    pdf = spark.createDataFrame(
+        probes, "k: long, ts: long, probe_id: long"
+    )
+    return facts, probes, fdf, pdf
+
+
+def test_asof_join_bruteforce(spark, history):
+    facts, probes, fdf, pdf = history
+    got = {
+        (r.k, r.ts, r.probe_id): r.val
+        for r in asof_join(fdf, pdf, ["k"], "ts", ["val"]).collect()
+    }
+    fmap: dict[int, list[tuple[int, str]]] = {}
+    for k, t, v in facts:
+        fmap.setdefault(k, []).append((t, v))
+    want = {}
+    for k, t, pid in probes:
+        cand = [(ft, v) for ft, v in fmap.get(k, []) if ft <= t]
+        want[(k, t, pid)] = max(cand)[1] if cand else None
+    assert got == want
+
+
+def test_asof_join_matches_duckdb_native_asof(spark, history):
+    facts, probes, fdf, pdf = history
+    got = {
+        (r.k, r.ts, r.probe_id): r.val
+        for r in asof_join(fdf, pdf, ["k"], "ts", ["val"]).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE f(k BIGINT, ts BIGINT, val VARCHAR)")
+    con.executemany("INSERT INTO f VALUES (?,?,?)", facts)
+    con.execute("CREATE TABLE p(k BIGINT, ts BIGINT, probe_id BIGINT)")
+    con.executemany("INSERT INTO p VALUES (?,?,?)", probes)
+    duck = {
+        (r[0], r[1], r[2]): r[3]
+        for r in con.execute(
+            "SELECT p.k, p.ts, p.probe_id, f.val FROM p"
+            " ASOF LEFT JOIN f ON p.k = f.k AND p.ts >= f.ts"
+        ).fetchall()
+    }
+    assert got == duck
+
+
+def test_asof_join_rejects_value_collision(spark, history):
+    _, _, fdf, pdf = history
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(fdf, pdf.withColumnRenamed("probe_id", "val"),
+                  ["k"], "ts", ["val"])
+
+
+def test_fact_validity_intervals_bruteforce(spark):
+    rng = random.Random(7)
+    # t // 25 buckets the value so consecutive assertions repeat -> runs
+    facts = [
+        (k, t, f"v{t // 25}")
+        for k in range(4)
+        for t in sorted(rng.sample(range(100), 15))
+    ]
+    fdf = spark.createDataFrame(facts, "k: long, ts: long, val: string")
+    rows = fact_validity_intervals(fdf, ["k"], "ts", "val").collect()
+    bymap: dict[int, list[tuple[int, str]]] = {}
+    for k, t, v in facts:
+        bymap.setdefault(k, []).append((t, v))
+    want = []
+    for k, seq in bymap.items():
+        seq.sort()
+        runs: list[list] = []
+        for t, v in seq:
+            if runs and runs[-1][0] == v:
+                runs[-1][2] += 1
+            else:
+                runs.append([v, t, 1])
+        for i, (v, t0, n) in enumerate(runs):
+            t1 = runs[i + 1][1] if i + 1 < len(runs) else None
+            want.append((k, v, t0, t1, n))
+    got = sorted(
+        (r.k, r.val, r.valid_from, r.valid_to, r.n_assertions)
+        for r in rows
+    )
+    assert got == sorted(want)
+    # open intervals: exactly one per key (the current value)
+    assert sum(1 for *_rest, t1, _n in got if t1 is None) == 4
+
+
+def test_fact_validity_intervals_single_run(spark):
+    fdf = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "a"), (1, 30, "a")],
+        "k: long, ts: long, val: string",
+    )
+    rows = fact_validity_intervals(fdf, ["k"], "ts", "val").collect()
+    assert [(r.val, r.valid_from, r.valid_to, r.n_assertions)
+            for r in rows] == [("a", 10, None, 3)]
