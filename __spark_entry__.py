@@ -3351,6 +3351,74 @@ ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 """
 
 
+def _kg_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/graph.pagerank_int_seeded):
+    teleport mass split over a seed entity set only (every 50th user,
+    the same seeds as kg_bfs), so rank measures proximity to the seeds
+    rather than global centrality — "which entities matter relative to
+    this domain", the topic-sensitive variant of kg_pagerank. Exact
+    BIGINT recurrence, bit-identical to the unrolled-CTE twin."""
+    from deepee_spark.operators.graph import pagerank_int_seeded
+
+    ev = _t(spark, sf_dir, "events")
+    seeds = (
+        ev.filter(F.col("user_id") % 50 == 0)
+        .select(F.concat(F.lit("user#"), F.col("user_id")).alias("node"))
+        .distinct()
+    )
+    return pagerank_int_seeded(
+        _kg_edge_proj(spark, sf_dir), seeds, iters=3
+    )
+
+
+def _kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation link prediction (operators/graph.
+    resource_allocation): candidate user-user edges scored by
+    sum(1e9 div fanout(shared item)) — the KG-completion ranking where
+    rare shared neighbors count most and hubs count ~0. Exact BIGINT;
+    same narrow-key discipline as kg_neighbor_jaccard (long user ids,
+    xxhash64 item keys through the quadratic stage; labels concatenated
+    onto the aggregated output); top-1000 by (ra_e9, a, b) bounds the
+    driver payload while exercising the full wedge explosion."""
+    from deepee_spark.operators.graph import resource_allocation
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        F.col("user_id").cast("long").alias("src"),
+        F.xxhash64(F.get_json_object("props", "$.k")).alias("dst"),
+    )
+    out = resource_allocation(e).select(
+        F.concat(F.lit("user#"), F.col("a")).alias("a"),
+        F.concat(F.lit("user#"), F.col("b")).alias("b"),
+        "ra_e9",
+        "n_shared",
+    )
+    return out.orderBy(F.desc("ra_e9"), "a", "b").limit(1000)
+
+
+_KG_LINK_PREDICTION_SQL = """
+WITH e AS (
+  SELECT DISTINCT user_id AS u, json_extract_string(props, '$.k') AS i
+  FROM events),
+fan AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS fan FROM e GROUP BY i),
+pairs AS (
+  SELECT a.u AS ua, b.u AS ub,
+         CAST(SUM(1000000000 // f.fan) AS BIGINT) AS ra_e9,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM e a JOIN e b ON a.i = b.i AND a.u < b.u
+  JOIN fan f ON f.i = a.i
+  GROUP BY a.u, b.u)
+SELECT 'user#' || CAST(ua AS VARCHAR) AS a,
+       'user#' || CAST(ub AS VARCHAR) AS b,
+       ra_e9, n_shared
+FROM pairs
+ORDER BY ra_e9 DESC,
+         'user#' || CAST(ua AS VARCHAR),
+         'user#' || CAST(ub AS VARCHAR)
+LIMIT 1000
+"""
+
+
 def _sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sequence packing: whitespace token counts ->
     hash-sharded greedy bins of 512 tokens (shard = the shared diffused
@@ -4695,6 +4763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fact_asof": _kg_fact_asof,
         "kg_fact_intervals": _kg_fact_intervals,
         "kg_kcore": _kg_kcore,
+        "kg_pagerank_seeded": _kg_pagerank_seeded,
+        "kg_link_prediction": _kg_link_prediction,
         # -- demoted past 50: twice driver-green, still locally checked --
         "dedup_minhash_signatures": _minhash_sig,
         "dedup_simhash": _simhash,
@@ -4803,6 +4873,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_kcore": _graph_sql.kcore_oracle_sql(
             _KG_KCORE_EDGES_SQL, k=80, rounds=12
         ),
+        "kg_pagerank_seeded": _graph_sql.pagerank_seeded_oracle_sql(
+            _KG_EDGE_PROJ_SQL, _KG_BFS_SEEDS_SQL, iters=3
+        ),
+        "kg_link_prediction": _KG_LINK_PREDICTION_SQL,
         "a2_bag_argmax": _A2_SQL,
         "a3_prf_counters": _A3_SQL,
         "w1_pr_curve": _W1_SQL,

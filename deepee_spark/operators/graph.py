@@ -615,3 +615,179 @@ def kcore_oracle_sql(edges_sql: str, k: int, rounds: int) -> str:
         )
         prev = f"s{i}"
     return ",\n".join(parts) + f"\nSELECT node, deg FROM a{rounds}"
+
+
+def pagerank_int_seeded(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Personalized PageRank in exact integer micro-units: teleport
+    mass is split over the SEED set only, so rank measures proximity
+    to the seeds instead of global centrality — "importance relative
+    to this entity set", the query a KG consumer asks about a domain
+    (all seed companies, all seed people).
+
+    rank_0(v) = PR_SCALE div n_seeds  if v is a seed, else 0
+    tp(v)     = ((100 - damping_pct) * rank_0(v)) div 100
+    rank_i(v) = tp(v)
+              + (damping_pct * sum_{u->v} rank_{i-1}(u) div outdeg(u))
+                div 100
+
+    Same exact-BIGINT discipline as pagerank_int (shuffle-order
+    independent => bit-identical cross-engine); dangling mass dropped;
+    seeds outside the graph's node set are ignored (mirrored in the
+    SQL twin). The only structural change vs pagerank_int is that the
+    teleport is a per-node COLUMN (NULL-coalesced seed join) instead
+    of a constant, so the per-iteration plan is identical: one
+    groupBy(dst) shuffle + a shuffle_hash join back onto nodes.
+    """
+    e = edges.select("src", "dst").distinct()
+    n_parts = edges.sparkSession.sparkContext.defaultParallelism
+    nodes_plain = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seed_nodes = seeds.select(
+        F.col(seeds.columns[0]).alias("node")
+    ).distinct()
+    n_seeds = nodes_plain.join(seed_nodes, "node", "left_semi").count()
+    r0 = PR_SCALE // n_seeds
+    tp = ((100 - damping_pct) * r0) // 100
+    nodes = (
+        nodes_plain.join(
+            seed_nodes.withColumn("_seed", F.lit(1)), "node", "left"
+        )
+        .select(
+            "node",
+            F.when(F.col("_seed") == 1, F.lit(tp))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("tp"),
+            F.when(F.col("_seed") == 1, F.lit(r0))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("r0"),
+        )
+        .repartition(n_parts, "node")
+        .persist()
+    )
+    outdeg = e.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("outdeg")
+    )
+    links = e.join(outdeg, "src").repartition(n_parts, "src").persist()
+    rank = nodes.select("node", F.col("r0").alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            links.join(
+                rank.select(F.col("node").alias("src"), "rank").hint(
+                    "shuffle_hash"
+                ),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        rank = (
+            nodes.join(contrib.hint("shuffle_hash"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.col("tp")
+                    + F.expr(
+                        f"({damping_pct} * coalesce(s, 0L)) div 100"
+                    )
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    nodes.unpersist()
+    links.unpersist()
+    return rank
+
+
+def pagerank_seeded_oracle_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    iters: int = 3,
+    damping_pct: int = 85,
+) -> str:
+    """DuckDB twin of pagerank_int_seeded: same integer recurrence,
+    per-node teleport from a LEFT JOIN against the seed set, unrolled
+    as chained CTEs (each round references the previous ONCE, so plain
+    inlining stays linear — no MATERIALIZED needed)."""
+    parts = [
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        f"sd AS (SELECT DISTINCT node FROM ({seeds_sql})"
+        " WHERE node IN (SELECT node FROM nodes))",
+        "ns AS (SELECT COUNT(*) AS n FROM sd)",
+        "od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg"
+        " FROM e GROUP BY src)",
+        f"r0 AS (SELECT nodes.node,"
+        f" CAST(CASE WHEN sd.node IS NULL THEN 0"
+        f" ELSE {PR_SCALE} // ns.n END AS BIGINT) AS rank,"
+        f" CAST(CASE WHEN sd.node IS NULL THEN 0"
+        f" ELSE ({100 - damping_pct} * ({PR_SCALE} // ns.n)) // 100"
+        f" END AS BIGINT) AS tp"
+        " FROM nodes CROSS JOIN ns"
+        " LEFT JOIN sd ON sd.node = nodes.node)",
+    ]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"r{i} AS (SELECT nodes.node, CAST(t.tp + "
+            f"({damping_pct} * COALESCE(SUM({prev}.rank // od.outdeg), 0))"
+            " // 100 AS BIGINT) AS rank,"
+            " t.tp AS tp"
+            f" FROM nodes"
+            f" JOIN r0 t ON t.node = nodes.node"
+            f" LEFT JOIN e ON e.dst = nodes.node"
+            f" LEFT JOIN {prev} ON {prev}.node = e.src"
+            f" LEFT JOIN od ON od.src = e.src"
+            " GROUP BY nodes.node, t.tp)"
+        )
+        prev = f"r{i}"
+    return ",\n".join(parts) + f"\nSELECT node, rank FROM {prev}"
+
+
+def resource_allocation(
+    edges: DataFrame, max_fanout: int | None = None
+) -> DataFrame:
+    """Resource-allocation link-prediction index (Zhou, Lü & Zhang,
+    Eur. Phys. J. B 2009 — public) for pairs of src nodes sharing dst
+    neighbors: ra_e9(a, b) = sum over shared z of (1e9 div fanout(z)),
+    with n_shared alongside. Exact BIGINT => hard cross-engine oracle.
+
+    Same wedge shape as co_neighbors (explicit repartition on dst so
+    AQE cannot serialize the quadratic stage), but each wedge carries
+    weight PR_SCALE div fanout(dst) instead of 1 — a hub shared by
+    everyone contributes ~0 by construction, which is exactly the RA
+    intuition and makes `max_fanout` capping nearly lossless here:
+    the score a cap drops is bounded by pairs * PR_SCALE/cap."""
+    e = edges.select("src", "dst").distinct()
+    fan = e.groupBy("dst").agg(
+        F.count(F.lit(1)).cast("long").alias("fan")
+    )
+    if max_fanout is not None:
+        fan = fan.filter(F.col("fan") <= max_fanout)
+    n_parts = edges.sparkSession.sparkContext.defaultParallelism
+    ew = e.join(fan, "dst").repartition(n_parts, "dst")
+    a = ew.select(F.col("src").alias("a"), "dst", "fan")
+    b = ew.select(F.col("src").alias("b"), "dst")
+    return (
+        a.join(b, "dst")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.expr(f"{PR_SCALE} div fan").alias("w"))
+        .groupBy("a", "b")
+        .agg(
+            F.sum("w").cast("long").alias("ra_e9"),
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+        )
+    )

@@ -320,3 +320,71 @@ def test_kcore_dense_graph(spark, edges):
     rows = [(r.src, r.dst) for r in edges.collect()]
     got = {(r.node, r.deg) for r in kcore(edges, 4).collect()}
     assert got == _peel(rows, 4)
+
+
+def test_pagerank_seeded_exact(spark, edges):
+    from deepee_spark.operators.graph import (
+        pagerank_int_seeded,
+        pagerank_seeded_oracle_sql,
+    )
+
+    dedges = sorted({(r.src, r.dst) for r in edges.collect()})
+    # every 7th id as seed, some outside the graph's node set
+    seeds = [(n,) for n in range(0, 50, 7)]
+    sdf = spark.createDataFrame(seeds, "node: long")
+    nodes = sorted({x for e in dedges for x in e})
+    outdeg: dict[int, int] = {}
+    for s, _ in dedges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    sset = {s for (s,) in seeds if s in nodes}
+    r0 = PR_SCALE // len(sset)
+    tp = {n: ((100 - 85) * r0) // 100 if n in sset else 0 for n in nodes}
+    rank = {n: r0 if n in sset else 0 for n in nodes}
+    for _ in range(3):
+        agg = {n: 0 for n in nodes}
+        for s, d in dedges:
+            agg[d] += rank[s] // outdeg[s]
+        rank = {n: tp[n] + (85 * agg[n]) // 100 for n in nodes}
+    got = {
+        r.node: r.rank
+        for r in pagerank_int_seeded(edges, sdf, iters=3).collect()
+    }
+    assert got == rank
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE et(src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO et VALUES (?,?)", dedges)
+    con.execute("CREATE TABLE sdt(node BIGINT)")
+    con.executemany("INSERT INTO sdt VALUES (?)", seeds)
+    sql = pagerank_seeded_oracle_sql(
+        "SELECT src, dst FROM et", "SELECT node FROM sdt", iters=3
+    )
+    assert dict(con.execute(sql).fetchall()) == rank
+
+
+def test_resource_allocation_bruteforce(spark, edges):
+    from deepee_spark.operators.graph import resource_allocation
+
+    dedges = sorted({(r.src, r.dst) for r in edges.collect()})
+    by_dst = defaultdict(set)
+    for s, d in dedges:
+        by_dst[d].add(s)
+    want: dict[tuple[int, int], tuple[int, int]] = {}
+    for d, ss in by_dst.items():
+        w = PR_SCALE // len(ss)
+        srt = sorted(ss)
+        for i, a in enumerate(srt):
+            for b in srt[i + 1 :]:
+                ra, n = want.get((a, b), (0, 0))
+                want[(a, b)] = (ra + w, n + 1)
+    got = {
+        (r.a, r.b): (r.ra_e9, r.n_shared)
+        for r in resource_allocation(edges).collect()
+    }
+    assert got == want
+    # capped scores are a lower bound of the uncapped ones
+    capped = {
+        (r.a, r.b): r.ra_e9
+        for r in resource_allocation(edges, max_fanout=4).collect()
+    }
+    assert all(capped[k] <= want[k][0] for k in capped)
