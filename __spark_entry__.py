@@ -3396,6 +3396,35 @@ def _kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.desc("ra_e9"), "a", "b").limit(1000)
 
 
+def _kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label-propagation communities
+    (operators/graph.label_propagation) over the co-order part graph
+    (the kg_kcore edges): after 4 synchronous rounds every part holds
+    the most-frequent-smallest neighbor label; communities are
+    label-equality classes. Classic async LPA is run-order-dependent;
+    the fixed-round synchronous variant with a total (count desc,
+    label asc) tie-break is a pure function of the graph, so the
+    unrolled MATERIALIZED-CTE DuckDB twin hash-matches bit-for-bit."""
+    from deepee_spark.operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_partkey").cast("long").alias("src"),
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_partkey").cast("long").alias("dst"),
+    )
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return label_propagation(edges, rounds=4)
+
+
 _KG_LINK_PREDICTION_SQL = """
 WITH e AS (
   SELECT DISTINCT user_id AS u, json_extract_string(props, '$.k') AS i
@@ -4765,6 +4794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kcore": _kg_kcore,
         "kg_pagerank_seeded": _kg_pagerank_seeded,
         "kg_link_prediction": _kg_link_prediction,
+        "kg_communities": _kg_communities,
         # -- demoted past 50: twice driver-green, still locally checked --
         "dedup_minhash_signatures": _minhash_sig,
         "dedup_simhash": _simhash,
@@ -4877,6 +4907,9 @@ def oracle_sql() -> dict[str, str]:
             _KG_EDGE_PROJ_SQL, _KG_BFS_SEEDS_SQL, iters=3
         ),
         "kg_link_prediction": _KG_LINK_PREDICTION_SQL,
+        "kg_communities": _graph_sql.label_propagation_oracle_sql(
+            _KG_KCORE_EDGES_SQL, rounds=4
+        ),
         "a2_bag_argmax": _A2_SQL,
         "a3_prf_counters": _A3_SQL,
         "w1_pr_curve": _W1_SQL,

@@ -791,3 +791,105 @@ def resource_allocation(
             F.count(F.lit(1)).cast("long").alias("n_shared"),
         )
     )
+
+
+def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan,
+    Albert & Kumara, Phys. Rev. E 2007 — public), made DETERMINISTIC:
+    every node starts as its own label; each round every node adopts
+    the label most frequent among its neighbors, ties broken by the
+    SMALLEST label. Classic async LPA is order-dependent (its results
+    vary run to run); the synchronous fixed-round variant with a total
+    tie-break is a pure function of (graph, rounds), which is what lets
+    a cross-engine oracle hash-match it. Returns (node, label) after
+    exactly `rounds` rounds — communities are label-equality classes.
+    Node ids must be integral (labels are compared numerically).
+
+    Synchronous LPA can oscillate on bipartite-ish structures instead
+    of converging; fixed rounds make that a defined answer, not a bug
+    (both engines run the SAME R). Per round: one shuffle_hash join of
+    the node-count-sized label table against the pre-partitioned
+    symmetric edge list + two aggs (vote count, then argmax via struct
+    max — max count, then min label via negation). Lineage cut per
+    round; the edge list never re-shuffles.
+    """
+    lohi = undirect(edges)
+    sym = lohi.select(
+        F.col("lo").alias("src"), F.col("hi").alias("dst")
+    ).unionByName(
+        lohi.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
+    )
+    n_parts = edges.sparkSession.sparkContext.defaultParallelism
+    sym = sym.repartition(n_parts, "dst").persist()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        votes = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("dst"), "lbl"
+                ).hint("shuffle_hash"),
+                "dst",
+            )
+            .groupBy("src", "lbl")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        labels = (
+            votes.groupBy("src")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cnt").alias("c"),
+                        (-F.col("lbl")).alias("nl"),
+                    )
+                ).alias("m")
+            )
+            .select(
+                F.col("src").alias("node"),
+                (-F.col("m.nl")).cast("long").alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+    sym.unpersist()
+    return labels
+
+
+def label_propagation_oracle_sql(edges_sql: str, rounds: int = 4) -> str:
+    """DuckDB twin of label_propagation: the same synchronous rounds
+    unrolled, argmax spelled as ROW_NUMBER over (cnt DESC, lbl ASC).
+    MATERIALIZED per round (each round is referenced by the next; the
+    vote CTE references the label CTE twice via the final projection,
+    and materializing keeps the tree linear regardless)."""
+    parts = [
+        f"WITH e0x AS (SELECT src, dst FROM ({edges_sql})"
+        " WHERE src <> dst)",
+        "symx AS MATERIALIZED (SELECT DISTINCT lo AS src, hi AS dst FROM"
+        " (SELECT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi"
+        "  FROM e0x)"
+        " UNION ALL"
+        " SELECT DISTINCT hi AS src, lo AS dst FROM"
+        " (SELECT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi"
+        "  FROM e0x))",
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS node,"
+        " CAST(src AS BIGINT) AS lbl FROM symx)",
+    ]
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT s.src AS node, l.lbl AS lbl,"
+            " CAST(COUNT(*) AS BIGINT) AS cnt"
+            f" FROM symx s JOIN {prev} l ON l.node = s.dst"
+            " GROUP BY s.src, l.lbl)"
+        )
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT node, lbl FROM ("
+            " SELECT node, lbl, ROW_NUMBER() OVER ("
+            " PARTITION BY node ORDER BY cnt DESC, lbl ASC) AS rn"
+            f" FROM c{i}) WHERE rn = 1)"
+        )
+        prev = f"l{i}"
+    return ",\n".join(parts) + f"\nSELECT node, lbl FROM {prev}"

@@ -388,3 +388,74 @@ def test_resource_allocation_bruteforce(spark, edges):
         for r in resource_allocation(edges, max_fanout=4).collect()
     }
     assert all(capped[k] <= want[k][0] for k in capped)
+
+
+def _lpa_brute(rows, rounds):
+    from collections import Counter
+
+    und = {tuple(sorted(e)) for e in rows}
+    adj = defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    lbl = {n: n for n in adj}
+    for _ in range(rounds):
+        lbl = {
+            n: max(
+                Counter(lbl[m] for m in adj[n]).items(),
+                key=lambda kv: (kv[1], -kv[0]),
+            )[0]
+            for n in adj
+        }
+    return lbl
+
+
+@pytest.fixture(scope="module")
+def planted_edges(spark):
+    # two dense planted communities bridged by a few random edges
+    rng = random.Random(3)
+    rows = set()
+    for lo, hi in ((0, 25), (25, 50)):
+        while sum(1 for a, b in rows if lo <= a < hi) < 90:
+            a, b = rng.randrange(lo, hi), rng.randrange(lo, hi)
+            if a != b:
+                rows.add((a, b))
+    for _ in range(10):
+        rows.add((rng.randrange(0, 25), rng.randrange(25, 50)))
+    rows = sorted(rows)
+    return rows, spark.createDataFrame(rows, "src: long, dst: long").cache()
+
+
+def test_label_propagation_bruteforce(spark, planted_edges):
+    from deepee_spark.operators.graph import label_propagation
+
+    rows, edf = planted_edges
+    for rounds in (1, 4):
+        got = {
+            r.node: r.lbl
+            for r in label_propagation(edf, rounds=rounds).collect()
+        }
+        assert got == _lpa_brute(rows, rounds), f"rounds={rounds}"
+    # 4 rounds on the planted graph finds few communities (near 2)
+    assert len(set(got.values())) <= 6
+
+
+def test_label_propagation_oracle_matches(spark, planted_edges):
+    from deepee_spark.operators.graph import (
+        label_propagation,
+        label_propagation_oracle_sql,
+    )
+
+    rows, edf = planted_edges
+    con = duckdb.connect()
+    con.execute("CREATE TABLE et(src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO et VALUES (?,?)", rows)
+    got = {
+        r.node: r.lbl for r in label_propagation(edf, rounds=4).collect()
+    }
+    oracle = dict(
+        con.execute(
+            label_propagation_oracle_sql("SELECT src, dst FROM et", 4)
+        ).fetchall()
+    )
+    assert got == oracle
