@@ -19,6 +19,23 @@ import tempfile
 import time
 
 
+def _gemm_probe(seconds: float = 2.0) -> float:
+    """Warm-page single-thread float32 gemm rate (matmuls/sec), the
+    same probe BENCH/BASELINE.md §0 calibrates the box with."""
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((2048, 300), dtype=np.float32)
+    b = rng.standard_normal((300, 512), dtype=np.float32)
+    a @ b  # warm pages + BLAS init
+    n, t0 = 0, time.time()
+    while time.time() - t0 < seconds:
+        a @ b
+        n += 1
+    return round(n / (time.time() - t0), 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -77,6 +94,17 @@ def main() -> None:
 
     # warm the JVM + parquet footers once
     qs["q1_pricing_summary"](spark, sf_dir).count()
+
+    # Host-health calibration, reported alongside the timings: this
+    # box's effective speed swings wildly under hypervisor-level
+    # contention invisible to the guest (BENCH/BASELINE.md §0; observed
+    # this round: the SAME warm single-thread gemm at 190/s in one
+    # session and 30/s hours later, and first-touch page faults at
+    # 7 MB/s vs 2.4 GB/s). host_gemm_per_s is the §0 calibration probe
+    # (2048x300 @ 300x512 float32, 1 BLAS thread, warm pages) measured
+    # at bench time — readers should normalize round-over-round query
+    # deltas by it before calling anything a regression.
+    host_gemm_per_s = _gemm_probe()
 
     # INTERLEAVED best-of-N per query (same rationale as the pipeline
     # trials below): host-contention bursts on this box swing identical
@@ -164,6 +192,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "host_gemm_per_s": host_gemm_per_s,
                 "sf": sf,
                 "pipeline_docs": n_docs,
                 "pipeline_triples": n_triples,

@@ -335,12 +335,49 @@ def _attn(x, wq, wk, wv, key_mask):
     return scores @ v
 
 
+# Rows per encoder block. encode() is row-independent, so chunking is
+# free semantically; what it buys is BOUNDED allocations. The FFN
+# intermediate is (B*L, ~1.8k) floats — monolithic batches allocate
+# hundreds of MB of FRESH pages per call, and on memory-pressured hosts
+# first-touch page faults dominate the gemm itself (measured: the same
+# (76k,225)@(225,1782) gemm at 0.8 GFLOPS on cold pages vs 51 GFLOPS on
+# warm — a 143s vs 1.3s swing at B=2000). Chunking keeps the working
+# set at ~70 MB that the allocator recycles across chunks, so only the
+# first chunk per worker pays the fault cost. Same reason bounded
+# batches are right at cluster scale: peak task memory is O(chunk), not
+# O(arrow batch).
+ENC_CHUNK = 256
+
+
 def encode(
     ids: np.ndarray, lengths: np.ndarray, segment0_len: np.ndarray
 ) -> np.ndarray:
     """ids (B, L) -> hidden states (B, L, D). segment0_len = index of the
     first segment-1 token (CLS + padded query + SEP in QA mode; 1 in
-    tagger mode — CLS and the final SEP count as segment 0 markers)."""
+    tagger mode — CLS and the final SEP count as segment 0 markers).
+
+    Rows are processed in ENC_CHUNK blocks (see note above); every op
+    inside _encode_block is per-row, so the output is identical to the
+    monolithic call row for row."""
+    B = ids.shape[0]
+    if B <= ENC_CHUNK:
+        return _encode_block(ids, lengths, segment0_len)
+    out = None
+    for i in range(0, B, ENC_CHUNK):
+        blk = _encode_block(
+            ids[i : i + ENC_CHUNK],
+            lengths[i : i + ENC_CHUNK],
+            segment0_len[i : i + ENC_CHUNK],
+        )
+        if out is None:
+            out = np.empty((B,) + blk.shape[1:], dtype=blk.dtype)
+        out[i : i + ENC_CHUNK] = blk
+    return out
+
+
+def _encode_block(
+    ids: np.ndarray, lengths: np.ndarray, segment0_len: np.ndarray
+) -> np.ndarray:
     emb = piece_embeddings()
     w = encoder_weights()
     B, L = ids.shape

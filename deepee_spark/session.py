@@ -37,6 +37,24 @@ def get_spark(
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
 
+    # In local mode spark.executorEnv.* is a no-op (executor == driver
+    # JVM), so the python daemon inherits THIS process's env — pin BLAS
+    # here too, before the JVM forks. Explicit user settings win.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
+    # Same heap-retention mallopt as deepee_spark/daemon.py (see the
+    # rationale there) for DRIVER-side numpy/pandas (toPandas, oracle
+    # comparisons): without it every large collect faults fresh pages.
+    try:
+        import ctypes
+
+        _libc = ctypes.CDLL("libc.so.6")
+        _libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+        _libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+    except OSError:  # pragma: no cover - non-glibc platforms
+        pass
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -69,6 +87,15 @@ def get_spark(
         # parallelism without these).
         .config("spark.python.daemon.module", "deepee_spark.daemon")
         .config("spark.python.worker.reuse", "true")
+        # One BLAS thread per python worker: the task slot is the unit
+        # of parallelism (one core per slot on a real cluster), so
+        # letting OpenBLAS spawn n_cpus threads inside EVERY worker
+        # oversubscribes the box n_workers-fold — measured 4x on the
+        # gemm-bound kernel queries at local[32]. Standard practice for
+        # numpy-under-Spark; scaling_bench pins the same way.
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.python.factory.idleWorkerMaxPoolSize", str(2 ** 30))
         # The worker-factory cache key includes the UDF env vars, and
         # simplifiedTraceback injects SPARK_SIMPLIFIED_TRACEBACK for pandas

@@ -210,3 +210,22 @@ def test_refine_span_reference_semantics():
     assert refine_span(9, 9, spans) == (8, 9)   # same end, 2nd entity
     assert refine_span(6, 7, spans) is None     # touches nothing
     assert refine_span(0, 1, spans) is None
+
+
+def test_encode_chunked_bitwise_equals_monolithic():
+    """encode() processes rows in ENC_CHUNK blocks for bounded
+    allocations; every op is per-row, so the block path must reproduce
+    the monolithic path BIT FOR BIT (the contract oracles depend on
+    it)."""
+    import numpy as np
+
+    from deepee_spark.kernels import bert as B
+
+    rng = np.random.default_rng(1)
+    words = ["what", "is", "the", "target", "of", "attack", "in", "x", "?"]
+    qs = [words[: rng.integers(4, 9)] for _ in range(B.ENC_CHUNK * 2 + 57)]
+    sents = [words[: rng.integers(3, 9)] for _ in range(len(qs))]
+    ids, lengths, s1s, _ = B.assemble(qs, sents)
+    assert np.array_equal(
+        B.encode(ids, lengths, s1s), B._encode_block(ids, lengths, s1s)
+    )
