@@ -306,3 +306,76 @@ def test_pagerank_iteration_avoids_sortmerge(spark):
     plan = formatted_plan(_pr_iteration(links, rank, nodes, 1000, 85))
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("ShuffledHashJoin") >= 2, plan
+
+
+def test_asof_join_single_partitioned_window(spark):
+    """asof_join's carry-forward window must partition on the key —
+    never a global (empty-partition) window, which would serialize all
+    facts+probes through one task (the f4 scale-killer class)."""
+    from deepee_spark.operators.temporal import asof_join
+
+    facts = spark.createDataFrame(
+        [(i % 7, i, f"v{i}") for i in range(100)],
+        "k: long, ts: long, val: string",
+    )
+    probes = spark.createDataFrame(
+        [(i % 9, i, i) for i in range(100)],
+        "k: long, ts: long, probe_id: long",
+    )
+    plan = formatted_plan(asof_join(facts, probes, ["k"], "ts", ["val"]))
+    assert "Window" in plan, plan
+    # the window's partition spec names the key: no SinglePartition feed
+    assert "SinglePartition" not in plan, plan
+
+
+def test_fact_intervals_one_exchange(spark):
+    """All three windows in fact_validity_intervals share the key
+    partitioning, so the plan must contain exactly ONE shuffle exchange
+    (plus nothing global): lag/segment/lead reuse the same exchange."""
+    from deepee_spark.operators.temporal import fact_validity_intervals
+
+    facts = spark.createDataFrame(
+        [(i % 7, i, f"v{i % 3}") for i in range(100)],
+        "k: long, ts: long, val: string",
+    )
+    plan = formatted_plan(
+        fact_validity_intervals(facts, ["k"], "ts", "val")
+    )
+    assert "SinglePartition" not in plan, plan
+    # formatted plans name tree nodes as "+- Exchange (n)": exactly one
+    n_exchanges = plan.count("Exchange (")
+    assert n_exchanges == 1, plan
+
+
+def test_kcore_round_avoids_sortmerge(spark):
+    """Each k-core round semi-joins the edge list against the survivor
+    set twice: both must hash-build on the survivor side (streaming the
+    edges), never sort-merge (which would re-sort the full edge list
+    every round)."""
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(i % 50, (i * 7) % 50) for i in range(400) if i % 50 != (i * 7) % 50],
+        "src: long, dst: long",
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    alive = (
+        sym.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .filter(F.col("deg") >= 2)
+        .select(F.col("src").alias("node"), "deg")
+    )
+    nxt = sym.join(
+        alive.select(F.col("node").alias("src")).hint("shuffle_hash"),
+        "src",
+        "left_semi",
+    ).join(
+        alive.select(F.col("node").alias("dst")).hint("shuffle_hash"),
+        "dst",
+        "left_semi",
+    )
+    plan = formatted_plan(nxt)
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("ShuffledHashJoin") >= 2, plan
