@@ -3425,6 +3425,64 @@ def _kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, rounds=4)
 
 
+def _kg_community_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition probe: LPA communities x integer PageRank over the
+    same co-order part graph, rolled up per community — (label,
+    n_members, total_rank). Both inputs are exact-integer/deterministic,
+    so the composition inherits a hard oracle: the DuckDB twin nests
+    both generators' unrolled CTEs and reproduces the rollup
+    bit-for-bit. The community-level importance summary a KG browser
+    shows first."""
+    from deepee_spark.operators.graph import (
+        label_propagation,
+        pagerank_int,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_partkey").cast("long").alias("src"),
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_partkey").cast("long").alias("dst"),
+    )
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    labels = label_propagation(edges, rounds=4)
+    ranks = pagerank_int(edges, iters=3)
+    return (
+        labels.join(ranks, "node")
+        .groupBy("lbl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("rank").cast("long").alias("total_rank"),
+        )
+    )
+
+
+def _kg_community_rank_sql() -> str:
+    from deepee_spark.operators.graph import (
+        label_propagation_oracle_sql,
+        pagerank_oracle_sql,
+    )
+
+    lpa = label_propagation_oracle_sql(_KG_KCORE_EDGES_SQL, rounds=4)
+    pr = pagerank_oracle_sql(_KG_KCORE_EDGES_SQL, iters=3)
+    return f"""
+WITH lpa AS MATERIALIZED ({lpa}),
+pr AS MATERIALIZED ({pr})
+SELECT lpa.lbl, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(pr.rank) AS BIGINT) AS total_rank
+FROM lpa JOIN pr ON pr.node = lpa.node
+GROUP BY lpa.lbl
+"""
+
+
 _KG_LINK_PREDICTION_SQL = """
 WITH e AS (
   SELECT DISTINCT user_id AS u, json_extract_string(props, '$.k') AS i
@@ -4795,6 +4853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank_seeded": _kg_pagerank_seeded,
         "kg_link_prediction": _kg_link_prediction,
         "kg_communities": _kg_communities,
+        "kg_community_rank": _kg_community_rank,
         # -- demoted past 50: twice driver-green, still locally checked --
         "dedup_minhash_signatures": _minhash_sig,
         "dedup_simhash": _simhash,
@@ -4910,6 +4969,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_communities": _graph_sql.label_propagation_oracle_sql(
             _KG_KCORE_EDGES_SQL, rounds=4
         ),
+        "kg_community_rank": _kg_community_rank_sql(),
         "a2_bag_argmax": _A2_SQL,
         "a3_prf_counters": _A3_SQL,
         "w1_pr_curve": _W1_SQL,
