@@ -3313,6 +3313,70 @@ FROM g
 """
 
 
+# epoch(2024-01-10) / epoch(2024-01-20): inside the events table's span
+_DIFF_T_OLD = 1704844800
+_DIFF_T_NEW = 1705708800
+
+
+def _kg_fact_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG diff between two crawl times (operators/temporal.fact_diff):
+    per user, the purchased item in effect at t_old vs t_new, keeping
+    only users whose fact changed (or first appeared) between the
+    snapshots. ONE shuffle — both as-of values come from a single
+    groupBy with FILTERed max_by aggregates; no window, no self-join.
+    Facts deduped per (subj, ts) latest-wins first, kg_fact_latest's
+    rule, so max_by sees unique timestamps."""
+    from pyspark.sql import Window as W
+
+    from deepee_spark.operators.temporal import fact_diff
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    base = ev.select(
+        F.concat(F.lit("user#"), F.col("user_id")).alias("subj"),
+        F.concat(
+            F.lit("item#"), F.get_json_object("props", "$.k")
+        ).alias("obj"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unix_timestamp("ts").cast("long").alias("ts_epoch"),
+    )
+    w = W.partitionBy("subj", "ts_epoch").orderBy(F.desc("event_id"))
+    facts = (
+        base.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("subj", "ts_epoch", "obj")
+    )
+    return fact_diff(
+        facts, ["subj"], "ts_epoch", "obj", _DIFF_T_OLD, _DIFF_T_NEW
+    )
+
+
+_KG_FACT_DIFF_SQL = f"""
+WITH f AS (
+  SELECT subj, ts_epoch, obj FROM (
+    SELECT 'user#' || CAST(user_id AS VARCHAR) AS subj,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+           'item#' || json_extract_string(props, '$.k') AS obj,
+           ROW_NUMBER() OVER (PARTITION BY user_id, floor(epoch(ts))
+                              ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'purchase')
+  WHERE rn = 1),
+d AS (
+  SELECT subj,
+         max_by(obj, ts_epoch)
+           FILTER (WHERE ts_epoch <= {_DIFF_T_OLD}) AS obj_old,
+         max_by(obj, ts_epoch)
+           FILTER (WHERE ts_epoch <= {_DIFF_T_NEW}) AS obj_new
+  FROM f GROUP BY subj)
+SELECT subj, obj_old, obj_new,
+       CASE WHEN obj_old IS NULL THEN 'added'
+            ELSE 'changed' END AS change
+FROM d
+WHERE obj_old IS DISTINCT FROM obj_new
+"""
+
+
 def _kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition (operators/graph.kcore) of the co-order
     part graph: parts appearing in the same order form an edge (the
@@ -4854,6 +4918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_prediction": _kg_link_prediction,
         "kg_communities": _kg_communities,
         "kg_community_rank": _kg_community_rank,
+        "kg_fact_diff": _kg_fact_diff,
         # -- demoted past 50: twice driver-green, still locally checked --
         "dedup_minhash_signatures": _minhash_sig,
         "dedup_simhash": _simhash,
@@ -4970,6 +5035,7 @@ def oracle_sql() -> dict[str, str]:
             _KG_KCORE_EDGES_SQL, rounds=4
         ),
         "kg_community_rank": _kg_community_rank_sql(),
+        "kg_fact_diff": _KG_FACT_DIFF_SQL,
         "a2_bag_argmax": _A2_SQL,
         "a3_prf_counters": _A3_SQL,
         "w1_pr_curve": _W1_SQL,

@@ -138,3 +138,47 @@ def fact_validity_intervals(
     return grouped.withColumn(
         "valid_to", F.lead("valid_from").over(w_next)
     ).drop("_seg")
+
+
+def fact_diff(
+    facts: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    obj_col: str,
+    t_old: int,
+    t_new: int,
+) -> DataFrame:
+    """KG diff between two crawl times: for every key, the value in
+    effect at t_old vs at t_new ("what changed between these two
+    snapshots?"). Returns only changed keys, with change kind:
+      (keys..., obj_old, obj_new, change in {'added', 'changed'})
+
+    One pass, ONE shuffle: both as-of values come from a single groupBy
+    with FILTERed max_by aggregates — no window, no self-join, no two
+    as-of evaluations. obj_old NULL = the fact did not exist yet at
+    t_old ('added' by t_new). There is no 'removed': facts never expire
+    in this model, they are superseded, so a key with obj_new NULL has
+    obj_old NULL too (t_old < t_new) and is filtered out as unchanged.
+    Same at-most-one-fact-per-(key, ts) requirement as asof_join
+    (resolve ties upstream, kg_fact_latest's rule).
+    """
+    if not t_old < t_new:
+        raise ValueError("t_old must be < t_new")
+    out = facts.groupBy(*keys).agg(
+        F.expr(
+            f"max_by({obj_col}, {ts_col})"
+            f" FILTER (WHERE {ts_col} <= {t_old})"
+        ).alias("obj_old"),
+        F.expr(
+            f"max_by({obj_col}, {ts_col})"
+            f" FILTER (WHERE {ts_col} <= {t_new})"
+        ).alias("obj_new"),
+    )
+    return out.filter(
+        ~F.col("obj_old").eqNullSafe(F.col("obj_new"))
+    ).withColumn(
+        "change",
+        F.when(F.col("obj_old").isNull(), F.lit("added")).otherwise(
+            F.lit("changed")
+        ),
+    )

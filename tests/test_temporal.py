@@ -119,3 +119,43 @@ def test_fact_validity_intervals_single_run(spark):
     rows = fact_validity_intervals(fdf, ["k"], "ts", "val").collect()
     assert [(r.val, r.valid_from, r.valid_to, r.n_assertions)
             for r in rows] == [("a", 10, None, 3)]
+
+
+def test_fact_diff_bruteforce(spark, history):
+    from deepee_spark.operators.temporal import fact_diff
+
+    facts, _, fdf, _ = history
+    t_old, t_new = 30, 70
+    # key 99 first appears between the snapshots -> the 'added' case
+    late = [(99, 55, "late_a"), (99, 60, "late_b")]
+    facts = facts + late
+    fdf = fdf.unionByName(
+        fdf.sparkSession.createDataFrame(
+            late, "k: long, ts: long, val: string"
+        )
+    )
+    fmap: dict[int, list[tuple[int, str]]] = {}
+    for k, t, v in facts:
+        fmap.setdefault(k, []).append((t, v))
+    want = {}
+    for k, hist in fmap.items():
+        old = max(((t, v) for t, v in hist if t <= t_old), default=None)
+        new = max(((t, v) for t, v in hist if t <= t_new), default=None)
+        vo = old[1] if old else None
+        vn = new[1] if new else None
+        if vo != vn:
+            want[k] = (vo, vn, "added" if vo is None else "changed")
+    got = {
+        r.k: (r.obj_old, r.obj_new, r.change)
+        for r in fact_diff(fdf, ["k"], "ts", "val", t_old, t_new).collect()
+    }
+    assert got == want
+    assert any(c == "added" for *_v, c in want.values())
+
+
+def test_fact_diff_rejects_bad_order(spark, history):
+    from deepee_spark.operators.temporal import fact_diff
+
+    _, _, fdf, _ = history
+    with pytest.raises(ValueError, match="t_old"):
+        fact_diff(fdf, ["k"], "ts", "val", 70, 30)
