@@ -4859,8 +4859,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_contract.py still verifies every entry locally.
     return {
         # -- flagship + kernel-path oracles (driver-unseen before round 3) --
-        "q1_pricing_summary": _q1,
-        "a1_vocab_build": _a1_vocab,
         "ee_trigger_counts": _ee_trigger_counts,
         "ee_trigger_counts_gcn": _ee_trigger_counts_gcn,
         "ee_trigger_counts_masked": _ee_trigger_counts_masked,
@@ -4903,23 +4901,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a10_loss_reductions": _a10_loss_reductions,
         "w6_epoch_shuffle": _w6_epoch_shuffle,
         "m9_selector_weights": _m9_selector_weights,
-        # -- unique operator probes (kept inside the 50-entry window) --
+        # -- unique operator probes (kept inside the 50-entry window;
+        #    dedup_embedding_cosine / dedup_cluster_assign were REWRITTEN
+        #    this round so their r02 green rows no longer cover them) --
         "s11_framenet_exemplars": _s11_framenet_exemplars,
-        "a4_chunk_prf": _a4_chunk_prf,
-        "dedup_ngram_jaccard": _ngram_jaccard,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
         "dedup_cluster_assign": _dedup_cluster_assign,
         "ann_pq_topk": _ann_pq_topk,
-        # -- round-3 temporal/graph additions (positions 51+) --
+        # -- round-3 temporal/graph additions: the four most distinct new
+        #    families (as-of join, k-core peel, label-propagation
+        #    communities, snapshot diff) inside the window; their variant
+        #    siblings (intervals/seeded/link-pred/community-rank) stay past
+        #    50 under the local contract check --
         "kg_fact_asof": _kg_fact_asof,
-        "kg_fact_intervals": _kg_fact_intervals,
         "kg_kcore": _kg_kcore,
+        "kg_communities": _kg_communities,
+        "kg_fact_diff": _kg_fact_diff,
+        # -- positions 51+ --
+        "kg_fact_intervals": _kg_fact_intervals,
         "kg_pagerank_seeded": _kg_pagerank_seeded,
         "kg_link_prediction": _kg_link_prediction,
-        "kg_communities": _kg_communities,
         "kg_community_rank": _kg_community_rank,
-        "kg_fact_diff": _kg_fact_diff,
-        # -- demoted past 50: twice driver-green, still locally checked --
+        # -- demoted past 50: already driver-green on unchanged code,
+        #    still locally checked --
+        "q1_pricing_summary": _q1,
+        "a1_vocab_build": _a1_vocab,
+        "a4_chunk_prf": _a4_chunk_prf,
+        "dedup_ngram_jaccard": _ngram_jaccard,
         "dedup_minhash_signatures": _minhash_sig,
         "dedup_simhash": _simhash,
         "j5_template_fanout": _j5_template_fanout,

@@ -538,6 +538,8 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 20) -> DataFrame:
     edge side streams, nothing assumes survivors fit in one task).
     localCheckpoint per round cuts lineage so the plan stays O(1) deep.
     """
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
     lohi = undirect(edges)
     sym = lohi.select(
         F.col("lo").alias("src"), F.col("hi").alias("dst")

@@ -312,6 +312,14 @@ def test_kcore_duckdb_oracle_matches(spark, sparse_edges):
         assert got == oracle, f"k={k}"
 
 
+def test_kcore_rejects_nonpositive_rounds(spark, sparse_edges):
+    from deepee_spark.operators.graph import kcore
+
+    _, edf = sparse_edges
+    with pytest.raises(ValueError):
+        kcore(edf, 2, max_rounds=0)
+
+
 def test_kcore_dense_graph(spark, edges):
     # the dense fixture barely peels at k=4: the converged core must
     # still match the reference peel exactly
