@@ -44,7 +44,10 @@ from ..ontology import (
     ID_TO_EVENT_TYPE,
     ID_TO_ROLE,
 )
-from ..operators.components import connected_components
+from ..operators.components import (
+    connected_components,
+    connected_components_incremental,
+)
 from ..operators.linking import link_mentions, normalize_surface
 from ..segment import CUTOFF, sentences_stage
 from ..sources.tables import StageCatalog
@@ -551,12 +554,17 @@ class Pipeline:
         This is the daily-operations path; a full run() only happens on
         schema or kernel changes.
 
-        Canonicalization scope: entity canonical ids are resolved within
-        the drop + the (global, broadcast) alias dictionary, so they are
-        content-deterministic per entity cluster; coreference edges that
-        only EXIST across drops are folded by the periodic global
-        re-canonicalization batch (the confident/unconfident rewrite
-        pattern — see streaming/ingest.py's module docstring)."""
+        Canonicalization scope: cross-drop. canonicalize_incremental
+        maintains a durable components labeling over the accumulated
+        alias graph (connected_components_incremental — per-drop cost is
+        the drop's edges plus the components it touches, never a rescan
+        of the accumulated edge set), so a coreference bridge that only
+        EXISTS across drops folds the moment its second half arrives.
+        Triples already written under a superseded canonical id are the
+        periodic rewrite batch's concern (the confident/unconfident
+        rewrite pattern — see streaming/ingest.py's module docstring);
+        the changed-mapping set needed to target that rewrite is exactly
+        canonicalize_incremental's touched components."""
         fp = f"{input_fingerprint}/triples/v1"
         cat, spark = self.catalog, self.spark
         if cat.is_current("triples", fp):
@@ -579,7 +587,9 @@ class Pipeline:
         linked = link_mentions(
             mentions_from_arguments(arguments), alias_df(spark)
         ).localCheckpoint()
-        canonical = canonicalize(linked).localCheckpoint()
+        canonical = self.canonicalize_incremental(
+            linked, input_fingerprint
+        ).localCheckpoint()
         delta = triples_from(arguments, linked, canonical)
         import time as _time
 
@@ -588,6 +598,122 @@ class Pipeline:
         self.stage_seconds["triples+append"] = round(_time.time() - t0, 3)
         self.ran.append("triples")
         return cat.read(spark, "triples")
+
+    def canonicalize_incremental(
+        self, linked: DataFrame, input_fingerprint: str
+    ) -> DataFrame:
+        """Cross-drop canonicalization at drop cost.
+
+        Maintains two durable stage tables under the standard
+        fingerprint/resume contract:
+
+        - ``canon_labels(node, component)`` — the components labeling of
+          the ACCUMULATED surface↔entity alias graph, advanced per drop
+          by connected_components_incremental (components the drop never
+          touches carry over verbatim; only drop-touched components are
+          re-solved, over a drop-sized graph).
+        - ``canon_ents(node, entity_id)`` — the entity-node dictionary
+          (hash node → entity_id), needed to turn component ids back
+          into the deterministic canonical id = min entity_id of the
+          component. Entity-dictionary scale, not corpus scale.
+
+        Returns the full (entity_id, canonical_id) mapping — the same
+        shape canonicalize() yields, but consistent across every drop
+        ingested so far: a surface seen in drop 1 and an entity seen in
+        drop 9 land in one component the moment the bridging drop
+        arrives, with no global recompute. A resumed (same-fingerprint)
+        drop reads both tables back instead of re-advancing them, so
+        replay is idempotent."""
+        cat, spark = self.catalog, self.spark
+        base = (
+            linked.select(
+                normalize_surface(F.col("surface")).alias("norm"),
+                "entity_id",
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        fp_labels = f"{input_fingerprint}/canon_labels/v1"
+        fp_ents = f"{input_fingerprint}/canon_ents/v1"
+        prev = (
+            cat.read(spark, "canon_labels").select("node", "component")
+            if cat.latest_meta("canon_labels")
+            else None
+        )
+        if cat.latest_meta("canon_ents") is None and cat.latest_meta(
+            "linked"
+        ):
+            # (keyed off canon_ents, the LAST table written: a crash
+            # between the two writes replays with canon_labels current
+            # but the entity dictionary still owed its seed entities)
+            # cold start after full run()s in checkpoint='all' mode: fold
+            # the stored linked stage's alias graph into this drop's
+            # delta ONCE, so cross-run surface/entity bridges are
+            # preserved. One-time O(accumulated linked) cost; every later
+            # drop pays only drop + touched components. (checkpoint=
+            # 'final'/'kernels' full runs keep no linked table — the
+            # labeling then starts from this drop.) Folding into `base`
+            # covers edges AND the entity dictionary; `base` is also what
+            # a crash-replay re-derives, keeping both writes idempotent.
+            seed = (
+                cat.read(spark, "linked")
+                .select(
+                    normalize_surface(F.col("surface")).alias("norm"),
+                    "entity_id",
+                )
+                .distinct()
+            )
+            base = base.unionByName(seed).distinct().localCheckpoint()
+        if cat.is_current("canon_labels", fp_labels):
+            self.skipped.append("canon_labels")
+            labels = cat.read(spark, "canon_labels").select(
+                "node", "component"
+            )
+        else:
+            edges = base.select(
+                F.xxhash64(F.concat(F.lit("s:"), F.col("norm"))).alias(
+                    "src"
+                ),
+                F.xxhash64(
+                    F.concat(F.lit("e:"), F.col("entity_id"))
+                ).alias("dst"),
+            )
+            labels = connected_components_incremental(
+                prev, edges
+            ).localCheckpoint()
+            cat.write(labels, "canon_labels", fp_labels)
+            self.ran.append("canon_labels")
+        if cat.is_current("canon_ents", fp_ents):
+            self.skipped.append("canon_ents")
+            ents = cat.read(spark, "canon_ents").select("node", "entity_id")
+        else:
+            ents_delta = base.select(
+                F.xxhash64(F.concat(F.lit("e:"), F.col("entity_id"))).alias(
+                    "node"
+                ),
+                "entity_id",
+            ).distinct()
+            prev_ents = (
+                cat.read(spark, "canon_ents").select("node", "entity_id")
+                if cat.latest_meta("canon_ents")
+                else None
+            )
+            ents = (
+                ents_delta
+                if prev_ents is None
+                # union+distinct makes the advance idempotent under
+                # replay after a crash between the two table writes
+                else prev_ents.unionByName(ents_delta).distinct()
+            ).localCheckpoint()
+            cat.write(ents, "canon_ents", fp_ents)
+            self.ran.append("canon_ents")
+        ent_labeled = ents.join(labels, "node")
+        rep = ent_labeled.groupBy("component").agg(
+            F.min("entity_id").alias("canonical_id")
+        )
+        return ent_labeled.join(rep, "component").select(
+            "entity_id", "canonical_id"
+        )
 
     def materialize_graph(
         self,

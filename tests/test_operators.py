@@ -114,6 +114,85 @@ def test_connected_components_4hop_converges(spark, small_threshold):
     assert len(comp) == 6
 
 
+@pytest.mark.parametrize("small_threshold", [500_000, 0])
+def test_connected_components_incremental_equals_full(spark, small_threshold):
+    """Every delta case at once: a bridge merging two prior components,
+    an internal edge (no-op), a new node attaching to an old component,
+    a touched singleton, and a brand-new component — the incremental
+    labeling must equal a full recompute over the union edge set, on
+    both the driver fast path and the distributed star loop."""
+    from deepee_spark.operators.components import (
+        connected_components_incremental,
+    )
+
+    base = (
+        [(1, 2), (2, 3)]          # comp 1
+        + [(10, 11), (11, 12)]    # comp 10
+        + [(20, 21)]              # comp 20 (stays untouched)
+        + [(30, 31)]              # comp 30 -> touched singleton pair
+    )
+    delta = [
+        (3, 12),    # bridge: merges comps 1 and 10
+        (10, 12),   # internal edge inside comp 10 (no-op)
+        (2, 99),    # new node onto comp 1
+        (31, 40),   # extends comp 30
+        (50, 51),   # brand-new component
+    ]
+    bdf = spark.createDataFrame(base, ["src", "dst"])
+    ddf = spark.createDataFrame(delta, ["src", "dst"])
+    prev = connected_components(bdf, small_threshold=small_threshold)
+    inc = {
+        r["node"]: r["component"]
+        for r in connected_components_incremental(
+            prev, ddf, small_threshold=small_threshold
+        ).collect()
+    }
+    full = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            bdf.unionByName(ddf), small_threshold=small_threshold
+        ).collect()
+    }
+    assert inc == full
+    assert inc[20] == 20 and inc[21] == 20  # untouched carried verbatim
+    assert inc[99] == 1 and inc[12] == 1    # merged component min
+
+
+def test_connected_components_incremental_random_vs_full(spark):
+    """Randomized: split a random edge set into base + delta at every
+    ratio; incremental == full recompute each time."""
+    import random
+
+    from deepee_spark.operators.components import (
+        connected_components_incremental,
+    )
+
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(40), rng.randrange(40)) for _ in range(120)
+    ]
+    edges = [e for e in edges if e[0] != e[1]]
+    for cut in (0, 30, 80, len(edges)):
+        bdf = spark.createDataFrame(
+            edges[:cut] or [(0, 0)], ["src", "dst"]
+        )
+        ddf = spark.createDataFrame(
+            edges[cut:] or [(0, 0)], ["src", "dst"]
+        )
+        prev = connected_components(bdf) if cut else None
+        inc = {
+            r["node"]: r["component"]
+            for r in connected_components_incremental(prev, ddf).collect()
+        }
+        full = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                bdf.unionByName(ddf)
+            ).collect()
+        }
+        assert inc == full, f"cut={cut}"
+
+
 def test_linking_exact_and_fuzzy(spark):
     mentions = spark.createDataFrame(
         [(1, "Washington"), (2, "washingtan"), (3, "qqqqzzz"), (4, "Beijing99")],

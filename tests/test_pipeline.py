@@ -425,6 +425,71 @@ def test_incremental_run_appends_delta_triples(spark, tmp_path):
     assert again.count() == combined.count()
 
 
+def test_canonicalize_incremental_bridges_across_drops(spark, tmp_path):
+    """A surface bridge whose halves arrive in DIFFERENT drops must fold
+    into one canonical id, matching a full canonicalize() over the union
+    — and a same-fingerprint replay must skip both state tables."""
+    from deepee_spark.plans.pipeline import canonicalize
+
+    cat = StageCatalog(str(tmp_path / "cat"))
+    pipe = Pipeline(spark, cat)
+    drop1 = spark.createDataFrame(
+        [("AA Corp", "E2"), ("BB Inc", "E3")], ["surface", "entity_id"]
+    )
+    drop2 = spark.createDataFrame(
+        # "aa  corp" normalizes to the same surface node as "AA Corp",
+        # bridging E1 into E2's drop-1 component; E3 stays untouched
+        [("aa corp", "E1"), ("CC Ltd", "E4")],
+        ["surface", "entity_id"],
+    )
+    m1 = {
+        r.entity_id: r.canonical_id
+        for r in pipe.canonicalize_incremental(drop1, "drop:1").collect()
+    }
+    assert m1 == {"E2": "E2", "E3": "E3"}
+    m2 = {
+        r.entity_id: r.canonical_id
+        for r in pipe.canonicalize_incremental(drop2, "drop:2").collect()
+    }
+    full = {
+        r.entity_id: r.canonical_id
+        for r in canonicalize(drop1.unionByName(drop2)).collect()
+    }
+    assert m2 == full == {"E1": "E1", "E2": "E1", "E3": "E3", "E4": "E4"}
+
+    # replay idempotence: same fingerprint -> both tables read back
+    before = list(pipe.skipped)
+    m2b = {
+        r.entity_id: r.canonical_id
+        for r in pipe.canonicalize_incremental(drop2, "drop:2").collect()
+    }
+    assert m2b == m2
+    assert pipe.skipped[len(before):] == ["canon_labels", "canon_ents"]
+
+
+def test_incremental_canonicalization_equals_full_run(spark, tmp_path):
+    """Full run (checkpoint='all', which seeds the linked stage table)
+    followed by an incremental drop must emit EXACTLY the triple set of
+    one full run over base+delta — the cold-start bootstrap folds the
+    stored alias graph so cross-run canonical ids agree."""
+    cat = StageCatalog(str(tmp_path / "cat"))
+    full_docs = corpus_df(spark, 80)
+    base = corpus_df(spark, 60)
+    delta = full_docs.join(base.select("url"), "url", "left_anti")
+
+    pipe = Pipeline(spark, cat, checkpoint="all")
+    pipe.run(base, "drop:0", resume=True)
+    combined = pipe.run_incremental(delta, "drop:1")
+
+    ref_pipe = Pipeline(spark, StageCatalog(str(tmp_path / "ref")))
+    want = ref_pipe.run(full_docs, "corpus:80", resume=False)
+
+    got_k = combined.select(*KEYS)
+    want_k = want.select(*KEYS)
+    assert got_k.exceptAll(want_k).count() == 0
+    assert want_k.exceptAll(got_k).count() == 0
+
+
 def test_append_with_added_column_evolves_schema(spark, tmp_path):
     """Iceberg-style add-column evolution: an appended delta may carry a
     NEW column; the snapshot's recorded schema becomes the delta's, and

@@ -379,3 +379,28 @@ def test_kcore_round_avoids_sortmerge(spark):
     plan = formatted_plan(nxt)
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("ShuffledHashJoin") >= 2, plan
+
+
+def test_incremental_cc_broadcasts_drop_side(spark, tmp_path_factory):
+    """connected_components_incremental probes the huge accumulated
+    labeling against drop-sized builds. On the executed (AQE-final)
+    plan, the touched-marker left join must be a broadcast with the
+    DROP side as build — the labeling is streamed, never the build —
+    and no join may degrade to sort-merge (which would re-sort the
+    10^12-row labeling every drop)."""
+    from deepee_spark.operators.components import _canon, _mark_touched
+
+    p = str(tmp_path_factory.mktemp("inccc") / "prev")
+    spark.range(300_000).select(
+        F.col("id").alias("node"), (F.col("id") % 9000).alias("component")
+    ).write.parquet(p)
+    prev = spark.read.parquet(p)
+    delta = spark.createDataFrame(
+        [(1, 2), (3, 27000), (7, 12)], "src: long, dst: long"
+    )
+    m = _mark_touched(prev, _canon(delta))
+    m.collect()  # materialize so AQE's final plan is what we read
+    plan = formatted_plan(m)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin LeftOuter BuildRight" in final, final
+    assert "SortMergeJoin" not in final, final
