@@ -531,12 +531,23 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 20) -> DataFrame:
     callers that need a hard bound pass the same constant to
     kcore_oracle_sql so both engines unroll identically.
 
-    Scale shape: per round ONE agg (groupBy src over the symmetric edge
-    list — degree(v) = outdegree in the symmetric form) plus two
-    semi-joins that filter the edge list to surviving endpoints, both
-    hash-built on the node-count-sized survivor side (shuffle_hash: the
-    edge side streams, nothing assumes survivors fit in one task).
-    localCheckpoint per round cuts lineage so the plan stays O(1) deep.
+    Scale shape — DELTA peeling with degree maintenance, the standard
+    distributed k-core: the full edge set is shuffled exactly ONCE (the
+    initial degree agg); each later round touches only the edges
+    incident to that round's newly dropped nodes. Per round: the drop
+    set (node-sized, usually tiny) shuffle-hash joins the PERSISTED
+    pre-partitioned symmetric edge list — persist (not checkpoint)
+    keeps the src hash-partitioning visible to the planner, so the edge
+    side is scanned in place, never re-exchanged (the pagerank lesson,
+    BENCH/BASELINE.md §3e) — and only the matched incident edges (anti
+    the already-dropped set) flow into a loss count that decrements the
+    maintained degree table. O(V) shuffle per round, O(E) total across
+    all rounds; the recompute-per-round formulation this replaces paid
+    O(E) shuffle EVERY round plus two blocking jobs (sf0.1 bench:
+    19.9s -> see BENCH). Degree maintenance is exact, so the per-round
+    survivor progression — and therefore the kcore_oracle_sql twin,
+    including a pre-convergence `max_rounds` cap (degrees over the set
+    peeled max_rounds-1 times) — is bit-identical.
     """
     if max_rounds < 1:
         raise ValueError("max_rounds must be >= 1")
@@ -547,39 +558,58 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 20) -> DataFrame:
         lohi.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
     )
     n_parts = edges.sparkSession.sparkContext.defaultParallelism
-    cur = sym.repartition(n_parts, "src").localCheckpoint()
-    n_alive = -1
-    alive = None
-    for _ in range(max_rounds):
-        alive = (
-            cur.groupBy("src")
-            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-            .filter(F.col("deg") >= k)
-            .select(F.col("src").alias("node"), "deg")
-            .localCheckpoint()
+    sym = sym.repartition(n_parts, "src").persist()
+    deg = (
+        sym.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .select(F.col("src").alias("node"), "deg")
+        .localCheckpoint()
+    )
+    dropped = None
+    for _ in range(max_rounds - 1):
+        new_dropped = (
+            deg.filter(F.col("deg") < k).select("node").localCheckpoint()
         )
-        n_next = alive.count()
-        if n_next == n_alive or n_next == 0:
+        if new_dropped.count() == 0:
             break
-        n_alive = n_next
-        cur = (
-            cur.join(
-                alive.select(F.col("node").alias("src")).hint(
+        all_dropped = (
+            new_dropped
+            if dropped is None
+            else dropped.unionByName(new_dropped).localCheckpoint()
+        )
+        lost = (
+            sym.join(
+                new_dropped.select(F.col("node").alias("src")).hint(
                     "shuffle_hash"
                 ),
                 "src",
                 "left_semi",
             )
             .join(
-                alive.select(F.col("node").alias("dst")).hint(
+                all_dropped.select(F.col("node").alias("dst")).hint(
                     "shuffle_hash"
                 ),
                 "dst",
-                "left_semi",
+                "left_anti",
             )
+            .groupBy("dst")
+            .agg(F.count(F.lit(1)).cast("long").alias("lost"))
+            .select(F.col("dst").alias("node"), "lost")
+        )
+        deg = (
+            deg.filter(F.col("deg") >= k)
+            .join(lost, "node", "left")
+            .withColumn(
+                "deg",
+                F.col("deg") - F.coalesce("lost", F.lit(0)).cast("long"),
+            )
+            .drop("lost")
             .localCheckpoint()
         )
-    return alive
+        dropped = all_dropped
+    out = deg.filter(F.col("deg") >= k).localCheckpoint()
+    sym.unpersist()
+    return out
 
 
 def kcore_oracle_sql(edges_sql: str, k: int, rounds: int) -> str:

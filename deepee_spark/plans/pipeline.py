@@ -268,6 +268,20 @@ def canonicalize(linked: DataFrame) -> DataFrame:
     )
 
 
+def canonical_mapping(ents: DataFrame, labels: DataFrame) -> DataFrame:
+    """ents(node, entity_id) ⋈ labels(node, component) → the
+    deterministic (entity_id, canonical_id = min entity_id of the
+    component) mapping. Pure; both canonicalize_incremental and the
+    snapshot-diff in canonical_changes derive from it."""
+    ent_labeled = ents.join(labels, "node")
+    rep = ent_labeled.groupBy("component").agg(
+        F.min("entity_id").alias("canonical_id")
+    )
+    return ent_labeled.join(rep, "component").select(
+        "entity_id", "canonical_id"
+    )
+
+
 def triples_from(arguments: DataFrame, linked: DataFrame, canonical: DataFrame) -> DataFrame:
     """Final graph materialization: (url, subj, pred, obj, confidence).
 
@@ -707,13 +721,88 @@ class Pipeline:
             ).localCheckpoint()
             cat.write(ents, "canon_ents", fp_ents)
             self.ran.append("canon_ents")
-        ent_labeled = ents.join(labels, "node")
-        rep = ent_labeled.groupBy("component").agg(
-            F.min("entity_id").alias("canonical_id")
+        return canonical_mapping(ents, labels)
+
+    def canonical_changes(self) -> DataFrame:
+        """(old_canonical_id, new_canonical_id) pairs produced by the
+        LATEST canonicalize_incremental advance — the exact set the
+        periodic triple-rewrite batch must target.
+
+        Derived from the snapshot-versioned canon_labels/canon_ents
+        tables (current vs previous snapshot — no extra state is kept).
+        Components only ever MERGE (drops add edges, never remove), so
+        every old canonical id maps to exactly ONE new id: the frame is
+        functional and safe to broadcast-apply. Empty on the first drop
+        or when the drop merged nothing."""
+        cat, spark = self.catalog, self.spark
+        hist = cat.history("canon_labels")
+        cur = canonical_mapping(
+            cat.read(spark, "canon_ents").select("node", "entity_id"),
+            cat.read(spark, "canon_labels").select("node", "component"),
         )
-        return ent_labeled.join(rep, "component").select(
-            "entity_id", "canonical_id"
+        if len(hist) < 2 or len(cat.history("canon_ents")) < 2:
+            return cur.select(
+                F.col("canonical_id").alias("old_canonical_id"),
+                F.col("canonical_id").alias("new_canonical_id"),
+            ).limit(0)
+        prev = canonical_mapping(
+            cat.read(
+                spark,
+                "canon_ents",
+                snapshot=cat.history("canon_ents")[-2]["snapshot"],
+            ).select("node", "entity_id"),
+            cat.read(spark, "canon_labels", snapshot=hist[-2]["snapshot"]).select(
+                "node", "component"
+            ),
         )
+        return (
+            prev.withColumnRenamed("canonical_id", "old_canonical_id")
+            .join(cur, "entity_id")
+            .filter(F.col("old_canonical_id") != F.col("canonical_id"))
+            .select(
+                "old_canonical_id",
+                F.col("canonical_id").alias("new_canonical_id"),
+            )
+            .distinct()
+        )
+
+    def rewrite_stale_canonicals(self, input_fingerprint: str) -> DataFrame:
+        """The periodic rewrite batch: retarget triples whose obj still
+        carries a canonical id superseded by later drops' component
+        merges, committing a new triples snapshot.
+
+        The changed mapping is touched-component-sized (broadcast); the
+        triples side is one scan + narrow rewrite — no shuffle. The I/O
+        is a full-table rewrite, which is exactly why this is a PERIODIC
+        batch and not part of every drop (with a bucket(obj) layout the
+        scan would prune to affected buckets; day partitioning doesn't
+        help here because merges touch objects across all days).
+        Returns the current triples table; commits nothing when no
+        canonical id changed."""
+        cat, spark = self.catalog, self.spark
+        fp = f"{input_fingerprint}/triples_rewrite/v1"
+        if cat.is_current("triples", fp):
+            self.skipped.append("triples_rewrite")
+            return cat.read(spark, "triples")
+        changed = self.canonical_changes().localCheckpoint()
+        triples = cat.read(spark, "triples")
+        if changed.limit(1).count() == 0:
+            self.skipped.append("triples_rewrite")
+            return triples
+        rewritten = (
+            triples.join(
+                F.broadcast(changed),
+                triples["obj"] == changed["old_canonical_id"],
+                "left",
+            )
+            .withColumn(
+                "obj", F.coalesce("new_canonical_id", "obj")
+            )
+            .drop("old_canonical_id", "new_canonical_id")
+        )
+        cat.write(rewritten, "triples", fp, partition_by=["day"])
+        self.ran.append("triples_rewrite")
+        return cat.read(spark, "triples")
 
     def materialize_graph(
         self,

@@ -467,6 +467,63 @@ def test_canonicalize_incremental_bridges_across_drops(spark, tmp_path):
     assert pipe.skipped[len(before):] == ["canon_labels", "canon_ents"]
 
 
+def test_canonical_changes_and_stale_rewrite(spark, tmp_path):
+    """A later drop merges E1 into E2's component: canonical_changes
+    must surface exactly (E2 -> E1), and the rewrite batch must
+    retarget only the stale objs, commit one new snapshot, and skip on
+    replay / on a merge-free advance."""
+    cat = StageCatalog(str(tmp_path / "cat"))
+    pipe = Pipeline(spark, cat)
+    drop1 = spark.createDataFrame(
+        [("AA Corp", "E2"), ("BB Inc", "E3")], ["surface", "entity_id"]
+    )
+    pipe.canonicalize_incremental(drop1, "drop:1")
+    cat.write(
+        spark.createDataFrame(
+            [
+                ("u1", "ev1", "p:role", "E2", "2024-01-01"),
+                ("u2", "ev2", "p:role", "E3", "2024-01-02"),
+            ],
+            ["url", "subj", "pred", "obj", "day"],
+        ),
+        "triples",
+        "seed",
+        partition_by=["day"],
+    )
+    assert pipe.canonical_changes().count() == 0  # single snapshot
+
+    drop2 = spark.createDataFrame(
+        [("aa corp", "E1")], ["surface", "entity_id"]
+    )
+    pipe.canonicalize_incremental(drop2, "drop:2")
+    ch = {
+        (r.old_canonical_id, r.new_canonical_id)
+        for r in pipe.canonical_changes().collect()
+    }
+    assert ch == {("E2", "E1")}
+
+    out = pipe.rewrite_stale_canonicals("drop:2")
+    assert pipe.ran[-1] == "triples_rewrite"
+    objs = {r.url: r.obj for r in out.collect()}
+    assert objs == {"u1": "E1", "u2": "E3"}
+    n_snap = len(cat.history("triples"))
+
+    # replay with the same fingerprint: skipped, no new snapshot
+    pipe.rewrite_stale_canonicals("drop:2")
+    assert pipe.skipped[-1] == "triples_rewrite"
+    assert len(cat.history("triples")) == n_snap
+
+    # a merge-free advance: changes empty, rewrite is a no-op
+    drop3 = spark.createDataFrame(
+        [("DD GmbH", "E9")], ["surface", "entity_id"]
+    )
+    pipe.canonicalize_incremental(drop3, "drop:3")
+    assert pipe.canonical_changes().count() == 0
+    pipe.rewrite_stale_canonicals("drop:3")
+    assert pipe.skipped[-1] == "triples_rewrite"
+    assert len(cat.history("triples")) == n_snap
+
+
 def test_incremental_canonicalization_equals_full_run(spark, tmp_path):
     """Full run (checkpoint='all', which seeds the linked stage table)
     followed by an incremental drop must emit EXACTLY the triple set of

@@ -347,38 +347,62 @@ def test_fact_intervals_one_exchange(spark):
     assert n_exchanges == 1, plan
 
 
-def test_kcore_round_avoids_sortmerge(spark):
-    """Each k-core round semi-joins the edge list against the survivor
-    set twice: both must hash-build on the survivor side (streaming the
-    edges), never sort-merge (which would re-sort the full edge list
-    every round)."""
+def test_kcore_round_scans_persisted_edges_in_place(spark):
+    """A delta-peeling k-core round must never re-exchange the edge
+    list: the persisted src-partitioned symmetric edges satisfy the
+    shuffle-hash semi-join's requirement as-is, so the ONLY src-keyed
+    Exchange in the round plan is the (tiny) drop-set side, and no join
+    degrades to sort-merge. This is what makes later rounds O(incident
+    edges), not O(E)."""
     from pyspark.sql import functions as F
 
     edges = spark.createDataFrame(
         [(i % 50, (i * 7) % 50) for i in range(400) if i % 50 != (i * 7) % 50],
         "src: long, dst: long",
     )
-    sym = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    alive = (
-        sym.groupBy("src")
-        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-        .filter(F.col("deg") >= 2)
-        .select(F.col("src").alias("node"), "deg")
+    sym = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .repartition(8, "src")
+        .persist()
     )
-    nxt = sym.join(
-        alive.select(F.col("node").alias("src")).hint("shuffle_hash"),
-        "src",
-        "left_semi",
-    ).join(
-        alive.select(F.col("node").alias("dst")).hint("shuffle_hash"),
-        "dst",
-        "left_semi",
+    sym.count()
+    new_dropped = spark.createDataFrame([(3,), (11,)], "node: long")
+    lost = (
+        sym.join(
+            new_dropped.select(F.col("node").alias("src")).hint(
+                "shuffle_hash"
+            ),
+            "src",
+            "left_semi",
+        )
+        .join(
+            new_dropped.select(F.col("node").alias("dst")).hint(
+                "shuffle_hash"
+            ),
+            "dst",
+            "left_anti",
+        )
+        .groupBy("dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("lost"))
     )
-    plan = formatted_plan(nxt)
+    plan = formatted_plan(lost)
     assert "SortMergeJoin" not in plan, plan
-    assert plan.count("ShuffledHashJoin") >= 2, plan
+    # the semi-join's streamed child is the persisted edge cache
+    # DIRECTLY — no Exchange/Sort re-shuffling the edges in between
+    tree = plan.split("\n(1) ")[0]
+    lines = tree.splitlines()
+    semi = next(
+        i for i, ln in enumerate(lines) if "ShuffledHashJoin LeftSemi" in ln
+    )
+    left_child = lines[semi + 1]
+    assert "Exchange" not in left_child and "Sort" not in left_child, tree
+    assert any(
+        "InMemoryTableScan" in ln for ln in lines[semi + 1 : semi + 3]
+    ), tree
+    sym.unpersist()
 
 
 def test_incremental_cc_broadcasts_drop_side(spark, tmp_path_factory):
