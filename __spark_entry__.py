@@ -2451,6 +2451,86 @@ GROUP BY doc_id
 """
 
 
+def _substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2022, keep-first): per-doc
+    count/fraction of 8-token windows whose rolling hash occurs >= 2
+    times corpus-wide (operators/substrings.substring_dup_stats).
+    One shuffle on the window hash, integer fraction output."""
+    from deepee_spark.operators.substrings import substring_dup_stats
+
+    return substring_dup_stats(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", w=8
+    ).select(
+        F.col("id").alias("doc_id"), "n_windows", "n_dup_windows",
+        "dup_frac_e6",
+    )
+
+
+_SUBSTR_OCC_SQL = f"""
+tok AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+th AS (
+  SELECT doc_id,
+         list_transform(toks, t -> {_HASH_SQL.format(col='t')}) AS th,
+         greatest(len(toks) - 7, 0) AS n_win
+  FROM tok),
+occ AS (
+  SELECT doc_id, i AS pos,
+         list_reduce(list_prepend(0::BIGINT, th[i:i+7]),
+                     (a, b) -> (a * 131 + b) % 1000000007) AS whash
+  FROM th, UNNEST(generate_series(1, n_win)) AS g(i)),
+marked AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY whash) AS n_occ,
+         ROW_NUMBER() OVER (PARTITION BY whash ORDER BY doc_id, pos) AS rk
+  FROM occ),
+rem AS (SELECT doc_id, pos FROM marked WHERE n_occ >= 2 AND rk > 1)
+"""
+
+_SUBSTR_DEDUP_SQL = f"""
+WITH {_SUBSTR_OCC_SQL}
+SELECT t.doc_id,
+       CAST(t.n_win AS BIGINT) AS n_windows,
+       CAST(COALESCE(r.c, 0) AS BIGINT) AS n_dup_windows,
+       CAST(CASE WHEN t.n_win > 0
+                 THEN (COALESCE(r.c, 0) * 1000000) // t.n_win
+                 ELSE 0 END AS BIGINT) AS dup_frac_e6
+FROM th t
+LEFT JOIN (SELECT doc_id, COUNT(*) AS c FROM rem GROUP BY doc_id) r
+  USING (doc_id)
+"""
+
+
+def _substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal token spans the keep-first exact-substring rewrite would
+    cut: removable 8-token windows merged gaps-and-islands per doc
+    (operators/substrings.substring_dup_spans)."""
+    from deepee_spark.operators.substrings import substring_dup_spans
+
+    return substring_dup_spans(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", w=8
+    ).select(F.col("id").alias("doc_id"), "start_pos", "end_pos")
+
+
+_SUBSTR_SPANS_SQL = f"""
+WITH {_SUBSTR_OCC_SQL},
+lagged AS (
+  SELECT doc_id, pos, pos + 7 AS e,
+         LAG(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_e
+  FROM rem),
+isl AS (
+  SELECT doc_id, pos, e,
+         SUM(CASE WHEN pos > COALESCE(prev_e, -1) + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM lagged)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS start_pos,
+       CAST(MAX(e) AS BIGINT) AS end_pos
+FROM isl GROUP BY doc_id, island
+"""
+
+
 def _doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus document frequency + IDF per token (min_df=2):
     array_distinct before the explode, partial-agged count, corpus size
@@ -4916,8 +4996,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fact_asof": _kg_fact_asof,
         "kg_kcore": _kg_kcore,
         "kg_communities": _kg_communities,
-        "kg_fact_diff": _kg_fact_diff,
+        # exact-substring dedup is the one dedup-family member new in
+        # round 3 — it takes the window slot; kg_fact_diff (three
+        # temporal siblings already in-window) moves to 51+.
+        "substring_dedup": _substring_dedup,
         # -- positions 51+ --
+        "substring_dup_spans": _substring_dup_spans,
+        "kg_fact_diff": _kg_fact_diff,
         "kg_fact_intervals": _kg_fact_intervals,
         "kg_pagerank_seeded": _kg_pagerank_seeded,
         "kg_link_prediction": _kg_link_prediction,
@@ -5003,6 +5088,8 @@ def oracle_sql() -> dict[str, str]:
         "url_blocklist_filter": _URL_BLOCKLIST_SQL,
         "pii_redact": _PII_SQL,
         "paragraph_dedup": _PARA_SQL,
+        "substring_dedup": _SUBSTR_DEDUP_SQL,
+        "substring_dup_spans": _SUBSTR_SPANS_SQL,
         "text_doc_frequency": _DOC_FREQ_SQL,
         "stratified_sample": _STRAT_SAMPLE_SQL,
         "text_unigram_logprob": _UNIGRAM_SQL,

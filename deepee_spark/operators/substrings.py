@@ -1,0 +1,163 @@
+"""Exact-substring (duplicated token-window) deduplication.
+
+The missing member of the dedup family next to exact / MinHash /
+SimHash / embedding near-dup (operators/dedup.py): document-LEVEL dedup
+misses the boilerplate case where distinct pages share long verbatim
+runs (licenses, navigation, quoted paragraphs). The public technique
+(Lee et al., "Deduplicating Training Data Makes Language Models
+Better", ACL 2022) removes any substring that occurs >= 2 times in the
+corpus, keeping the first occurrence. The suffix-array construction in
+that paper is a single-machine design; the distributed re-expression
+here is the standard windowed rolling-hash form:
+
+  1. tokenize (whitespace), hash each token with the engine-wide
+     deterministic fold (operators/dedup.str_hash <-> _HASH_SQL);
+  2. hash every w-token window with a second-level fold over the token
+     hashes -- O(n*w) BIGINT ops per doc, all inside whole-stage
+     codegen, no Python;
+  3. explode (doc_id, pos, whash) and aggregate per whash: the ONLY
+     corpus-wide shuffle, with map-side partial aggregation. A window
+     is duplicated when its hash occurs >= 2 times; the occurrence
+     with the smallest (doc_id, pos) is canonical (kept), every other
+     occurrence is removable;
+  4. per-doc rollup (stats) or gaps-and-islands merge of overlapping
+     removable windows into maximal token spans (spans) -- per-doc
+     windows only, docs are bounded.
+
+Web-scale notes: the explode emits ~n_tokens rows/doc (same factor as
+minhash_signatures); the whash groupBy partial-aggregates, so hot
+boilerplate windows cost one long per mapper, not a skewed reduce.
+The join back to occurrences re-uses the same key, so AQE coalesces
+it onto the agg's exchange. Integer fractions (dup_frac_e6) keep the
+output float-free for bit-exact cross-engine checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import MOD, str_hash
+
+WINDOW_TOKENS = 8
+_B2 = 131  # second-level fold base (token-hash -> window-hash)
+
+
+def _tokens(text_col):
+    return F.filter(F.split(text_col, " "), lambda t: t != "")
+
+
+def window_occurrences(
+    df: DataFrame, id_col: str, text_col: str, w: int = WINDOW_TOKENS
+) -> DataFrame:
+    """-> (id, pos, whash, n_windows): one row per w-token window.
+
+    pos is 1-based; n_windows = max(n_tokens - w + 1, 0) rides along so
+    downstream per-doc rollups need no second scan of the text.
+    """
+    th = F.transform(_tokens(F.col(text_col)), str_hash)
+    n_win = F.greatest(F.size(th) - F.lit(w - 1), F.lit(0))
+    # sequence(1, 0) DESCENDS, so gate it: zero-window docs get a null
+    # array, which posexplode_outer turns into one (null, null) row.
+    wins = F.when(
+        n_win >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda i: F.aggregate(
+                F.slice(th, i, w),
+                F.lit(0).cast("long"),
+                lambda acc, h: (acc * _B2 + h) % F.lit(MOD),
+            ),
+        ),
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            n_win.cast("long").alias("n_windows"),
+            F.posexplode_outer(wins).alias("pos0", "whash"),
+        )
+        .withColumn("pos", (F.col("pos0") + 1).cast("long"))
+        .drop("pos0")
+    )
+
+
+def _removable(df: DataFrame, id_col: str, text_col: str, w: int) -> DataFrame:
+    """Occurrences of >=2x windows that are NOT the canonical (first by
+    (id, pos)) occurrence -- i.e. the removable ones under keep-first."""
+    occ = window_occurrences(df, id_col, text_col, w)
+    per_hash = occ.filter(F.col("whash").isNotNull()).groupBy("whash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ"),
+        F.min(F.struct("id", "pos")).alias("first_occ"),
+    )
+    return (
+        occ.join(per_hash, "whash")
+        .filter(
+            (F.col("n_occ") >= 2)
+            & (
+                (F.col("id") != F.col("first_occ.id"))
+                | (F.col("pos") != F.col("first_occ.pos"))
+            )
+        )
+        .select("id", "pos", "n_windows")
+    )
+
+
+def substring_dup_stats(
+    df: DataFrame, id_col: str, text_col: str, w: int = WINDOW_TOKENS
+) -> DataFrame:
+    """-> (id, n_windows, n_dup_windows, dup_frac_e6) per document.
+
+    n_dup_windows counts removable occurrences (keep-first rule);
+    dup_frac_e6 is the exact integer floor of the fraction * 1e6 (0
+    when the doc has no windows). Every input doc appears, dup or not.
+    """
+    rem = _removable(df, id_col, text_col, w).groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_windows")
+    )
+    n_win = F.greatest(
+        F.size(_tokens(F.col(text_col))) - F.lit(w - 1), F.lit(0)
+    ).cast("long")
+    base = df.select(F.col(id_col).alias("id"), n_win.alias("n_windows"))
+    return (
+        base.join(rem, "id", "left")
+        .withColumn(
+            "n_dup_windows", F.coalesce("n_dup_windows", F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "dup_frac_e6",
+            F.when(F.col("n_windows") > 0,
+                   F.expr("n_dup_windows * 1000000 DIV n_windows"))
+            .otherwise(F.lit(0)).cast("long"),
+        )
+    )
+
+
+def substring_dup_spans(
+    df: DataFrame, id_col: str, text_col: str, w: int = WINDOW_TOKENS
+) -> DataFrame:
+    """-> (id, start_pos, end_pos): maximal token spans covered by
+    removable duplicated windows, per document (1-based, inclusive).
+
+    Overlapping or adjacent windows merge (gaps-and-islands: with a
+    fixed w the interval end is monotone in pos, so one lag suffices).
+    These are the spans the keep-first rewrite would cut.
+    """
+    rem = _removable(df, id_col, text_col, w).select(
+        "id", "pos", (F.col("pos") + F.lit(w - 1)).alias("end")
+    )
+    byid = Window.partitionBy("id").orderBy("pos")
+    island = F.sum(
+        F.when(
+            F.col("pos") > F.coalesce(F.lag("end").over(byid), F.lit(-1)) + 1,
+            1,
+        ).otherwise(0)
+    ).over(byid)
+    return (
+        rem.withColumn("island", island)
+        .groupBy("id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("start_pos"),
+            F.max("end").cast("long").alias("end_pos"),
+        )
+        .drop("island")
+    )
