@@ -135,19 +135,11 @@ def undirect(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
-    """Per-node triangle counts over the undirected simple graph.
-
-    Degree orientation: rank nodes by (degree, id); orient every edge
-    from the rank-smaller endpoint u to the larger v. Wedges (u; v, w)
-    are enumerated only at u (the smaller endpoint), so per-node wedge
-    work is O(d_min²); the closure check is an equi-join of the wedge
-    set against the oriented edge set on (v, w). Every triangle is
-    found exactly once, then credited to all three corners.
-
-    Returns (node, n_triangles) for nodes in >= 1 triangle.
+def _closed_triangles(und: DataFrame) -> DataFrame:
+    """-> (u, lo, hi): every triangle of the canonical (lo, hi) edge
+    set exactly once, via degree orientation (see triangle_count).
+    u is the (degree, id)-smallest corner; (lo, hi) the closing edge.
     """
-    und = undirect(edges)
     deg = (
         und.select(F.col("lo").alias("node"))
         .unionByName(und.select(F.col("hi").alias("node")))
@@ -171,7 +163,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     # Same AQE guard as co_neighbors: the wedge join's input is tiny
     # relative to its quadratic output, so an explicit partition count
     # keeps AQE from coalescing the explosion into one task.
-    n_parts = edges.sparkSession.sparkContext.defaultParallelism
+    n_parts = und.sparkSession.sparkContext.defaultParallelism
     e1 = oriented.select("u", F.col("v").alias("x")).repartition(
         n_parts, "u"
     )
@@ -185,7 +177,22 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             F.greatest("x", "y").alias("hi"),
         )
     )
-    tri = wedges.join(und, ["lo", "hi"])  # wedge closed by an edge
+    return wedges.join(und, ["lo", "hi"])  # wedge closed by an edge
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over the undirected simple graph.
+
+    Degree orientation: rank nodes by (degree, id); orient every edge
+    from the rank-smaller endpoint u to the larger v. Wedges (u; v, w)
+    are enumerated only at u (the smaller endpoint), so per-node wedge
+    work is O(d_min²); the closure check is an equi-join of the wedge
+    set against the oriented edge set on (v, w). Every triangle is
+    found exactly once, then credited to all three corners.
+
+    Returns (node, n_triangles) for nodes in >= 1 triangle.
+    """
+    tri = _closed_triangles(undirect(edges))
     corners = (
         tri.select(F.col("u").alias("node"))
         .unionByName(tri.select(F.col("lo").alias("node")))
@@ -925,3 +932,119 @@ def label_propagation_oracle_sql(edges_sql: str, rounds: int = 4) -> str:
         )
         prev = f"l{i}"
     return ",\n".join(parts) + f"\nSELECT node, lbl FROM {prev}"
+
+
+def edge_support(und: DataFrame) -> DataFrame:
+    """-> (lo, hi, support): triangles through each canonical edge.
+
+    Each triangle from _closed_triangles credits its three edges; one
+    groupBy on the edge key (partial-agged) does the counting. Edges in
+    zero triangles are absent (join back with a left join + coalesce).
+    """
+    tri = _closed_triangles(und)
+    sides = (
+        tri.select(
+            F.least("u", "lo").alias("lo"), F.greatest("u", "lo").alias("hi")
+        )
+        .unionByName(
+            tri.select(
+                F.least("u", "hi").alias("lo"),
+                F.greatest("u", "hi").alias("hi"),
+            )
+        )
+        .unionByName(tri.select("lo", "hi"))
+    )
+    return sides.groupBy("lo", "hi").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+
+
+def ktruss(edges: DataFrame, k: int, max_rounds: int = 10) -> DataFrame:
+    """k-truss decomposition: the maximal subgraph in which every edge
+    sits in >= k-2 triangles (within the subgraph). Edge-level cohesion,
+    one notch stricter than kcore's node degrees — the classic
+    community-backbone extractor (Cohen 2008, public).
+
+    -> (lo, hi, support) for surviving edges, where support is the
+    triangle count computed at the final round's entry (the value both
+    engines agree on under the shared `max_rounds` cap, exactly like
+    kcore: converged rounds are no-ops, so any cap >= the true peel
+    depth returns the fixpoint).
+
+    Scale shape: each round is one support recomputation (degree-
+    oriented triangle enumeration, O(Σ d_min²) — the same bound as
+    triangle_count) plus an edge filter. Support recomputation per
+    round is the honest distributed baseline; a delta formulation
+    (decrement supports of edges in triangles containing a dropped
+    edge) saves work only when drops are sparse and needs a triangle
+    index held across rounds — out of scope until a bench shows the
+    recompute dominating. Lineage is cut per round; the peel usually
+    converges in a handful of rounds because dropping an edge only
+    reduces support of edges in ITS triangles.
+    """
+    if k < 3:
+        raise ValueError("ktruss requires k >= 3 (k-2 >= 1 triangles)")
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
+    n_parts = edges.sparkSession.sparkContext.defaultParallelism
+    cur = undirect(edges).repartition(n_parts, "lo").localCheckpoint()
+    n_cur = cur.count()
+    kept = None
+    for _ in range(max_rounds):
+        sup = edge_support(cur)
+        kept = (
+            cur.join(sup, ["lo", "hi"], "left")
+            .withColumn(
+                "support",
+                F.coalesce("support", F.lit(0)).cast("long"),
+            )
+            .filter(F.col("support") >= k - 2)
+            .localCheckpoint()
+        )
+        n_kept = kept.count()
+        if n_kept == n_cur or n_kept == 0:
+            break
+        cur = kept.select("lo", "hi").localCheckpoint()
+        n_cur = n_kept
+    return kept
+
+
+def ktruss_oracle_sql(edges_sql: str, k: int, rounds: int) -> str:
+    """DuckDB twin of ktruss with the peel unrolled `rounds` times.
+    Per round: enumerate triangles over the surviving canonical edges
+    (a<b<c three-way join), credit each edge, keep support >= k-2.
+    CTEs are MATERIALIZED for the same 3^rounds-inlining reason as
+    kcore_oracle_sql. Output = round `rounds`'s surviving edges with
+    the support computed at that round's entry (ktruss's return value
+    under the shared cap)."""
+    parts = [
+        f"WITH eraw AS (SELECT src, dst FROM ({edges_sql})"
+        " WHERE src <> dst)",
+        "t0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS lo,"
+        " GREATEST(src, dst) AS hi FROM eraw)",
+    ]
+    prev = "t0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"tr{i} AS MATERIALIZED ("
+            f" SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c"
+            f" FROM {prev} e1"
+            f" JOIN {prev} e2 ON e2.lo = e1.lo AND e2.hi > e1.hi"
+            f" JOIN {prev} e3 ON e3.lo = e1.hi AND e3.hi = e2.hi)"
+        )
+        parts.append(
+            f"sp{i} AS MATERIALIZED (SELECT lo, hi,"
+            f" CAST(COUNT(*) AS BIGINT) AS support FROM ("
+            f" SELECT a AS lo, b AS hi FROM tr{i}"
+            f" UNION ALL SELECT a AS lo, c AS hi FROM tr{i}"
+            f" UNION ALL SELECT b AS lo, c AS hi FROM tr{i})"
+            f" GROUP BY lo, hi)"
+        )
+        parts.append(
+            f"t{i} AS MATERIALIZED (SELECT e.lo, e.hi, s.support"
+            f" FROM {prev} e JOIN sp{i} s"
+            f" ON e.lo = s.lo AND e.hi = s.hi"
+            f" WHERE s.support >= {k - 2})"
+        )
+        prev = f"t{i}"
+    return ",\n".join(parts) + f"\nSELECT lo, hi, support FROM t{rounds}"

@@ -467,3 +467,100 @@ def test_label_propagation_oracle_matches(spark, planted_edges):
         ).fetchall()
     )
     assert got == oracle
+
+
+# ---------------------------------------------------------------------------
+# k-truss
+
+
+def _truss_peel(edge_list: list[tuple[int, int]], k: int):
+    """Brute-force k-truss: iterate support recomputation + filter."""
+    edges = {(min(a, b), max(a, b)) for a, b in edge_list if a != b}
+    while True:
+        adj = defaultdict(set)
+        for lo, hi in edges:
+            adj[lo].add(hi)
+            adj[hi].add(lo)
+        sup = {}
+        for lo, hi in edges:
+            sup[(lo, hi)] = len(adj[lo] & adj[hi])
+        kept = {e for e in edges if sup[e] >= k - 2}
+        if kept == edges:
+            return {(lo, hi, sup[(lo, hi)]) for lo, hi in kept}
+        if not kept:
+            # ktruss returns the (possibly empty) filtered frame with
+            # supports from the last computed round
+            return set()
+        edges = kept
+
+
+def test_ktruss_bruteforce(spark, edges):
+    from deepee_spark.operators.graph import ktruss
+
+    rows = [(r.src, r.dst) for r in edges.collect()]
+    for k in (3, 4, 5):
+        got = {
+            (r.lo, r.hi, r.support) for r in ktruss(edges, k).collect()
+        }
+        assert got == _truss_peel(rows, k), f"k={k}"
+
+
+def test_ktruss_duckdb_oracle_matches(spark, edges):
+    from deepee_spark.operators.graph import ktruss, ktruss_oracle_sql
+
+    rows = [(r.src, r.dst) for r in edges.collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?,?)", rows)
+    for k in (3, 5):
+        got = {
+            (r.lo, r.hi, r.support)
+            for r in ktruss(edges, k, max_rounds=8).collect()
+        }
+        oracle = {
+            tuple(r)
+            for r in con.execute(
+                ktruss_oracle_sql("SELECT src, dst FROM e", k, rounds=8)
+            ).fetchall()
+        }
+        assert got == oracle, f"k={k}"
+
+
+def test_ktruss_triangle_free_graph_empties(spark):
+    from deepee_spark.operators.graph import ktruss
+
+    # a path graph has no triangles: 3-truss removes every edge
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src: long, dst: long"
+    )
+    assert ktruss(path, 3).count() == 0
+
+
+def test_ktruss_rejects_bad_params(spark, edges):
+    from deepee_spark.operators.graph import ktruss
+
+    with pytest.raises(ValueError):
+        ktruss(edges, 2)
+    with pytest.raises(ValueError):
+        ktruss(edges, 3, max_rounds=0)
+
+
+def test_edge_support_matches_brute(spark, edges):
+    from deepee_spark.operators.graph import edge_support, undirect
+
+    rows = [(r.src, r.dst) for r in edges.collect()]
+    und = {(min(a, b), max(a, b)) for a, b in rows if a != b}
+    adj = defaultdict(set)
+    for lo, hi in und:
+        adj[lo].add(hi)
+        adj[hi].add(lo)
+    exp = {
+        (lo, hi, len(adj[lo] & adj[hi]))
+        for lo, hi in und
+        if len(adj[lo] & adj[hi]) > 0
+    }
+    got = {
+        (r.lo, r.hi, r.support)
+        for r in edge_support(undirect(edges)).collect()
+    }
+    assert got == exp
