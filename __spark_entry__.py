@@ -3523,6 +3523,42 @@ def _kg_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ktruss(edges, k=5, max_rounds=5)
 
 
+def _kg_entity_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-entity burst detection (operators/temporal.
+    activity_bursts): per-user daily event counts vs the trailing
+    7-day baseline as an exact integer ratio; RANGE window over epoch
+    day so gap days count as zero WITHOUT densifying user x day."""
+    from deepee_spark.operators.temporal import activity_bursts
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    )
+    return activity_bursts(ev, ["user_id"], "day", trailing=7)
+
+
+_KG_BURSTS_SQL = """
+WITH daily AS (
+  SELECT user_id,
+         -- epoch() is DOUBLE and CAST(double AS BIGINT) ROUNDS in
+         -- DuckDB: FLOOR first to match Spark's floor(unix_ts/86400)
+         CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2),
+win AS (
+  SELECT user_id, day, n_events,
+         CAST(COALESCE(SUM(n_events) OVER (
+           PARTITION BY user_id ORDER BY day
+           RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS trailing_sum
+  FROM daily)
+SELECT user_id, day, n_events, trailing_sum,
+       CAST((1000000 * n_events * 7) // GREATEST(trailing_sum, 1)
+            AS BIGINT) AS burst_ratio_e6
+FROM win
+"""
+
+
 def _kg_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank (operators/graph.pagerank_int_seeded):
     teleport mass split over a seed entity set only (every 50th user,
@@ -5031,6 +5067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- positions 51+ --
         "substring_dup_spans": _substring_dup_spans,
         "kg_ktruss": _kg_ktruss,
+        "kg_entity_bursts": _kg_entity_bursts,
         "kg_fact_diff": _kg_fact_diff,
         "kg_fact_intervals": _kg_fact_intervals,
         "kg_pagerank_seeded": _kg_pagerank_seeded,
@@ -5154,6 +5191,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_ktruss": _graph_sql.ktruss_oracle_sql(
             _KG_KCORE_EDGES_SQL, k=5, rounds=5
         ),
+        "kg_entity_bursts": _KG_BURSTS_SQL,
         "kg_pagerank_seeded": _graph_sql.pagerank_seeded_oracle_sql(
             _KG_EDGE_PROJ_SQL, _KG_BFS_SEEDS_SQL, iters=3
         ),

@@ -182,3 +182,57 @@ def fact_diff(
             F.lit("changed")
         ),
     )
+
+
+def activity_bursts(
+    events: DataFrame,
+    keys: list[str],
+    day_col: str,
+    trailing: int = 7,
+) -> DataFrame:
+    """Trending/burst detection: per (keys, day) activity vs the
+    trailing `trailing`-day baseline, as an exact integer ratio.
+
+    -> (keys..., day, n_events, trailing_sum, burst_ratio_e6) where
+    burst_ratio_e6 = (1e6 * n_events * trailing) div max(trailing_sum,
+    1): the multiple of the trailing DAILY AVERAGE this day represents
+    (absent days count as zero activity — the average divides by
+    `trailing`, not by days present). Day 1 of a key has trailing_sum
+    0, so its ratio is 1e6 * n_events * trailing — new entities surface
+    as maximal bursts, the behavior a trending feed wants.
+
+    Scale shape: ONE shuffle total. The daily rollup groupBy's on
+    (keys, day); the trailing window shares that exact partitioning
+    (partitionBy keys, orderBy day) so Catalyst plans a single
+    Exchange. Crucially the baseline is a RANGE window over the
+    integer day — gaps contribute zero WITHOUT densifying key x day
+    (the cross-join densification a naive rows-window needs is
+    keys*days rows: 3.6e11 at 1e9 entities x 1 year — dead on
+    arrival). `day_col` must be integer-ordered (epoch day).
+    """
+    if trailing < 1:
+        raise ValueError("trailing must be >= 1")
+    # Two exchanges BY DESIGN: pre-partitioning on keys alone would
+    # collapse the plan to one exchange (subset rule), but that ships
+    # every RAW event over the wire; this shape map-side-combines the
+    # daily counts first, so exchange #1 carries partial counts and
+    # exchange #2 only the (keys, day) rollup — orders of magnitude
+    # less network at web scale. Plan-gated in tests/test_plans.py.
+    daily = events.groupBy(*keys, day_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(day_col)
+        .rangeBetween(-trailing, -1)
+    )
+    return daily.withColumn(
+        "trailing_sum",
+        F.coalesce(F.sum("n_events").over(w), F.lit(0)).cast("long"),
+    ).withColumn(
+        "burst_ratio_e6",
+        F.expr(
+            f"(1000000 * n_events * {trailing})"
+            " div greatest(trailing_sum, 1)"
+        ).cast("long"),
+    )

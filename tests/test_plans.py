@@ -428,3 +428,29 @@ def test_incremental_cc_broadcasts_drop_side(spark, tmp_path_factory):
     final = plan.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin LeftOuter BuildRight" in final, final
     assert "SortMergeJoin" not in final, final
+
+
+def test_activity_bursts_combines_before_shuffle(spark):
+    """activity_bursts deliberately keeps TWO exchanges: collapsing to
+    one (pre-partition on keys) would ship raw events; instead the
+    first exchange must carry map-side-combined partial counts
+    (partial_count BEFORE the exchange) and neither exchange may be
+    global."""
+    from deepee_spark.operators.temporal import activity_bursts
+
+    ev = spark.createDataFrame(
+        [(f"u{i % 9}", (i * 13) % 30 + 1) for i in range(300)],
+        "user: string, day: long",
+    )
+    plan = formatted_plan(activity_bursts(ev, ["user"], "day"))
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("Exchange (") == 2, plan
+    # the partial aggregate sits upstream of the first exchange
+    first_exchange = plan.index("Exchange (")
+    assert "partial_count" in plan[first_exchange:], plan
+    tree = plan.split("\n(1) ")[0]
+    agg_line = min(i for i, ln in enumerate(tree.splitlines())
+                   if "HashAggregate" in ln)
+    exch_line = min(i for i, ln in enumerate(tree.splitlines())
+                    if "Exchange" in ln)
+    assert agg_line > exch_line, tree  # deepest-first: agg feeds exchange

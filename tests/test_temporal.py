@@ -159,3 +159,72 @@ def test_fact_diff_rejects_bad_order(spark, history):
     _, _, fdf, _ = history
     with pytest.raises(ValueError, match="t_old"):
         fact_diff(fdf, ["k"], "ts", "val", 70, 30)
+
+
+# ---------------------------------------------------------------------------
+# activity_bursts
+
+
+def _brute_bursts(rows, trailing):
+    """rows: (key, day) one per event."""
+    from collections import Counter
+
+    daily = Counter(rows)
+    out = set()
+    for (key, day), n in daily.items():
+        tsum = sum(
+            daily.get((key, d), 0)
+            for d in range(day - trailing, day)
+        )
+        ratio = (1_000_000 * n * trailing) // max(tsum, 1)
+        out.add((key, day, n, tsum, ratio))
+    return out
+
+
+def test_activity_bursts_bruteforce(spark):
+    import random
+
+    from deepee_spark.operators.temporal import activity_bursts
+
+    rng = random.Random(11)
+    rows = [
+        (f"u{rng.randrange(6)}", rng.randrange(1, 30))
+        for _ in range(400)
+    ]
+    # a planted burst: u9 silent for 20 days then 50 events on day 25
+    rows += [("u9", 2)] * 3 + [("u9", 25)] * 50
+    df = spark.createDataFrame(rows, "user: string, day: long")
+    got = {
+        (r.user, r.day, r.n_events, r.trailing_sum, r.burst_ratio_e6)
+        for r in activity_bursts(df, ["user"], "day", trailing=7).collect()
+    }
+    assert got == _brute_bursts(rows, 7)
+    # the planted burst: zero trailing -> ratio = 1e6 * 50 * 7
+    assert ("u9", 25, 50, 0, 1_000_000 * 50 * 7) in got
+
+
+def test_activity_bursts_gap_days_count_as_zero(spark):
+    from deepee_spark.operators.temporal import activity_bursts
+
+    # 7 events on day 1, then one on day 5: trailing covers days -2..4,
+    # so trailing_sum = 7 (the gap days 2-4 contribute zero, NOT
+    # an average over present rows only)
+    rows = [("k", 1)] * 7 + [("k", 5)]
+    df = spark.createDataFrame(rows, "k: string, day: long")
+    by_day = {
+        r.day: (r.trailing_sum, r.burst_ratio_e6)
+        for r in activity_bursts(df, ["k"], "day", trailing=7).collect()
+    }
+    assert by_day[1] == (0, 7_000_000 * 7)
+    # day 5: 1 event vs trailing avg 7/7=1 -> ratio 1.0
+    assert by_day[5] == (7, 1_000_000)
+
+
+def test_activity_bursts_rejects_bad_trailing(spark):
+    import pytest
+
+    from deepee_spark.operators.temporal import activity_bursts
+
+    df = spark.createDataFrame([("k", 1)], "k: string, day: long")
+    with pytest.raises(ValueError):
+        activity_bursts(df, ["k"], "day", trailing=0)
