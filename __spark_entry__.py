@@ -3523,6 +3523,123 @@ def _kg_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ktruss(edges, k=5, max_rounds=5)
 
 
+def _triple_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram calibration of extraction confidence
+    (operators/metrics.calibration_bins): integer milli-confidences
+    binned by decile, exact integer mean-confidence and accuracy per
+    bin. Synthetic-but-deterministic confidence/correct columns over
+    events keep the whole check integer-exact cross-engine."""
+    from deepee_spark.operators.metrics import calibration_bins
+
+    ev = _t(spark, sf_dir, "events").select(
+        ((F.col("event_id") * 37) % 1001).cast("long").alias("conf_milli"),
+        (
+            (F.col("user_id") + F.get_json_object("props", "$.k").cast("long"))
+            % 3
+            == 0
+        ).alias("correct"),
+    )
+    return calibration_bins(ev, "conf_milli", "correct", bins=10)
+
+
+_CALIBRATION_SQL = """
+WITH u AS (
+  SELECT CAST((event_id * 37) % 1001 AS BIGINT) AS conf_milli,
+         (user_id + CAST(json_extract_string(props, '$.k') AS BIGINT))
+           % 3 = 0 AS correct
+  FROM events),
+b AS (
+  SELECT LEAST(conf_milli * 10 // 1000, 9) AS bin,
+         conf_milli,
+         CASE WHEN correct THEN 1 ELSE 0 END AS k
+  FROM u)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS n_correct,
+       CAST(SUM(conf_milli) // COUNT(*) AS BIGINT) AS mean_conf_milli,
+       CAST((1000000 * SUM(k)) // COUNT(*) AS BIGINT) AS accuracy_e6
+FROM b GROUP BY bin
+"""
+
+
+def _kg_schema_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ontology domain/range validation (operators/validation.
+    domain_range_violations) over the purchase-edge projection: bots
+    (user_id % 17 == 0) violate the 'purchase: user -> item' domain,
+    items with k > 95 are unregistered so NULL kind violates range."""
+    from deepee_spark.operators.validation import domain_range_violations
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    triples = ev.select(
+        F.concat(F.lit("user#"), F.col("user_id")).alias("subj"),
+        F.col("event_type").alias("pred"),
+        F.concat(
+            F.lit("item#"), F.get_json_object("props", "$.k")
+        ).alias("obj"),
+    ).distinct()
+    users = (
+        ev.select(F.col("user_id").alias("uid"))
+        .distinct()
+        .select(
+            F.concat(F.lit("user#"), F.col("uid")).alias("node"),
+            F.when(F.col("uid") % 17 == 0, F.lit("bot"))
+            .otherwise(F.lit("user"))
+            .alias("kind"),
+        )
+    )
+    items = (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("long").alias("k")
+        )
+        .distinct()
+        .filter(F.col("k") <= 95)
+        .select(
+            F.concat(F.lit("item#"), F.col("k")).alias("node"),
+            F.lit("item").alias("kind"),
+        )
+    )
+    cons = spark.createDataFrame(
+        [("purchase", "user", "item")], ["pred", "subj_kind", "obj_kind"]
+    )
+    return domain_range_violations(
+        triples, users.unionByName(items), cons
+    )
+
+
+_SCHEMA_VIOLATIONS_SQL = """
+WITH ev AS (
+  SELECT 'user#' || CAST(user_id AS VARCHAR) AS subj,
+         event_type AS pred,
+         'item#' || json_extract_string(props, '$.k') AS obj,
+         user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events WHERE event_type = 'purchase'),
+triples AS (SELECT DISTINCT subj, pred, obj FROM ev),
+kinds AS (
+  SELECT DISTINCT 'user#' || CAST(user_id AS VARCHAR) AS node,
+         CASE WHEN user_id % 17 = 0 THEN 'bot' ELSE 'user' END AS kind
+  FROM ev
+  UNION
+  SELECT DISTINCT 'item#' || CAST(k AS VARCHAR) AS node, 'item' AS kind
+  FROM ev WHERE k <= 95),
+j AS (
+  SELECT t.subj, t.pred, t.obj, sk.kind AS subj_kind, ok.kind AS obj_kind
+  FROM triples t
+  LEFT JOIN kinds sk ON sk.node = t.subj
+  LEFT JOIN kinds ok ON ok.node = t.obj)
+SELECT subj, pred, obj, subj_kind, obj_kind,
+       CASE WHEN (subj_kind IS DISTINCT FROM 'user')
+                 AND (obj_kind IS DISTINCT FROM 'item') THEN 'both'
+            WHEN subj_kind IS DISTINCT FROM 'user' THEN 'domain'
+            ELSE 'range' END AS violation
+FROM j
+WHERE subj_kind IS DISTINCT FROM 'user'
+   OR obj_kind IS DISTINCT FROM 'item'
+"""
+
+
 def _kg_entity_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trending-entity burst detection (operators/temporal.
     activity_bursts): per-user daily event counts vs the trailing
@@ -5068,6 +5185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_spans": _substring_dup_spans,
         "kg_ktruss": _kg_ktruss,
         "kg_entity_bursts": _kg_entity_bursts,
+        "triple_calibration": _triple_calibration,
+        "kg_schema_violations": _kg_schema_violations,
         "kg_fact_diff": _kg_fact_diff,
         "kg_fact_intervals": _kg_fact_intervals,
         "kg_pagerank_seeded": _kg_pagerank_seeded,
@@ -5192,6 +5311,8 @@ def oracle_sql() -> dict[str, str]:
             _KG_KCORE_EDGES_SQL, k=5, rounds=5
         ),
         "kg_entity_bursts": _KG_BURSTS_SQL,
+        "triple_calibration": _CALIBRATION_SQL,
+        "kg_schema_violations": _SCHEMA_VIOLATIONS_SQL,
         "kg_pagerank_seeded": _graph_sql.pagerank_seeded_oracle_sql(
             _KG_EDGE_PROJ_SQL, _KG_BFS_SEEDS_SQL, iters=3
         ),

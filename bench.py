@@ -184,6 +184,13 @@ def main() -> None:
     fused_sec = timings["kg_pipeline_fused"]
     flow_sec = timings["kg_pipeline_flow"]
 
+    # the probe again AFTER the sweeps: a host collapse DURING the run
+    # (start healthy, end sick — observed: 282/s -> 62/s across one
+    # bench) is invisible to a start-only probe; with both ends
+    # recorded, readers can tell "slow host" from "slow code" even
+    # when the collapse lands mid-run.
+    host_gemm_per_s_end = _gemm_probe()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -193,6 +200,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "host_gemm_per_s": host_gemm_per_s,
+                "host_gemm_per_s_end": host_gemm_per_s_end,
                 "sf": sf,
                 "pipeline_docs": n_docs,
                 "pipeline_triples": n_triples,

@@ -159,3 +159,50 @@ def loss_reductions(df: DataFrame, logits_col: str = "logits",
         F.round(F.avg("_ce"), 6).alias("mean_loss"),
         F.round(F.sum("_ce"), 6).alias("sum_loss"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    conf_milli_col: str,
+    correct_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram binning: is the extractor's confidence
+    calibrated (does the 0.8-bucket actually hold 80% correct
+    triples)?
+
+    Input confidence in MILLI-units (0..1000 integer): the pipeline's
+    confidence column scaled once upstream, so every downstream number
+    here is exact integer arithmetic — bin ids, mean confidence and
+    accuracy are all engine-independent (a float mean would drift by
+    partial-sum order and break cross-engine hash checks).
+
+    -> (bin, n, n_correct, mean_conf_milli, accuracy_e6), bin =
+    conf_milli * bins div 1000 clamped to bins-1 (so 1000 lands in the
+    top bin). ONE shuffle (groupBy bin, partial-agged); output is
+    bins-sized.
+    """
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    b = F.least(
+        F.expr(f"{conf_milli_col} * {bins} div 1000").cast("long"),
+        F.lit(bins - 1).cast("long"),
+    )
+    return (
+        df.select(
+            b.alias("bin"),
+            F.col(conf_milli_col).cast("long").alias("_c"),
+            F.when(F.col(correct_col), 1).otherwise(0).cast("long").alias("_k"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_k").cast("long").alias("n_correct"),
+            F.expr("sum(_c) div count(1)").cast("long").alias(
+                "mean_conf_milli"
+            ),
+            F.expr("(1000000 * sum(_k)) div count(1)").cast("long").alias(
+                "accuracy_e6"
+            ),
+        )
+    )

@@ -409,3 +409,97 @@ def test_kmv_duckdb_twin_bit_identical(spark):
     sql = kmv_oracle_sql(f"SELECT g, {hash_sql} AS h FROM t", ["g"])
     want = {g: (n, kth, est) for g, n, kth, est in con.execute(sql).fetchall()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# calibration bins / domain-range validation
+
+
+def test_calibration_bins_bruteforce(spark):
+    import random
+
+    from deepee_spark.operators.metrics import calibration_bins
+
+    rng = random.Random(5)
+    rows = [
+        (rng.randrange(0, 1001), rng.random() < 0.6) for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "conf_milli: long, correct: boolean")
+    got = {
+        (r.bin, r.n, r.n_correct, r.mean_conf_milli, r.accuracy_e6)
+        for r in calibration_bins(df, "conf_milli", "correct").collect()
+    }
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0])
+    for c, k in rows:
+        b = min(c * 10 // 1000, 9)
+        agg[b][0] += 1
+        agg[b][1] += int(k)
+        agg[b][2] += c
+    exp = {
+        (b, n, nc, sc // n, 1_000_000 * nc // n)
+        for b, (n, nc, sc) in agg.items()
+    }
+    assert got == exp
+    # conf=1000 must land in the TOP bin, not an 11th
+    assert all(b <= 9 for b, *_ in got)
+
+
+def test_calibration_bins_on_pipeline_confidences(spark, catalog):
+    """End-to-end tie-in: bin the real pipeline's triple confidences
+    against gold agreement. The pipeline is exact on the synthetic
+    corpus (P/R=1.0), so every bin must show accuracy_e6 == 1e6."""
+    from deepee_spark.corpus import corpus_df, gold_triples_df
+    from deepee_spark.operators.metrics import calibration_bins
+    from deepee_spark.plans.pipeline import Pipeline
+    from pyspark.sql import functions as F
+
+    docs = corpus_df(spark, 60)
+    triples = Pipeline(spark, catalog).run(docs, "corpus:60", resume=False)
+    gold = gold_triples_df(spark, 60).select(
+        "url", "subj", "pred", "obj"
+    ).withColumn("_hit", F.lit(True))
+    labeled = (
+        triples.join(gold, ["url", "subj", "pred", "obj"], "left")
+        .withColumn("correct", F.coalesce("_hit", F.lit(False)))
+        .withColumn(
+            "conf_milli",
+            F.floor(F.col("confidence") * 1000).cast("long"),
+        )
+    )
+    rows = calibration_bins(labeled, "conf_milli", "correct").collect()
+    assert rows and all(r.accuracy_e6 == 1_000_000 for r in rows)
+
+
+def test_domain_range_violations(spark):
+    from deepee_spark.operators.validation import domain_range_violations
+
+    triples = spark.createDataFrame(
+        [
+            ("u1", "purchase", "i1"),   # clean
+            ("i2", "purchase", "i1"),   # domain violation (item subj)
+            ("u1", "purchase", "u2"),   # range violation
+            ("i2", "purchase", "u2"),   # both
+            ("u1", "view", "i1"),       # unconstrained pred: skipped
+            ("ghost", "purchase", "i1"),  # unregistered subj: domain
+        ],
+        ["subj", "pred", "obj"],
+    )
+    kinds = spark.createDataFrame(
+        [("u1", "user"), ("u2", "user"), ("i1", "item"), ("i2", "item")],
+        ["node", "kind"],
+    )
+    cons = spark.createDataFrame(
+        [("purchase", "user", "item")], ["pred", "subj_kind", "obj_kind"]
+    )
+    got = {
+        (r.subj, r.obj, r.violation)
+        for r in domain_range_violations(triples, kinds, cons).collect()
+    }
+    assert got == {
+        ("i2", "i1", "domain"),
+        ("u1", "u2", "range"),
+        ("i2", "u2", "both"),
+        ("ghost", "i1", "domain"),
+    }
