@@ -3640,6 +3640,75 @@ WHERE subj_kind IS DISTINCT FROM 'user'
 """
 
 
+def _text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-5 TF-IDF keywords (operators/textstats.tfidf_topk):
+    total rank order via (round(score,6) DESC, token ASC) so both
+    engines agree despite float IDF."""
+    from deepee_spark.operators.textstats import tfidf_topk
+
+    return tfidf_topk(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        k=5, min_df=2,
+    )
+
+
+_TFIDF_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, token),
+n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents),
+dfq AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+  HAVING COUNT(DISTINCT doc_id) >= 2),
+scored AS (
+  SELECT t.doc_id, t.token, t.tf,
+         ROUND(t.tf * ROUND(ln(n.n_docs / d.df), 6), 6) AS score
+  FROM tf t JOIN dfq d USING (token), n),
+ranked AS (
+  SELECT doc_id, token, tf, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, token ASC
+         ) AS BIGINT) AS rank
+  FROM scored)
+SELECT doc_id, token, tf, score, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def _event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/temporal.sessionize): 30-min
+    inactivity closes a user's session; per-session start/end/count.
+    Single exchange (lag flag -> running count -> groupBy share one
+    key partitioning)."""
+    from deepee_spark.operators.temporal import sessionize
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").cast("long").alias("tsec")
+    )
+    return sessionize(ev, ["user_id"], "tsec", gap=1800)
+
+
+_EVENT_SESSIONS_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS tsec FROM events),
+flagged AS (
+  SELECT user_id, tsec,
+         CASE WHEN tsec - LAG(tsec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsec)),
+seq AS (
+  SELECT user_id, tsec,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsec
+              ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT) AS session_seq
+  FROM flagged)
+SELECT user_id, session_seq,
+       CAST(MIN(tsec) AS BIGINT) AS session_start,
+       CAST(MAX(tsec) AS BIGINT) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM seq GROUP BY user_id, session_seq
+"""
+
+
 def _kg_entity_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trending-entity burst detection (operators/temporal.
     activity_bursts): per-user daily event counts vs the trailing
@@ -5187,6 +5256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_bursts": _kg_entity_bursts,
         "triple_calibration": _triple_calibration,
         "kg_schema_violations": _kg_schema_violations,
+        "event_sessions": _event_sessions,
+        "text_tfidf_topk": _text_tfidf_topk,
         "kg_fact_diff": _kg_fact_diff,
         "kg_fact_intervals": _kg_fact_intervals,
         "kg_pagerank_seeded": _kg_pagerank_seeded,
@@ -5313,6 +5384,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_bursts": _KG_BURSTS_SQL,
         "triple_calibration": _CALIBRATION_SQL,
         "kg_schema_violations": _SCHEMA_VIOLATIONS_SQL,
+        "event_sessions": _EVENT_SESSIONS_SQL,
+        "text_tfidf_topk": _TFIDF_SQL,
         "kg_pagerank_seeded": _graph_sql.pagerank_seeded_oracle_sql(
             _KG_EDGE_PROJ_SQL, _KG_BFS_SEEDS_SQL, iters=3
         ),

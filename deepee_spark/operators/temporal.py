@@ -236,3 +236,44 @@ def activity_bursts(
             " div greatest(trailing_sum, 1)"
         ).cast("long"),
     )
+
+
+def sessionize(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    gap: int,
+) -> DataFrame:
+    """Gap-based sessionization: consecutive events of a key belong to
+    one session while the inter-event gap is <= `gap` (same ts units,
+    integer epoch seconds); a larger gap opens a new session.
+
+    -> (keys..., session_seq, session_start, session_end, n_events)
+    with session_seq the per-key 1-based session index — deterministic,
+    so (keys..., session_seq) is a stable session id across engines.
+
+    Scale shape: the canonical gaps-and-islands pair of windows over
+    ONE partitioning (lag flag -> running count), then a groupBy on the
+    same key prefix — Catalyst plans a single Exchange for all three.
+    Equal timestamps tie-break by ordering on ts alone (same session:
+    gap 0 <= gap), so duplicate-ts rows never split a session and the
+    result is order-independent.
+    """
+    if gap < 0:
+        raise ValueError("gap must be >= 0")
+    w_ord = W.partitionBy(*keys).orderBy(ts_col)
+    w_run = w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    flagged = events.withColumn(
+        "_new",
+        F.when(
+            F.col(ts_col) - F.lag(ts_col).over(w_ord) > gap, 1
+        ).otherwise(0),
+    ).withColumn(
+        "session_seq",
+        (F.sum("_new").over(w_run) + 1).cast("long"),
+    )
+    return flagged.groupBy(*keys, "session_seq").agg(
+        F.min(ts_col).cast("long").alias("session_start"),
+        F.max(ts_col).cast("long").alias("session_end"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )

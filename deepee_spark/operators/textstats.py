@@ -4,7 +4,7 @@ document fingerprinting. All whole-stage-codegen expressions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from .dedup import str_hash
@@ -252,4 +252,42 @@ def repetition_features(df: DataFrame, text_col: str = "text",
                 | (F.col("top_bigram_frac") <= max_top_bigram_frac)
             )
         ).alias("keep"),
+    )
+
+
+def tfidf_topk(df: DataFrame, doc_col: str = "doc_id",
+               text_col: str = "text", k: int = 5,
+               min_df: int = 1) -> DataFrame:
+    """Per-document top-k keywords by TF-IDF — the classic
+    document-summarization / index-term extractor, composed from
+    doc_frequency's corpus IDF and a per-doc term-frequency rollup.
+
+    -> (doc_id, token, tf, score, rank), rank 1..k per doc. The rank
+    order is made TOTAL by (round(score, 6) DESC, token ASC): raw
+    float ordering could flip between engines when two scores differ
+    by an ulp, so both this and the SQL twin rank on the rounded score
+    with the token as the final tie-break.
+
+    Distributed shape: the tf rollup explodes full token positions but
+    groupBy-combines map-side; the IDF join keys on token (the skewed
+    hot tokens are exactly the low-IDF ones — they arrive already
+    aggregated per doc, so no key explodes); the top-k window
+    partitions by doc (bounded by doc length). No corpus-global sort.
+    """
+    tf = (
+        df.select(F.col(doc_col), F.explode(tokens_of(F.col(text_col))).alias("token"))
+        .groupBy(doc_col, "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    idf = doc_frequency(df, text_col=text_col, min_df=min_df)
+    scored = tf.join(idf, "token").withColumn(
+        "score", F.round(F.col("tf") * F.col("idf"), 6)
+    )
+    w = W.partitionBy(doc_col).orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(doc_col, "token", "tf", "score", "rank")
     )

@@ -503,3 +503,42 @@ def test_domain_range_violations(spark):
         ("i2", "u2", "both"),
         ("ghost", "i1", "domain"),
     }
+
+
+def test_tfidf_topk_bruteforce(spark):
+    import math
+    from collections import Counter, defaultdict
+
+    from deepee_spark.operators.textstats import tfidf_topk
+
+    docs = [
+        ("d1", "apple banana apple cherry apple"),
+        ("d2", "banana cherry cherry durian"),
+        ("d3", "apple durian durian elderberry elderberry elderberry"),
+        ("d4", "fig"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    n = len(docs)
+    dfreq = Counter()
+    for _, t in docs:
+        for tok in set(t.split()):
+            dfreq[tok] += 1
+    exp = set()
+    for doc_id, t in docs:
+        tf = Counter(t.split())
+        scored = [
+            (tok, c, round(c * round(math.log(n / dfreq[tok]), 6), 6))
+            for tok, c in tf.items()
+        ]
+        scored.sort(key=lambda x: (-x[2], x[0]))
+        for rank, (tok, c, s) in enumerate(scored[:2], 1):
+            exp.add((doc_id, tok, c, s, rank))
+    got = {
+        (r.doc_id, r.token, r.tf, r.score, r.rank)
+        for r in tfidf_topk(df, k=2).collect()
+    }
+    assert got == exp
+    # the corpus-wide token ('apple' in 3 of 4 docs) never beats a
+    # same-tf rarer token
+    d3 = {r[1]: r[4] for r in got if r[0] == "d3"}
+    assert "elderberry" in d3 and d3["elderberry"] == 1

@@ -228,3 +228,66 @@ def test_activity_bursts_rejects_bad_trailing(spark):
     df = spark.createDataFrame([("k", 1)], "k: string, day: long")
     with pytest.raises(ValueError):
         activity_bursts(df, ["k"], "day", trailing=0)
+
+
+# ---------------------------------------------------------------------------
+# sessionize
+
+
+def _brute_sessions(rows, gap):
+    """rows: (key, ts)."""
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for k, ts in rows:
+        by_key[k].append(ts)
+    out = set()
+    for k, tss in by_key.items():
+        tss.sort()
+        seq, start, prev, n = 1, tss[0], tss[0], 0
+        for ts in tss:
+            if ts - prev > gap:
+                out.add((k, seq, start, prev, n))
+                seq, start, n = seq + 1, ts, 0
+            n += 1
+            prev = ts
+        out.add((k, seq, start, prev, n))
+    return out
+
+
+def test_sessionize_bruteforce(spark):
+    import random
+
+    from deepee_spark.operators.temporal import sessionize
+
+    rng = random.Random(3)
+    rows = [
+        (f"u{rng.randrange(5)}", rng.randrange(0, 5000))
+        for _ in range(300)
+    ]
+    # duplicate timestamps must never split a session
+    rows += [("u7", 100), ("u7", 100), ("u7", 100), ("u7", 2000)]
+    df = spark.createDataFrame(rows, "user: string, ts: long")
+    got = {
+        (r.user, r.session_seq, r.session_start, r.session_end, r.n_events)
+        for r in sessionize(df, ["user"], "ts", gap=600).collect()
+    }
+    assert got == _brute_sessions(rows, 600)
+    assert ("u7", 1, 100, 100, 3) in got
+    assert ("u7", 2, 2000, 2000, 1) in got
+
+
+def test_sessionize_one_exchange_rejects_bad_gap(spark):
+    import pytest
+
+    from deepee_spark.operators.temporal import sessionize
+    from tests.test_plans import formatted_plan
+
+    df = spark.createDataFrame(
+        [("u", i * 100) for i in range(50)], "user: string, ts: long"
+    )
+    plan = formatted_plan(sessionize(df, ["user"], "ts", gap=250))
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("Exchange (") == 1, plan
+    with pytest.raises(ValueError):
+        sessionize(df, ["user"], "ts", gap=-1)
