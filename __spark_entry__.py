@@ -98,6 +98,14 @@ _HASH_SQL = (
 _TOKENS_SQL = "list_filter(string_split(text, ' '), t -> t != '')"
 
 
+def _md5_sql(expr: str) -> str:
+    """DuckDB twin of operators/negatives.md5_long48 (unrolled hex
+    parse of the first 12 md5 hex chars -> BIGINT; lambda-free)."""
+    from deepee_spark.operators.negatives import md5_long48_sql
+
+    return md5_long48_sql(expr)
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -3676,6 +3684,69 @@ SELECT doc_id, token, tf, score, rank FROM ranked WHERE rank <= 5
 """
 
 
+def _kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic filtered negative sampling for KG-embedding
+    training (operators/negatives.negative_samples): 2 hash-picked
+    object corruptions per purchase triple, minus self/true-fact
+    collisions; entity index built with the two-level prefix pattern
+    (no global window)."""
+    from deepee_spark.operators.negatives import negative_samples
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    triples = ev.select(
+        F.concat(F.lit("user#"), F.col("user_id")).alias("subj"),
+        F.lit("purchase").alias("pred"),
+        F.concat(
+            F.lit("item#"), F.get_json_object("props", "$.k")
+        ).alias("obj"),
+    ).distinct()
+    ents = triples.select(F.col("obj").alias("entity")).distinct()
+    return negative_samples(triples, ents, k=2)
+
+
+_KG_NEGATIVES_SQL = f"""
+WITH tr AS (
+  SELECT DISTINCT 'user#' || CAST(user_id AS VARCHAR) AS subj,
+         'purchase' AS pred,
+         'item#' || json_extract_string(props, '$.k') AS obj
+  FROM events WHERE event_type = 'purchase'),
+ents AS (SELECT DISTINCT obj AS entity FROM tr),
+bkt AS (
+  SELECT entity,
+         {_md5_sql("entity")} % 64 AS b
+  FROM ents),
+rn AS (
+  SELECT entity, b,
+         ROW_NUMBER() OVER (PARTITION BY b ORDER BY entity) AS rn
+  FROM bkt),
+boff AS (
+  SELECT b,
+         COALESCE(SUM(n) OVER (ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM (SELECT b, COUNT(*) AS n FROM bkt GROUP BY b)),
+idx AS (
+  SELECT r.entity, CAST(o.off + r.rn - 1 AS BIGINT) AS idx
+  FROM rn r JOIN boff o USING (b)),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ents FROM ents),
+cand AS (
+  SELECT subj, pred, obj, CAST(i AS BIGINT) AS neg_i,
+         ({_md5_sql("subj || pred || obj")} + i * 1000003) % n_ents
+           AS pick
+  FROM tr, n, UNNEST(generate_series(0, 1)) AS g(i)),
+picked AS (
+  SELECT c.subj, c.pred, c.obj, c.neg_i, x.entity AS obj_neg
+  FROM cand c JOIN idx x ON x.idx = c.pick)
+SELECT p.subj, p.pred, p.obj, p.neg_i, p.obj_neg
+FROM picked p
+WHERE p.obj_neg != p.obj
+  AND NOT EXISTS (SELECT 1 FROM tr t
+                  WHERE t.subj = p.subj AND t.pred = p.pred
+                    AND t.obj = p.obj_neg)
+"""
+
+
 def _event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (operators/temporal.sessionize): 30-min
     inactivity closes a user's session; per-session start/end/count.
@@ -5258,6 +5329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_schema_violations": _kg_schema_violations,
         "event_sessions": _event_sessions,
         "text_tfidf_topk": _text_tfidf_topk,
+        "kg_negative_samples": _kg_negative_samples,
         "kg_fact_diff": _kg_fact_diff,
         "kg_fact_intervals": _kg_fact_intervals,
         "kg_pagerank_seeded": _kg_pagerank_seeded,
@@ -5386,6 +5458,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_schema_violations": _SCHEMA_VIOLATIONS_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,
         "text_tfidf_topk": _TFIDF_SQL,
+        "kg_negative_samples": _KG_NEGATIVES_SQL,
         "kg_pagerank_seeded": _graph_sql.pagerank_seeded_oracle_sql(
             _KG_EDGE_PROJ_SQL, _KG_BFS_SEEDS_SQL, iters=3
         ),

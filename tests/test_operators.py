@@ -542,3 +542,52 @@ def test_tfidf_topk_bruteforce(spark):
     # same-tf rarer token
     d3 = {r[1]: r[4] for r in got if r[0] == "d3"}
     assert "elderberry" in d3 and d3["elderberry"] == 1
+
+
+def test_negative_samples_bruteforce(spark):
+    import hashlib
+
+    from deepee_spark.operators.negatives import (
+        STEP,
+        N_INDEX_BUCKETS,
+        entity_index,
+        negative_samples,
+    )
+
+    def h48(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    ents = [f"e{i}" for i in range(23)]
+    triples = [
+        (f"s{i % 7}", f"p{i % 3}", ents[(i * 5) % 23]) for i in range(40)
+    ]
+    tdf = spark.createDataFrame(triples, ["subj", "pred", "obj"])
+    edf = spark.createDataFrame([(e,) for e in ents], ["entity"])
+
+    # brute entity index: order by (bucket, entity)
+    order = sorted(ents, key=lambda e: (h48(e) % N_INDEX_BUCKETS, e))
+    idx_of = {e: i for i, e in enumerate(order)}
+    got_idx = {(r.entity, r.idx) for r in entity_index(edf).collect()}
+    assert got_idx == {(e, i) for e, i in idx_of.items()}
+
+    pos = set(triples)
+    exp = set()
+    for s, p, o in set(triples):
+        base = h48(s + p + o)
+        for i in range(3):
+            pick = (base + i * STEP) % len(ents)
+            neg = order[pick]
+            if neg != o and (s, p, neg) not in pos:
+                exp.add((s, p, o, i, neg))
+    got = {
+        (r.subj, r.pred, r.obj, r.neg_i, r.obj_neg)
+        for r in negative_samples(tdf, edf, k=3).collect()
+    }
+    assert got == exp
+    assert exp  # fixture actually generates negatives
+    # determinism: second run identical
+    got2 = {
+        (r.subj, r.pred, r.obj, r.neg_i, r.obj_neg)
+        for r in negative_samples(tdf, edf, k=3).collect()
+    }
+    assert got2 == got

@@ -420,3 +420,85 @@ def test_pipeline_prefix_survives_arbitrary_html(spark, docs):
     )
     for r in out:
         assert r["url"].startswith("https://fuzz/")
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=60),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_substring_dedup_property(spark, texts):
+    """Arbitrary tiny-alphabet corpora (maximally collision-prone:
+    w-windows repeat constantly) against the pure-python keep-first
+    oracle — stats and merged spans both."""
+    from deepee_spark.operators.substrings import (
+        substring_dup_spans,
+        substring_dup_stats,
+    )
+    from tests.test_substrings import _brute
+
+    w = 3
+    docs = [(f"d{i}", t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    n_windows, removable = _brute(docs, w)
+
+    per_doc = {}
+    for doc_id, _, _ in removable:
+        per_doc[doc_id] = per_doc.get(doc_id, 0) + 1
+    got_stats = {
+        (r.id, r.n_windows, r.n_dup_windows)
+        for r in substring_dup_stats(df, "doc_id", "text", w).collect()
+    }
+    exp_stats = {
+        (d, n_windows[d], per_doc.get(d, 0)) for d, _ in docs
+    }
+    assert got_stats == exp_stats
+
+    poss = {}
+    for doc_id, pos, _ in removable:
+        poss.setdefault(doc_id, []).append(pos)
+    exp_spans = set()
+    for doc_id, ps in poss.items():
+        ps.sort()
+        start, end = ps[0], ps[0] + w - 1
+        for p in ps[1:]:
+            if p <= end + 1:
+                end = p + w - 1
+            else:
+                exp_spans.add((doc_id, start, end))
+                start, end = p, p + w - 1
+        exp_spans.add((doc_id, start, end))
+    got_spans = {
+        (r.id, r.start_pos, r.end_pos)
+        for r in substring_dup_spans(df, "doc_id", "text", w).collect()
+    }
+    assert got_spans == exp_spans
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_sessionize_property(spark, pairs):
+    """Arbitrary (key, ts) multisets with heavy ts collisions vs the
+    brute-force session splitter."""
+    from deepee_spark.operators.temporal import sessionize
+    from tests.test_temporal import _brute_sessions
+
+    rows = [(f"k{k}", ts) for k, ts in pairs]
+    df = spark.createDataFrame(rows, "user: string, ts: long")
+    got = {
+        (r.user, r.session_seq, r.session_start, r.session_end, r.n_events)
+        for r in sessionize(df, ["user"], "ts", gap=5).collect()
+    }
+    assert got == _brute_sessions(rows, 5)
