@@ -3747,6 +3747,34 @@ WHERE p.obj_neg != p.obj
 """
 
 
+def _exact_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order-price quantiles (operators/quantiles.exact_quantile,
+    iterative histogram refinement — no global sort, no
+    approx_percentile sketch). Prices as exact integer cents via
+    floor(x*100+0.5) so both engines share the same IEEE doubles."""
+    from deepee_spark.operators.quantiles import exact_quantiles
+
+    cents = _t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents")
+    )
+    return exact_quantiles(cents, "cents", [500, 900, 990])
+
+
+_QUANTILES_SQL = """
+WITH v AS (
+  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+  FROM orders),
+n AS (SELECT COUNT(*) AS n FROM v),
+r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rk FROM v),
+qs AS (SELECT UNNEST([500, 900, 990]) AS q)
+SELECT CAST(qs.q AS BIGINT) AS q_permille, r.c AS value
+FROM qs, n, r
+WHERE r.rk = GREATEST(CAST(CEIL(qs.q * n.n / 1000.0) AS BIGINT), 1)
+"""
+
+
 def _event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (operators/temporal.sessionize): 30-min
     inactivity closes a user's session; per-session start/end/count.
@@ -5330,6 +5358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": _event_sessions,
         "text_tfidf_topk": _text_tfidf_topk,
         "kg_negative_samples": _kg_negative_samples,
+        "exact_price_quantiles": _exact_price_quantiles,
         "kg_fact_diff": _kg_fact_diff,
         "kg_fact_intervals": _kg_fact_intervals,
         "kg_pagerank_seeded": _kg_pagerank_seeded,
@@ -5459,6 +5488,7 @@ def oracle_sql() -> dict[str, str]:
         "event_sessions": _EVENT_SESSIONS_SQL,
         "text_tfidf_topk": _TFIDF_SQL,
         "kg_negative_samples": _KG_NEGATIVES_SQL,
+        "exact_price_quantiles": _QUANTILES_SQL,
         "kg_pagerank_seeded": _graph_sql.pagerank_seeded_oracle_sql(
             _KG_EDGE_PROJ_SQL, _KG_BFS_SEEDS_SQL, iters=3
         ),

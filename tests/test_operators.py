@@ -591,3 +591,35 @@ def test_negative_samples_bruteforce(spark):
         for r in negative_samples(tdf, edf, k=3).collect()
     }
     assert got2 == got
+
+
+def test_exact_quantile_bruteforce(spark):
+    import random
+
+    from deepee_spark.operators.quantiles import exact_quantile
+
+    rng = random.Random(9)
+    vals = [rng.randrange(-10_000, 10_000) for _ in range(3000)]
+    vals += [42] * 500  # heavy duplicate block
+    df = spark.createDataFrame([(v,) for v in vals], "v: long")
+    srt = sorted(vals)
+    n = len(vals)
+    for q in (1, 250, 500, 900, 999, 1000):
+        exp = srt[max(-(-q * n // 1000), 1) - 1]
+        got = exact_quantile(df, "v", q)
+        assert got == exp, (q, got, exp)
+
+
+def test_exact_quantile_edge_cases(spark):
+    import pytest
+
+    from deepee_spark.operators.quantiles import exact_quantile
+
+    empty = spark.createDataFrame([], "v: long")
+    assert exact_quantile(empty, "v", 500) is None
+    one = spark.createDataFrame([(7,)], "v: long")
+    assert exact_quantile(one, "v", 500) == 7
+    const = spark.createDataFrame([(5,)] * 100, "v: long")
+    assert exact_quantile(const, "v", 999) == 5
+    with pytest.raises(ValueError):
+        exact_quantile(one, "v", 0)
