@@ -3747,6 +3747,44 @@ WHERE p.obj_neg != p.obj
 """
 
 
+def _kg_entity_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item co-purchase association by PMI (operators/graph.
+    co_occurrence_pmi): separates 'both popular' from genuine
+    affinity; the one float is a single ln over exact integer counts,
+    rounded 6dp on both engines."""
+    from deepee_spark.operators.graph import co_occurrence_pmi
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    edges = ev.select(
+        F.concat(
+            F.lit("item#"), F.get_json_object("props", "$.k")
+        ).alias("src"),
+        F.concat(F.lit("user#"), F.col("user_id")).alias("dst"),
+    )
+    return co_occurrence_pmi(edges)
+
+
+_KG_PMI_SQL = """
+WITH e AS (
+  SELECT DISTINCT 'item#' || json_extract_string(props, '$.k') AS src,
+         'user#' || CAST(user_id AS VARCHAR) AS dst
+  FROM events WHERE event_type = 'purchase'),
+occ AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS occ FROM e GROUP BY src),
+n AS (SELECT CAST(COUNT(DISTINCT dst) AS DOUBLE) AS n FROM e),
+pairs AS (
+  SELECT a.src AS a, b.src AS b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY a.src, b.src)
+SELECT p.a, p.b, p.n_shared, oa.occ AS n_a, ob.occ AS n_b,
+       ROUND(ln(n.n * p.n_shared / (oa.occ * ob.occ)), 6) AS pmi
+FROM pairs p
+JOIN occ oa ON oa.src = p.a
+JOIN occ ob ON ob.src = p.b, n
+"""
+
+
 def _exact_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact order-price quantiles (operators/quantiles.exact_quantile,
     iterative histogram refinement — no global sort, no
@@ -5359,6 +5397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_topk": _text_tfidf_topk,
         "kg_negative_samples": _kg_negative_samples,
         "exact_price_quantiles": _exact_price_quantiles,
+        "kg_entity_pmi": _kg_entity_pmi,
         "kg_fact_diff": _kg_fact_diff,
         "kg_fact_intervals": _kg_fact_intervals,
         "kg_pagerank_seeded": _kg_pagerank_seeded,
@@ -5489,6 +5528,7 @@ def oracle_sql() -> dict[str, str]:
         "text_tfidf_topk": _TFIDF_SQL,
         "kg_negative_samples": _KG_NEGATIVES_SQL,
         "exact_price_quantiles": _QUANTILES_SQL,
+        "kg_entity_pmi": _KG_PMI_SQL,
         "kg_pagerank_seeded": _graph_sql.pagerank_seeded_oracle_sql(
             _KG_EDGE_PROJ_SQL, _KG_BFS_SEEDS_SQL, iters=3
         ),

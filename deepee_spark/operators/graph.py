@@ -1048,3 +1048,53 @@ def ktruss_oracle_sql(edges_sql: str, k: int, rounds: int) -> str:
         )
         prev = f"t{i}"
     return ",\n".join(parts) + f"\nSELECT lo, hi, support FROM t{rounds}"
+
+
+def co_occurrence_pmi(
+    edges: DataFrame, max_fanout: int | None = None
+) -> DataFrame:
+    """Pointwise mutual information between src nodes of a bipartite
+    (src, dst) edge set: PMI(a, b) = ln(n_dst * c_ab / (c_a * c_b)),
+    the standard association score separating "co-occur because both
+    are common" from genuine affinity — the edge-weighting a KG uses
+    before thresholding co-occurrence edges into relations.
+
+    -> (a, b, n_shared, n_a, n_b, pmi) with a < b and pmi rounded to
+    6dp (matching doc_frequency's idf convention: the only float is a
+    single ln on a ratio of exact integers, so both engines agree at
+    6dp). Scale shape: the quadratic stage is co_neighbors (fanout cap
+    available); per-node occurrence counts are a node-sized dimension
+    joined after aggregation; n_dst rides in as a broadcast scalar.
+    """
+    e = edges.select("src", "dst").distinct()
+    pairs = co_neighbors(e, max_fanout)
+    occ = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("occ"))
+    n = e.select("dst").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    return (
+        pairs.join(
+            occ.select(F.col("src").alias("a"), F.col("occ").alias("n_a")),
+            "a",
+        )
+        .join(
+            occ.select(F.col("src").alias("b"), F.col("occ").alias("n_b")),
+            "b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "a",
+            "b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.log(
+                    F.col("_n")
+                    * F.col("n_shared")
+                    / (F.col("n_a") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

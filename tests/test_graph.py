@@ -564,3 +564,37 @@ def test_edge_support_matches_brute(spark, edges):
         for r in edge_support(undirect(edges)).collect()
     }
     assert got == exp
+
+
+def test_co_occurrence_pmi_bruteforce(spark):
+    import math
+    from collections import defaultdict
+
+    from deepee_spark.operators.graph import co_occurrence_pmi
+
+    rows = [
+        (f"i{i % 6}", f"u{(i * 7 + j) % 9}")
+        for i in range(18)
+        for j in range(3)
+    ]
+    df = spark.createDataFrame(rows, "src: string, dst: string")
+    e = set(rows)
+    occ = defaultdict(set)
+    for s, d in e:
+        occ[s].add(d)
+    n = len({d for _, d in e})
+    exp = set()
+    items = sorted(occ)
+    for i, a in enumerate(items):
+        for b in items[i + 1:]:
+            shared = len(occ[a] & occ[b])
+            if shared:
+                exp.add(
+                    (a, b, shared, len(occ[a]), len(occ[b]),
+                     round(math.log(n * shared / (len(occ[a]) * len(occ[b]))), 6))
+                )
+    got = {
+        (r.a, r.b, r.n_shared, r.n_a, r.n_b, r.pmi)
+        for r in co_occurrence_pmi(df).collect()
+    }
+    assert got == exp
