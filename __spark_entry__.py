@@ -3226,6 +3226,23 @@ FROM events WHERE user_id % 50 = 0
 """
 
 
+def _kg_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled harmonic centrality (operators/graph.
+    harmonic_centrality): landmark estimator of SUM(1/d) via per-seed
+    BFS from every-50th-user seeds, 1e6 div dist integer scores."""
+    from deepee_spark.operators.graph import harmonic_centrality
+
+    ev = _t(spark, sf_dir, "events")
+    seeds = (
+        ev.filter(F.col("user_id") % 50 == 0)
+        .select(F.concat(F.lit("user#"), F.col("user_id")).alias("node"))
+        .distinct()
+    )
+    return harmonic_centrality(
+        _kg_edge_proj(spark, sf_dir), seeds, max_hops=3
+    )
+
+
 def _kg_fact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal fact resolution: for every (subj, pred) keep the most
     recent assertion by (ts, url) — the standard latest-wins merge when
@@ -5398,6 +5415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_samples": _kg_negative_samples,
         "exact_price_quantiles": _exact_price_quantiles,
         "kg_entity_pmi": _kg_entity_pmi,
+        "kg_harmonic_centrality": _kg_harmonic,
         "kg_fact_diff": _kg_fact_diff,
         "kg_fact_intervals": _kg_fact_intervals,
         "kg_pagerank_seeded": _kg_pagerank_seeded,
@@ -5529,6 +5547,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_negative_samples": _KG_NEGATIVES_SQL,
         "exact_price_quantiles": _QUANTILES_SQL,
         "kg_entity_pmi": _KG_PMI_SQL,
+        "kg_harmonic_centrality": _graph_sql.harmonic_oracle_sql(
+            _KG_EDGE_PROJ_SQL, _KG_BFS_SEEDS_SQL, max_hops=3
+        ),
         "kg_pagerank_seeded": _graph_sql.pagerank_seeded_oracle_sql(
             _KG_EDGE_PROJ_SQL, _KG_BFS_SEEDS_SQL, iters=3
         ),

@@ -1098,3 +1098,111 @@ def co_occurrence_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def bfs_per_seed(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """Per-seed BFS over the undirected expansion: (seed, node, dist)
+    for every node reached from each seed within max_hops — the
+    distance MATRIX restricted to a seed sample, where bfs_distances
+    collapses to the min over the seed set.
+
+    Same frontier shape as bfs_distances (persisted pre-partitioned
+    symmetric edges, shuffle_hash frontier joins, per-hop lineage
+    cuts); state is keyed (seed, node), so memory is |seeds| x
+    reachable — the operator is built for a SAMPLE of seeds (landmark
+    methods), not all-pairs.
+    """
+    n_parts = edges.sparkSession.sparkContext.defaultParallelism
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .repartition(n_parts, "src")
+        .persist()
+    )
+    visited = seeds.select(
+        F.col(seeds.columns[0]).alias("seed"),
+        F.col(seeds.columns[0]).alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    ).distinct().localCheckpoint()
+    frontier = visited.select("seed", "node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            sym.join(
+                frontier.withColumnRenamed("node", "src").hint(
+                    "shuffle_hash"
+                ),
+                "src",
+            )
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("seed", "node"), ["seed", "node"], "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(
+            nxt.select(
+                "seed", "node", F.lit(hop).cast("long").alias("dist")
+            )
+        ).localCheckpoint()
+        frontier = nxt.select("seed", "node")
+    sym.unpersist()
+    return visited
+
+
+def harmonic_centrality(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """Sampled harmonic centrality: for each reached node, the sum of
+    1e6 div dist over the seed sample (self-distances excluded) — the
+    landmark estimator of SUM(1/d(u, v)); integer division keeps the
+    score engine-exact. -> (node, n_seeds_reaching, harmonic_e6).
+    """
+    d = bfs_per_seed(edges, seeds, max_hops).filter(F.col("dist") > 0)
+    return d.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seeds_reaching"),
+        F.sum(F.expr("1000000 div dist")).cast("long").alias("harmonic_e6"),
+    )
+
+
+def harmonic_oracle_sql(
+    edges_sql: str, seeds_sql: str, max_hops: int = 3
+) -> str:
+    """DuckDB twin of harmonic_centrality: per-seed hop CTEs unrolled;
+    dist = first hop at which (seed, node) appears."""
+    parts = [
+        f"WITH e0h AS (SELECT src, dst FROM ({edges_sql}))",
+        "symh AS (SELECT DISTINCT src, dst FROM"
+        " (SELECT src, dst FROM e0h UNION ALL"
+        "  SELECT dst AS src, src AS dst FROM e0h))",
+        f"p0 AS (SELECT DISTINCT node AS seed, node,"
+        f" CAST(0 AS BIGINT) AS dist FROM ({seeds_sql}))",
+    ]
+    reach = ["SELECT seed, node, dist FROM p0"]
+    prev = "p0"
+    for i in range(1, max_hops + 1):
+        parts.append(
+            f"p{i} AS (SELECT DISTINCT {prev}.seed, symh.dst AS node,"
+            f" CAST({i} AS BIGINT) AS dist"
+            f" FROM symh JOIN {prev} ON symh.src = {prev}.node)"
+        )
+        reach.append(f"SELECT seed, node, dist FROM p{i}")
+        prev = f"p{i}"
+    union = " UNION ALL ".join(reach)
+    return (
+        ",\n".join(parts)
+        + f""",
+allh AS ({union}),
+firsth AS (SELECT seed, node, MIN(dist) AS dist FROM allh
+           GROUP BY seed, node)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_seeds_reaching,
+       CAST(SUM(1000000 // dist) AS BIGINT) AS harmonic_e6
+FROM firsth WHERE dist > 0 GROUP BY node"""
+    )

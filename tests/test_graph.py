@@ -598,3 +598,59 @@ def test_co_occurrence_pmi_bruteforce(spark):
         for r in co_occurrence_pmi(df).collect()
     }
     assert got == exp
+
+
+def test_harmonic_centrality_bruteforce(spark, edges):
+    from deepee_spark.operators.graph import (
+        harmonic_centrality,
+        harmonic_oracle_sql,
+    )
+
+    rows = [(r.src, r.dst) for r in edges.collect()]
+    adj = defaultdict(set)
+    for a, b in rows:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    seed_ids = [0, 7, 21]
+    seeds = spark.createDataFrame([(s,) for s in seed_ids], "node: long")
+
+    def bfs(s, max_hops):
+        dist = {s: 0}
+        frontier = [s]
+        for h in range(1, max_hops + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = h
+                        nxt.append(v)
+            frontier = nxt
+        return dist
+
+    exp = defaultdict(lambda: [0, 0])
+    for s in seed_ids:
+        for node, d in bfs(s, 3).items():
+            if d > 0:
+                exp[node][0] += 1
+                exp[node][1] += 1_000_000 // d
+    got = {
+        (r.node, r.n_seeds_reaching, r.harmonic_e6)
+        for r in harmonic_centrality(edges, seeds, max_hops=3).collect()
+    }
+    assert got == {(n, c, h) for n, (c, h) in exp.items()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?,?)", rows)
+    con.execute("CREATE TABLE s(node BIGINT)")
+    con.executemany("INSERT INTO s VALUES (?)", [(s,) for s in seed_ids])
+    oracle = {
+        tuple(r)
+        for r in con.execute(
+            harmonic_oracle_sql(
+                "SELECT src, dst FROM e", "SELECT node FROM s", 3
+            )
+        ).fetchall()
+    }
+    assert got == oracle
