@@ -3764,6 +3764,40 @@ WHERE p.obj_neg != p.obj
 """
 
 
+def _dedup_setjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join with AllPairs prefix filtering
+    (operators/setjoin.jaccard_similarity_join): every doc pair with
+    distinct-token Jaccard >= 0.5, no false negatives — the exact
+    counterpart of the MinHash-LSH probabilistic path. Oracle is the
+    brute-force all-pairs SQL (a genuinely different algorithm)."""
+    from deepee_spark.operators.setjoin import jaccard_similarity_join
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), " "), lambda t: t != "").alias(
+            "tokens"
+        ),
+    )
+    return jaccard_similarity_join(docs, "doc_id", "tokens", 500)
+
+
+_SETJOIN_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, list_distinct({_TOKENS_SQL}) AS toks FROM documents
+  WHERE len({_TOKENS_SQL}) > 0),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         CAST(len(list_intersect(x.toks, y.toks)) AS BIGINT) AS n_common,
+         CAST(len(x.toks) + len(y.toks)
+              - len(list_intersect(x.toks, y.toks)) AS BIGINT) AS n_union
+  FROM tok x JOIN tok y ON x.doc_id < y.doc_id)
+SELECT a, b, n_common, n_union,
+       CAST((1000000 * n_common) // n_union AS BIGINT) AS jaccard_e6
+FROM pairs
+WHERE (1000000 * n_common) // n_union >= 500000
+"""
+
+
 def _kg_entity_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item co-purchase association by PMI (operators/graph.
     co_occurrence_pmi): separates 'both popular' from genuine
@@ -5416,6 +5450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_price_quantiles": _exact_price_quantiles,
         "kg_entity_pmi": _kg_entity_pmi,
         "kg_harmonic_centrality": _kg_harmonic,
+        "dedup_setjoin": _dedup_setjoin,
         "kg_fact_diff": _kg_fact_diff,
         "kg_fact_intervals": _kg_fact_intervals,
         "kg_pagerank_seeded": _kg_pagerank_seeded,
@@ -5547,6 +5582,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_negative_samples": _KG_NEGATIVES_SQL,
         "exact_price_quantiles": _QUANTILES_SQL,
         "kg_entity_pmi": _KG_PMI_SQL,
+        "dedup_setjoin": _SETJOIN_SQL,
         "kg_harmonic_centrality": _graph_sql.harmonic_oracle_sql(
             _KG_EDGE_PROJ_SQL, _KG_BFS_SEEDS_SQL, max_hops=3
         ),

@@ -256,3 +256,62 @@ def test_pq_encode_and_adc_topk_on_clustered_vectors(spark):
     for r in top.collect():
         assert r["vec_id"] % 4 == r["q_id"] % 4, r   # same cluster
         assert r["vec_id"] != r["q_id"]              # self excluded
+
+
+# ---------------------------------------------------------------------------
+# exact prefix-filter set-similarity join
+
+
+def test_jaccard_similarity_join_exact(spark):
+    import random
+
+    from deepee_spark.operators.setjoin import jaccard_similarity_join
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(60):
+        n = rng.randrange(3, 12)
+        docs.append((f"d{i:02d}", rng.sample(vocab, n)))
+    # planted near-identical pair
+    docs.append(("dup1", ["w0", "w1", "w2", "w3", "w4"]))
+    docs.append(("dup2", ["w0", "w1", "w2", "w3", "w4", "w5"]))
+    docs.append(("empty", []))
+    df = spark.createDataFrame(docs, ["doc_id", "tokens"])
+
+    theta = 600
+    exp = set()
+    data = {d: set(t) for d, t in docs if t}
+    ids = sorted(data)
+    for i, x in enumerate(ids):
+        for y in ids[i + 1:]:
+            inter = len(data[x] & data[y])
+            uni = len(data[x] | data[y])
+            j = 1_000_000 * inter // uni
+            if j >= theta * 1000:
+                exp.add((x, y, inter, uni, j))
+    got = {
+        (r.a, r.b, r.n_common, r.n_union, r.jaccard_e6)
+        for r in jaccard_similarity_join(df, "doc_id", "tokens", theta).collect()
+    }
+    assert got == exp
+    assert any(a == "dup1" and b == "dup2" for a, b, *_ in got)
+
+
+def test_jaccard_similarity_join_no_false_negatives_low_theta(spark):
+    """theta=1 permille: prefix = whole set, so EVERY overlapping pair
+    must appear — the exhaustive stress of the prefix bound."""
+    from deepee_spark.operators.setjoin import jaccard_similarity_join
+
+    docs = [
+        ("a", ["x", "y"]),
+        ("b", ["y", "z"]),
+        ("c", ["p", "q"]),
+        ("d", ["z", "x", "y"]),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "tokens"])
+    got = {
+        (r.a, r.b)
+        for r in jaccard_similarity_join(df, "doc_id", "tokens", 1).collect()
+    }
+    assert got == {("a", "b"), ("a", "d"), ("b", "d")}
