@@ -225,3 +225,39 @@ def stream_edges_to_catalog(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def stream_host_sessions(
+    docs_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Crawl sessions per host via the native session window: docs from
+    one host merge while consecutive warc_ts gaps stay UNDER `gap`
+    (session_window's bound is strict — an exactly-`gap` gap opens a
+    new session, one tick tighter than operators/temporal.sessionize's
+    non-strict rule; callers comparing the two must account for the
+    boundary). The state store holds only open sessions per host;
+    records later than the watermark drop deterministically, and
+    append mode emits a session once the watermark passes its close —
+    immutable rows for the sink, the same discipline as
+    stream_event_counts.
+
+    -> (host, session_start, session_end, n_docs)
+    """
+    from pyspark.sql import functions as F
+
+    extracted = documents_stage(docs_stream)
+    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
+    return (
+        extracted.withColumn("host", host)
+        .withWatermark("warc_ts", watermark)
+        .groupBy(F.session_window("warc_ts", gap), "host")
+        .count()
+        .select(
+            "host",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            F.col("count").cast("long").alias("n_docs"),
+        )
+    )

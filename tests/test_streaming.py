@@ -322,3 +322,62 @@ def test_stream_edge_merge_maintains_live_graph(spark, tmp_path):
         (r.subj, r.pred, r.obj): r.weight
         for r in cat.read(spark, "edges_live").collect()
     } == want
+
+
+def test_stream_host_sessions_match_batch(spark, tmp_path):
+    """Watermarked session_window sessions drained under availableNow
+    equal the same session_window computed in batch mode over the same
+    files (closed sessions only), and respect the per-host grouping."""
+    from pyspark.sql import functions as F
+
+    from deepee_spark.corpus import corpus_df
+    from deepee_spark.extract import documents_stage
+    from deepee_spark.streaming.ingest import (
+        stream_documents,
+        stream_host_sessions,
+    )
+
+    src = str(tmp_path / "docs")
+    corpus_df(spark, 150).write.parquet(src)
+
+    out = str(tmp_path / "sess_out")
+    ck = str(tmp_path / "sess_ck")
+    q = (
+        stream_host_sessions(stream_documents(spark, src), gap="30 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.host, r.session_start, r.session_end): r.n_docs
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got
+
+    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
+    want = {
+        (r.host, r.session_start, r.session_end): r.n_docs
+        for r in (
+            documents_stage(spark.read.parquet(src))
+            .withColumn("host", host)
+            .groupBy(F.session_window("warc_ts", "30 minutes"), "host")
+            .count()
+            .select(
+                "host",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                F.col("count").cast("long").alias("n_docs"),
+            )
+            .collect()
+        )
+    }
+    # append mode emits only watermark-closed sessions; each emitted
+    # session must match batch exactly
+    for k, v in got.items():
+        assert want.get(k) == v, k
+    # every emitted host exists and no session has zero docs
+    assert all(v >= 1 for v in got.values())
