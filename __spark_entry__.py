@@ -3226,6 +3226,34 @@ FROM events WHERE user_id % 50 = 0
 """
 
 
+def _kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk-style walk corpus (operators/walks.
+    random_walks) over the undirected KG expansion: hash-picked next
+    hops so a retried partition regenerates identical walks; per-step
+    joins against the persisted neighbor index."""
+    from deepee_spark.operators.walks import random_walks
+
+    e = _kg_edge_proj(spark, sf_dir)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return random_walks(sym, walks_per_node=1, length=3)
+
+
+def _kg_random_walks_sql() -> str:
+    from deepee_spark.operators.negatives import md5_long48_sql
+    from deepee_spark.operators.walks import random_walks_oracle_sql
+
+    sym = (
+        f"SELECT src, dst FROM ({_KG_EDGE_PROJ_SQL}) "
+        "UNION ALL "
+        f"SELECT dst AS src, src AS dst FROM ({_KG_EDGE_PROJ_SQL})"
+    )
+    return random_walks_oracle_sql(
+        sym, md5_long48_sql, walks_per_node=1, length=3
+    )
+
+
 def _kg_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled harmonic centrality (operators/graph.
     harmonic_centrality): landmark estimator of SUM(1/d) via per-seed
@@ -5451,6 +5479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_pmi": _kg_entity_pmi,
         "kg_harmonic_centrality": _kg_harmonic,
         "dedup_setjoin": _dedup_setjoin,
+        "kg_random_walks": _kg_random_walks,
         "kg_fact_diff": _kg_fact_diff,
         "kg_fact_intervals": _kg_fact_intervals,
         "kg_pagerank_seeded": _kg_pagerank_seeded,
@@ -5583,6 +5612,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_price_quantiles": _QUANTILES_SQL,
         "kg_entity_pmi": _KG_PMI_SQL,
         "dedup_setjoin": _SETJOIN_SQL,
+        "kg_random_walks": _kg_random_walks_sql(),
         "kg_harmonic_centrality": _graph_sql.harmonic_oracle_sql(
             _KG_EDGE_PROJ_SQL, _KG_BFS_SEEDS_SQL, max_hops=3
         ),

@@ -1,0 +1,144 @@
+"""Deterministic random-walk corpus generation (DeepWalk-style prep).
+
+Skip-gram graph embeddings (the public DeepWalk/node2vec line of work)
+train on walk sequences sampled from the graph. At KG scale the walk
+generator must be deterministic — a retried partition MUST regenerate
+identical walks — and engine-checkable, so the "random" next-hop is a
+content hash over (start, walk, step, current):
+
+    next = neighbors(cur)[ md5_48(start|walk|step|cur) % outdeg(cur) ]
+
+Scale shape: the per-node neighbor index is row_number partitioned by
+src (parallel, no global window) over the edge list, persisted
+pre-partitioned on src — each of the L steps is then ONE shuffle-hash
+join of the (node-count x walks)-sized frontier against that cached
+index, never a re-shuffle of the edges (the pagerank/bfs lesson).
+Dead-end nodes (no out-edges) end their walk early: the join simply
+produces no next row. Lineage is cut per step.
+
+Like operators/negatives.py, the hash is the lambda-free md5 parse —
+see that module's docstring for the pyspark 4.1.2 higher-order-
+function mis-evaluation that rules out the rolling-fold hash in
+multi-hash-site plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from .negatives import md5_long48
+
+
+def neighbor_index(edges: DataFrame) -> DataFrame:
+    """-> (src, pick, dst, outdeg): each node's out-neighbors indexed
+    0..outdeg-1 in dst order (deterministic), with the out-degree on
+    every row so the picker needs no second join."""
+    w = W.partitionBy("src").orderBy("dst")
+    e = edges.select("src", "dst").distinct()
+    return (
+        e.withColumn("pick", (F.row_number().over(w) - 1).cast("long"))
+        .withColumn(
+            "outdeg",
+            F.count(F.lit(1)).over(W.partitionBy("src")).cast("long"),
+        )
+    )
+
+
+def random_walks(
+    edges: DataFrame,
+    walks_per_node: int = 1,
+    length: int = 3,
+) -> DataFrame:
+    """-> (start, walk, step, node): `walks_per_node` deterministic
+    walks of up to `length` hops from EVERY distinct src node. step 0
+    is the start itself; a walk ends early at a node with no
+    out-edges. Rows are a flat corpus — the skip-gram trainer's input
+    after a per-(start, walk) collect_list.
+    """
+    if walks_per_node < 1 or length < 1:
+        raise ValueError("walks_per_node and length must be >= 1")
+    n_parts = edges.sparkSession.sparkContext.defaultParallelism
+    idx = neighbor_index(edges).repartition(n_parts, "src").persist()
+    starts = idx.select("src").distinct()
+    state = starts.select(
+        F.col("src").alias("start"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"),
+                       F.lit(walks_per_node - 1).cast("long"))
+        ).alias("walk"),
+        F.col("src").alias("node"),
+    )
+    out = state.select(
+        "start", "walk", F.lit(0).cast("long").alias("step"), "node"
+    ).localCheckpoint()
+    cur = out
+    for step in range(1, length + 1):
+        pick = md5_long48(
+            F.concat_ws(
+                "|", F.col("start"), F.col("walk"), F.lit(step),
+                F.col("node"),
+            )
+        )
+        probe = cur.select(
+            "start",
+            "walk",
+            F.col("node").alias("src"),
+            pick.alias("_h"),
+        )
+        nxt = (
+            probe.hint("shuffle_hash")
+            .join(idx, "src")
+            .filter(F.col("pick") == F.col("_h") % F.col("outdeg"))
+            .select(
+                "start",
+                "walk",
+                F.lit(step).cast("long").alias("step"),
+                F.col("dst").alias("node"),
+            )
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        out = out.unionByName(nxt).localCheckpoint()
+        cur = nxt
+    idx.unpersist()
+    return out
+
+
+def random_walks_oracle_sql(
+    edges_sql: str,
+    md5_sql,
+    walks_per_node: int = 1,
+    length: int = 3,
+) -> str:
+    """DuckDB twin: neighbor index via ROW_NUMBER, steps unrolled;
+    md5_sql is operators/negatives.md5_long48_sql."""
+    parts = [
+        f"WITH ew AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nidx AS (SELECT src, dst,"
+        " CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1"
+        "      AS BIGINT) AS pick,"
+        " CAST(COUNT(*) OVER (PARTITION BY src) AS BIGINT) AS outdeg"
+        " FROM ew)",
+        "w0 AS (SELECT s.src AS start, CAST(g.i AS BIGINT) AS walk,"
+        " CAST(0 AS BIGINT) AS step, s.src AS node"
+        " FROM (SELECT DISTINCT src FROM ew) s,"
+        f" UNNEST(generate_series(0, {walks_per_node - 1})) AS g(i))",
+    ]
+    prev = "w0"
+    union = ["SELECT start, walk, step, node FROM w0"]
+    for step in range(1, length + 1):
+        h = md5_sql(
+            f"{prev}.start || '|' || CAST({prev}.walk AS VARCHAR)"
+            f" || '|' || '{step}' || '|' || {prev}.node"
+        )
+        parts.append(
+            f"w{step} AS (SELECT {prev}.start, {prev}.walk,"
+            f" CAST({step} AS BIGINT) AS step, n.dst AS node"
+            f" FROM {prev} JOIN nidx n ON n.src = {prev}.node"
+            f" AND n.pick = ({h}) % n.outdeg)"
+        )
+        union.append(f"SELECT start, walk, step, node FROM w{step}")
+        prev = f"w{step}"
+    return ",\n".join(parts) + "\n" + " UNION ALL ".join(union)

@@ -654,3 +654,59 @@ def test_harmonic_centrality_bruteforce(spark, edges):
         ).fetchall()
     }
     assert got == oracle
+
+
+def test_random_walks_bruteforce_and_oracle(spark):
+    import hashlib
+
+    from deepee_spark.operators.negatives import md5_long48_sql
+    from deepee_spark.operators.walks import (
+        random_walks,
+        random_walks_oracle_sql,
+    )
+
+    def h48(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    rows = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("c", "d"),  # d is a dead end
+        ("e", "a"),
+    ]
+    df = spark.createDataFrame(rows, ["src", "dst"])
+    adj = {}
+    for s, d in sorted(set(rows)):
+        adj.setdefault(s, []).append(d)
+    exp = set()
+    for start in adj:
+        for walk in range(2):
+            node = start
+            exp.add((start, walk, 0, node))
+            for step in range(1, 4):
+                nbrs = adj.get(node)
+                if not nbrs:
+                    break
+                node = nbrs[h48(f"{start}|{walk}|{step}|{node}") % len(nbrs)]
+                exp.add((start, walk, step, node))
+    got = {
+        (r.start, r.walk, r.step, r.node)
+        for r in random_walks(df, walks_per_node=2, length=3).collect()
+    }
+    assert got == exp
+    # dead end: walks reaching d stop there (no step after a d row
+    # except when the walk had more steps before reaching d)
+    assert ("c", 0, 0, "c") in got
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(src VARCHAR, dst VARCHAR)")
+    con.executemany("INSERT INTO e VALUES (?,?)", rows)
+    oracle = {
+        tuple(r)
+        for r in con.execute(
+            random_walks_oracle_sql(
+                "SELECT src, dst FROM e", md5_long48_sql,
+                walks_per_node=2, length=3,
+            )
+        ).fetchall()
+    }
+    assert got == oracle
