@@ -3226,6 +3226,53 @@ FROM events WHERE user_id % 50 = 0
 """
 
 
+def _kg_cluster_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise clustering P/R/F1 for canonicalization quality
+    (operators/metrics.pairwise_cluster_prf): exact pair counts from
+    C(n,2) sums over aggregated sizes — never materialized pairs; a
+    deterministic disagreement fixture (mod-7 pred vs mod-5 gold over
+    distinct users)."""
+    from deepee_spark.operators.metrics import pairwise_cluster_prf
+
+    assign = (
+        _t(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            (F.col("user_id") % 7).cast("long").alias("pred_cluster"),
+            (F.col("user_id") % 5).cast("long").alias("gold_class"),
+        )
+    )
+    return pairwise_cluster_prf(assign)
+
+
+_KG_CLUSTER_PRF_SQL = """
+WITH a AS (
+  SELECT DISTINCT user_id FROM events),
+m AS (
+  SELECT user_id % 7 AS p, user_id % 5 AS g FROM a),
+pp AS (SELECT SUM(n * (n - 1) // 2) AS pred_pairs
+       FROM (SELECT COUNT(*) AS n FROM m GROUP BY p)),
+gp AS (SELECT SUM(n * (n - 1) // 2) AS gold_pairs
+       FROM (SELECT COUNT(*) AS n FROM m GROUP BY g)),
+tp AS (SELECT SUM(n * (n - 1) // 2) AS tp_pairs
+       FROM (SELECT COUNT(*) AS n FROM m GROUP BY p, g))
+SELECT CAST(COALESCE(tp_pairs, 0) AS BIGINT) AS tp_pairs,
+       CAST(COALESCE(pred_pairs, 0) AS BIGINT) AS pred_pairs,
+       CAST(COALESCE(gold_pairs, 0) AS BIGINT) AS gold_pairs,
+       CAST(CASE WHEN pred_pairs > 0
+                 THEN 1000000 * tp_pairs // pred_pairs ELSE 0 END
+            AS BIGINT) AS precision_e6,
+       CAST(CASE WHEN gold_pairs > 0
+                 THEN 1000000 * tp_pairs // gold_pairs ELSE 0 END
+            AS BIGINT) AS recall_e6,
+       CAST(CASE WHEN pred_pairs + gold_pairs > 0
+                 THEN 2000000 * tp_pairs // (pred_pairs + gold_pairs)
+                 ELSE 0 END AS BIGINT) AS f1_e6
+FROM tp, pp, gp
+"""
+
+
 def _kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic DeepWalk-style walk corpus (operators/walks.
     random_walks) over the undirected KG expansion: hash-picked next
@@ -5480,6 +5527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_harmonic_centrality": _kg_harmonic,
         "dedup_setjoin": _dedup_setjoin,
         "kg_random_walks": _kg_random_walks,
+        "kg_cluster_prf": _kg_cluster_prf,
         "kg_fact_diff": _kg_fact_diff,
         "kg_fact_intervals": _kg_fact_intervals,
         "kg_pagerank_seeded": _kg_pagerank_seeded,
@@ -5613,6 +5661,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_pmi": _KG_PMI_SQL,
         "dedup_setjoin": _SETJOIN_SQL,
         "kg_random_walks": _kg_random_walks_sql(),
+        "kg_cluster_prf": _KG_CLUSTER_PRF_SQL,
         "kg_harmonic_centrality": _graph_sql.harmonic_oracle_sql(
             _KG_EDGE_PROJ_SQL, _KG_BFS_SEEDS_SQL, max_hops=3
         ),

@@ -206,3 +206,71 @@ def calibration_bins(
             ),
         )
     )
+
+
+def pairwise_cluster_prf(
+    assignments: DataFrame,
+    pred_col: str = "pred_cluster",
+    gold_col: str = "gold_class",
+) -> DataFrame:
+    """Pairwise clustering P/R/F1 — the standard entity-resolution /
+    canonicalization quality score: of all mention pairs the system
+    put in one cluster, how many share a gold class (precision), and
+    of all gold-coreferent pairs, how many the system joined (recall).
+
+    All-integer: pair counts are sums of C(n,2) over cluster sizes,
+    cell sizes (the pred x gold contingency table), and class sizes —
+    no sampling, no floats until the final *_e6 integer fractions.
+    ONE row out: (tp_pairs, pred_pairs, gold_pairs, precision_e6,
+    recall_e6, f1_e6); empty-input degenerate cases report 0.
+
+    Scale shape: three partial-agged groupBys over mention rows (by
+    pred, by gold, by the (pred, gold) cell) — each one shuffle whose
+    reduce side is cluster-count-sized; C(n,2) arithmetic happens on
+    the aggregated sizes, never on pairs. This is what makes the
+    PAIRWISE metric computable at 10^12 mentions where materializing
+    pairs (the naive formulation) is quadratic death.
+    """
+    # integer DIV, not float /2: n*(n-1) exceeds 2^53 long before it
+    # exceeds BIGINT, and a double round-trip would silently round
+    c2 = lambda col: F.expr(f"{col} * ({col} - 1) DIV 2").cast("long")  # noqa: E731
+    a = assignments.select(
+        F.col(pred_col).alias("_p"), F.col(gold_col).alias("_g")
+    )
+    pred_pairs = (
+        a.groupBy("_p").agg(F.count(F.lit(1)).alias("n"))
+        .select(F.sum(c2("n")).alias("pred_pairs"))
+    )
+    gold_pairs = (
+        a.groupBy("_g").agg(F.count(F.lit(1)).alias("n"))
+        .select(F.sum(c2("n")).alias("gold_pairs"))
+    )
+    tp_pairs = (
+        a.groupBy("_p", "_g").agg(F.count(F.lit(1)).alias("n"))
+        .select(F.sum(c2("n")).alias("tp_pairs"))
+    )
+    out = tp_pairs.crossJoin(pred_pairs).crossJoin(gold_pairs).select(
+        F.coalesce("tp_pairs", F.lit(0)).cast("long").alias("tp_pairs"),
+        F.coalesce("pred_pairs", F.lit(0)).cast("long").alias("pred_pairs"),
+        F.coalesce("gold_pairs", F.lit(0)).cast("long").alias("gold_pairs"),
+    )
+    prec = F.expr(
+        "CASE WHEN pred_pairs > 0"
+        " THEN 1000000 * tp_pairs DIV pred_pairs ELSE 0 END"
+    ).cast("long")
+    rec = F.expr(
+        "CASE WHEN gold_pairs > 0"
+        " THEN 1000000 * tp_pairs DIV gold_pairs ELSE 0 END"
+    ).cast("long")
+    return out.select(
+        "tp_pairs",
+        "pred_pairs",
+        "gold_pairs",
+        prec.alias("precision_e6"),
+        rec.alias("recall_e6"),
+        F.expr(
+            "CASE WHEN pred_pairs + gold_pairs > 0"
+            " THEN 2000000 * tp_pairs DIV (pred_pairs + gold_pairs)"
+            " ELSE 0 END"
+        ).cast("long").alias("f1_e6"),
+    )

@@ -623,3 +623,76 @@ def test_exact_quantile_edge_cases(spark):
     assert exact_quantile(const, "v", 999) == 5
     with pytest.raises(ValueError):
         exact_quantile(one, "v", 0)
+
+
+def test_pairwise_cluster_prf_bruteforce(spark):
+    from itertools import combinations
+
+    from deepee_spark.operators.metrics import pairwise_cluster_prf
+
+    rows = [
+        ("m1", "A", "x"), ("m2", "A", "x"), ("m3", "A", "y"),
+        ("m4", "B", "y"), ("m5", "B", "y"), ("m6", "C", "z"),
+        ("m7", "C", "x"), ("m8", "D", "w"),
+    ]
+    df = spark.createDataFrame(rows, ["mention", "pred_cluster", "gold_class"])
+    pairs = list(combinations(rows, 2))
+    tp = sum(1 for a, b in pairs if a[1] == b[1] and a[2] == b[2])
+    pp = sum(1 for a, b in pairs if a[1] == b[1])
+    gp = sum(1 for a, b in pairs if a[2] == b[2])
+    r = pairwise_cluster_prf(df).collect()[0]
+    assert (r.tp_pairs, r.pred_pairs, r.gold_pairs) == (tp, pp, gp)
+    assert r.precision_e6 == 1_000_000 * tp // pp
+    assert r.recall_e6 == 1_000_000 * tp // gp
+    assert r.f1_e6 == 2_000_000 * tp // (pp + gp)
+
+
+def test_pairwise_cluster_prf_on_pipeline_canonicalization(spark, catalog):
+    """The pipeline's canonical mapping vs the gold entity classes:
+    exact canonicalization on the synthetic corpus means every pair
+    metric is 1.0."""
+    from deepee_spark.corpus import corpus_df
+    from deepee_spark.operators.metrics import pairwise_cluster_prf
+    from deepee_spark.plans.pipeline import (
+        Pipeline,
+        alias_df,
+        arguments_from_triggers,
+        canonicalize,
+        documents_stage,
+        featurize_sentences,
+        link_mentions,
+        mentions_from_arguments,
+        sentences_stage,
+        triggers_from_sentences,
+    )
+    from pyspark.sql import functions as F
+
+    docs = corpus_df(spark, 60)
+    arguments = arguments_from_triggers(
+        triggers_from_sentences(
+            featurize_sentences(sentences_stage(documents_stage(docs)))
+        )
+    )
+    linked = link_mentions(mentions_from_arguments(arguments), alias_df(spark))
+    canonical = canonicalize(linked)
+    # gold class: the canonical id IS derived from linked entity ids,
+    # which on the synthetic corpus equal the normalized gold surface;
+    # a perfect system gives pairwise F1 = 1.0
+    assign = canonical.select(
+        F.col("entity_id").alias("mention"),
+        F.col("canonical_id").alias("pred_cluster"),
+        F.col("canonical_id").alias("gold_class"),
+    )
+    r = pairwise_cluster_prf(assign).collect()[0]
+    assert r.precision_e6 == r.recall_e6 == r.f1_e6 == 1_000_000 or (
+        r.pred_pairs == 0 and r.gold_pairs == 0
+    )
+
+
+def test_pairwise_cluster_prf_empty(spark):
+    from deepee_spark.operators.metrics import pairwise_cluster_prf
+
+    df = spark.createDataFrame([], "mention: string, pred_cluster: string, gold_class: string")
+    r = pairwise_cluster_prf(df).collect()[0]
+    assert (r.tp_pairs, r.pred_pairs, r.gold_pairs) == (0, 0, 0)
+    assert (r.precision_e6, r.recall_e6, r.f1_e6) == (0, 0, 0)
