@@ -3226,6 +3226,97 @@ FROM events WHERE user_id % 50 = 0
 """
 
 
+def _kg_dangling_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity sweep (operators/validation.
+    dangling_references): purchase triples whose endpoint is missing
+    from the node registry (items with k > 95 unregistered — the
+    schema-violation fixture's gap, seen from the FK side)."""
+    from deepee_spark.operators.validation import dangling_references
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    triples = ev.select(
+        F.concat(F.lit("user#"), F.col("user_id")).alias("subj"),
+        F.col("event_type").alias("pred"),
+        F.concat(
+            F.lit("item#"), F.get_json_object("props", "$.k")
+        ).alias("obj"),
+    ).distinct()
+    users = ev.select(
+        F.concat(F.lit("user#"), F.col("user_id")).alias("node")
+    ).distinct()
+    items = (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("long").alias("k")
+        )
+        .distinct()
+        .filter(F.col("k") <= 95)
+        .select(F.concat(F.lit("item#"), F.col("k")).alias("node"))
+    )
+    return dangling_references(triples, users.unionByName(items))
+
+
+_KG_DANGLING_SQL = """
+WITH ev AS (
+  SELECT 'user#' || CAST(user_id AS VARCHAR) AS subj,
+         event_type AS pred,
+         'item#' || json_extract_string(props, '$.k') AS obj,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         user_id
+  FROM events WHERE event_type = 'purchase'),
+triples AS (SELECT DISTINCT subj, pred, obj FROM ev),
+nodes AS (
+  SELECT DISTINCT 'user#' || CAST(user_id AS VARCHAR) AS node FROM ev
+  UNION
+  SELECT DISTINCT 'item#' || CAST(k AS VARCHAR) FROM ev WHERE k <= 95)
+SELECT t.subj, t.pred, t.obj,
+       CASE WHEN s.node IS NULL AND o.node IS NULL THEN 'both'
+            WHEN s.node IS NULL THEN 'subj'
+            ELSE 'obj' END AS missing
+FROM triples t
+LEFT JOIN nodes s ON s.node = t.subj
+LEFT JOIN nodes o ON o.node = t.obj
+WHERE s.node IS NULL OR o.node IS NULL
+"""
+
+
+def _text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality proxy (operators/textstats.bigram_logprob):
+    per-doc mean add-one-smoothed bigram log-probability under the
+    corpus's own counts — word ORDER now matters, one notch past
+    text_unigram_logprob."""
+    from deepee_spark.operators.textstats import bigram_logprob
+
+    return bigram_logprob(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+_BIGRAM_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+  WHERE len({_TOKENS_SQL}) >= 2),
+big AS (
+  SELECT doc_id, t[i] AS a, t[i + 1] AS b
+  FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS g(i)),
+uni AS (
+  SELECT u.a, CAST(COUNT(*) AS DOUBLE) AS c_a
+  FROM (SELECT unnest({_TOKENS_SQL}) AS a FROM documents) u
+  GROUP BY u.a),
+v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+bgc AS (
+  SELECT a, b, CAST(COUNT(*) AS DOUBLE) AS c_ab FROM big GROUP BY a, b)
+SELECT big.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(ln((bgc.c_ab + 1) / (uni.c_a + v.v))), 6) AS mean_logp
+FROM big
+JOIN bgc USING (a, b)
+JOIN uni USING (a), v
+GROUP BY big.doc_id
+"""
+
+
 def _kg_cluster_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise clustering P/R/F1 for canonicalization quality
     (operators/metrics.pairwise_cluster_prf): exact pair counts from
@@ -5528,6 +5619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_setjoin": _dedup_setjoin,
         "kg_random_walks": _kg_random_walks,
         "kg_cluster_prf": _kg_cluster_prf,
+        "text_bigram_logprob": _text_bigram_logprob,
+        "kg_dangling_refs": _kg_dangling_refs,
         "kg_fact_diff": _kg_fact_diff,
         "kg_fact_intervals": _kg_fact_intervals,
         "kg_pagerank_seeded": _kg_pagerank_seeded,
@@ -5662,6 +5755,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_setjoin": _SETJOIN_SQL,
         "kg_random_walks": _kg_random_walks_sql(),
         "kg_cluster_prf": _KG_CLUSTER_PRF_SQL,
+        "text_bigram_logprob": _BIGRAM_SQL,
+        "kg_dangling_refs": _KG_DANGLING_SQL,
         "kg_harmonic_centrality": _graph_sql.harmonic_oracle_sql(
             _KG_EDGE_PROJ_SQL, _KG_BFS_SEEDS_SQL, max_hops=3
         ),

@@ -291,3 +291,56 @@ def tfidf_topk(df: DataFrame, doc_col: str = "doc_id",
         .filter(F.col("rank") <= k)
         .select(doc_col, "token", "tf", "score", "rank")
     )
+
+
+def bigram_logprob(df: DataFrame, text_col: str = "text",
+                   doc_col: str = "doc_id") -> DataFrame:
+    """Bigram-LM quality proxy with add-one smoothing: per-document
+    mean ln((c(a,b) + 1) / (c(a) + V)) under the corpus's own bigram
+    distribution — one modeling notch past unigram_logprob (fluent
+    word ORDER now scores above a bag of common words).
+
+    Distributed shape: bigrams come from a row-local zip of the token
+    array with its own tail (no self-join on position); corpus bigram
+    and unigram counts are two partial-agged shuffles; V (vocabulary)
+    and nothing else crosses the driver. Documents with fewer than two
+    tokens have no bigrams and drop out.
+
+    Returns (doc_id, n_bigrams, mean_logp) with mean_logp rounded 6dp.
+    """
+    toks = df.select(
+        F.col(doc_col), tokens_of(F.col(text_col)).alias("t")
+    ).filter(F.size("t") >= 2)
+    big = toks.select(
+        doc_col,
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.size("t") - 1).alias("a"),
+                F.slice(F.col("t"), 2, F.size("t") - 1).alias("b"),
+            )
+        ).alias("bg"),
+    ).select(doc_col, F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+    uni = (
+        df.select(F.explode(tokens_of(F.col(text_col))).alias("a"))
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).cast("double").alias("c_a"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("_v"))
+    bgc = big.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("double").alias("c_ab")
+    )
+    scored = (
+        big.join(bgc, ["a", "b"])
+        .join(uni, "a")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            doc_col,
+            F.log(
+                (F.col("c_ab") + 1) / (F.col("c_a") + F.col("_v"))
+            ).alias("logp"),
+        )
+    )
+    return scored.groupBy(doc_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg("logp"), 6).alias("mean_logp"),
+    )

@@ -65,3 +65,34 @@ def domain_range_violations(
         )
         .select("subj", "pred", "obj", "subj_kind", "obj_kind", "violation")
     )
+
+
+def dangling_references(
+    triples: DataFrame, nodes: DataFrame
+) -> DataFrame:
+    """Referential-integrity sweep: triples whose subj or obj has no
+    row in the node table — the KG analogue of a foreign-key check,
+    run after every ingest drop next to domain/range validation.
+
+    -> (subj, pred, obj, missing) with missing in {'subj', 'obj',
+    'both'}. Two left joins against the node-id dimension (each a
+    semi-join-shaped lookup the planner can broadcast when the node
+    table is small, or shuffle on the id otherwise); no windows.
+    """
+    ids = nodes.select(F.col("node")).distinct()
+    s = ids.select(F.col("node").alias("subj"), F.lit(1).alias("_s"))
+    o = ids.select(F.col("node").alias("obj"), F.lit(1).alias("_o"))
+    return (
+        triples.join(s, "subj", "left")
+        .join(o, "obj", "left")
+        .filter(F.col("_s").isNull() | F.col("_o").isNull())
+        .withColumn(
+            "missing",
+            F.when(
+                F.col("_s").isNull() & F.col("_o").isNull(), F.lit("both")
+            )
+            .when(F.col("_s").isNull(), F.lit("subj"))
+            .otherwise(F.lit("obj")),
+        )
+        .select("subj", "pred", "obj", "missing")
+    )

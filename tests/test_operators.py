@@ -696,3 +696,63 @@ def test_pairwise_cluster_prf_empty(spark):
     r = pairwise_cluster_prf(df).collect()[0]
     assert (r.tp_pairs, r.pred_pairs, r.gold_pairs) == (0, 0, 0)
     assert (r.precision_e6, r.recall_e6, r.f1_e6) == (0, 0, 0)
+
+
+def test_bigram_logprob_bruteforce(spark):
+    import math
+    from collections import Counter
+
+    from deepee_spark.operators.textstats import bigram_logprob
+
+    docs = [
+        ("d1", "the cat sat on the mat"),
+        ("d2", "the cat ran"),
+        ("d3", "mat the on"),
+        ("d4", "single"),  # no bigrams -> excluded
+        ("d5", ""),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    uni, bg = Counter(), Counter()
+    for _, t in docs:
+        ws = [w for w in t.split(" ") if w]
+        uni.update(ws)
+        bg.update(zip(ws, ws[1:]))
+    V = len(uni)
+    exp = {}
+    for d, t in docs:
+        ws = [w for w in t.split(" ") if w]
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            continue
+        lps = [math.log((bg[p] + 1) / (uni[p[0]] + V)) for p in pairs]
+        exp[d] = (len(pairs), round(sum(lps) / len(lps), 6))
+    got = {
+        r.doc_id: (r.n_bigrams, r.mean_logp)
+        for r in bigram_logprob(df).collect()
+    }
+    assert got == exp
+    assert "d4" not in got and "d5" not in got
+
+
+def test_dangling_references(spark):
+    from deepee_spark.operators.validation import dangling_references
+
+    triples = spark.createDataFrame(
+        [
+            ("u1", "p", "i1"),
+            ("ghost", "p", "i1"),
+            ("u1", "p", "phantom"),
+            ("ghost", "p", "phantom"),
+        ],
+        ["subj", "pred", "obj"],
+    )
+    nodes = spark.createDataFrame([("u1",), ("i1",)], ["node"])
+    got = {
+        (r.subj, r.obj, r.missing)
+        for r in dangling_references(triples, nodes).collect()
+    }
+    assert got == {
+        ("ghost", "i1", "subj"),
+        ("u1", "phantom", "obj"),
+        ("ghost", "phantom", "both"),
+    }
