@@ -3226,6 +3226,49 @@ FROM events WHERE user_id % 50 = 0
 """
 
 
+def _kg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KMV rollup (operators/sketches.kmv_sketch_parts +
+    kmv_merge): per-day sketches of each predicate's distinct users,
+    merged into the period estimate WITHOUT rescanning raw data —
+    pytest proves the merge identity (== direct sketch bitwise)."""
+    from deepee_spark.operators.sketches import kmv_merge, kmv_sketch_parts
+
+    ev = _t(spark, sf_dir, "events")
+    t = ev.select(
+        F.col("event_type").alias("pred"),
+        F.to_date("ts").cast("string").alias("day"),
+        F.concat(F.lit("user#"), F.col("user_id")).alias("subj"),
+    )
+    parts = kmv_sketch_parts(t, ["pred"], "day", "subj", k=64)
+    return kmv_merge(parts, ["pred"], k=64)
+
+
+_KG_SKETCH_MERGE_SQL = f"""
+WITH hashed AS (SELECT DISTINCT event_type AS pred,
+       CAST(ts AS DATE) AS day,
+       ({_HASH_SQL.format(col="'user#' || CAST(user_id AS VARCHAR)")}
+        * 2654435761) % 1000000007 AS h
+FROM events),
+part_ranked AS (
+  SELECT pred, day, h,
+         ROW_NUMBER() OVER (PARTITION BY pred, day ORDER BY h) AS rn
+  FROM hashed),
+parts AS (SELECT DISTINCT pred, h FROM part_ranked WHERE rn <= 64),
+merged AS (
+  SELECT pred, h,
+         ROW_NUMBER() OVER (PARTITION BY pred ORDER BY h) AS rn
+  FROM parts)
+SELECT pred,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(MAX(h) AS BIGINT) AS kth_hash,
+       CAST(CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+                 ELSE (63 * CAST(1000000007 AS BIGINT)) // MAX(h)
+            END AS BIGINT) AS distinct_est
+FROM merged WHERE rn <= 64
+GROUP BY pred
+"""
+
+
 def _kg_dangling_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity sweep (operators/validation.
     dangling_references): purchase triples whose endpoint is missing
@@ -5621,6 +5664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cluster_prf": _kg_cluster_prf,
         "text_bigram_logprob": _text_bigram_logprob,
         "kg_dangling_refs": _kg_dangling_refs,
+        "kg_sketch_merge": _kg_sketch_merge,
         "kg_fact_diff": _kg_fact_diff,
         "kg_fact_intervals": _kg_fact_intervals,
         "kg_pagerank_seeded": _kg_pagerank_seeded,
@@ -5757,6 +5801,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_cluster_prf": _KG_CLUSTER_PRF_SQL,
         "text_bigram_logprob": _BIGRAM_SQL,
         "kg_dangling_refs": _KG_DANGLING_SQL,
+        "kg_sketch_merge": _KG_SKETCH_MERGE_SQL,
         "kg_harmonic_centrality": _graph_sql.harmonic_oracle_sql(
             _KG_EDGE_PROJ_SQL, _KG_BFS_SEEDS_SQL, max_hops=3
         ),

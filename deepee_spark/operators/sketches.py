@@ -91,3 +91,61 @@ SELECT {keys},
 FROM ranked WHERE rn <= {k}
 GROUP BY {keys}
 """
+
+
+def kmv_sketch_parts(
+    df: DataFrame,
+    key_cols: list[str],
+    part_col: str,
+    value_col: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """-> (key..., part, n_kept, hashes): one KMV sketch per (key,
+    part) — e.g. per (predicate, crawl day). `hashes` is the sorted
+    array of the <= k smallest distinct value hashes: the ENTIRE
+    sketch state, so parts are mergeable downstream without touching
+    the raw data again (the property that makes sketches worth
+    storing: day parts roll up to month estimates for free)."""
+    hashed = df.select(
+        *key_cols, F.col(part_col).alias("part"),
+        kmv_hash(F.col(value_col)).alias("h"),
+    ).distinct()
+    rn = F.row_number().over(
+        W.partitionBy(*key_cols, "part").orderBy("h")
+    )
+    kept = hashed.withColumn("rn", rn).filter(F.col("rn") <= k)
+    return kept.groupBy(*key_cols, "part").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sort_array(F.collect_list("h")).alias("hashes"),
+    )
+
+
+def kmv_merge(
+    parts: DataFrame,
+    key_cols: list[str],
+    k: int = KMV_K,
+) -> DataFrame:
+    """Merge per-part sketches from kmv_sketch_parts into one estimate
+    per key: union the retained hashes, keep the k smallest, re-apply
+    the (k-1)*MOD div h_(k) estimator. EXACTLY equals the direct
+    sketch of the unioned data (the KMV merge identity: the k smallest
+    of a union are a subset of the union of each part's k smallest) —
+    pytest asserts that identity, so rolling up stored day sketches is
+    lossless vs rescanning the month."""
+    exploded = parts.select(
+        *key_cols, F.explode("hashes").alias("h")
+    ).distinct()
+    rn = F.row_number().over(W.partitionBy(*key_cols).orderBy("h"))
+    kept = exploded.withColumn("rn", rn).filter(F.col("rn") <= k)
+    return kept.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.max("h").cast("long").alias("kth_hash"),
+        F.when(
+            F.count(F.lit(1)) < k, F.count(F.lit(1))
+        )
+        .otherwise(
+            F.expr(f"({k - 1} * CAST({MOD} AS BIGINT)) div max(h)")
+        )
+        .cast("long")
+        .alias("distinct_est"),
+    )

@@ -756,3 +756,40 @@ def test_dangling_references(spark):
         ("u1", "phantom", "obj"),
         ("ghost", "phantom", "both"),
     }
+
+
+def test_kmv_merge_equals_direct_sketch(spark):
+    """The KMV merge identity: merging per-part sketches gives the
+    BIT-IDENTICAL summary of sketching the whole data directly."""
+    import random
+
+    from deepee_spark.operators.sketches import (
+        kmv_distinct,
+        kmv_merge,
+        kmv_sketch_parts,
+    )
+
+    rng = random.Random(13)
+    rows = [
+        (f"p{i % 3}", f"day{rng.randrange(5)}", f"e{rng.randrange(900)}")
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, ["pred", "day", "entity"])
+    direct = {
+        (r.pred, r.n_kept, r.kth_hash, r.distinct_est)
+        for r in kmv_distinct(df, ["pred"], "entity", k=32).collect()
+    }
+    parts = kmv_sketch_parts(df, ["pred"], "day", "entity", k=32)
+    merged = {
+        (r.pred, r.n_kept, r.kth_hash, r.distinct_est)
+        for r in kmv_merge(parts, ["pred"], k=32).collect()
+    }
+    assert merged == direct
+    # and the estimates are in a sane band around the truth
+    import collections
+
+    truth = collections.defaultdict(set)
+    for p, _, e in rows:
+        truth[p].add(e)
+    for p, _, _, est in merged:
+        assert abs(est - len(truth[p])) / len(truth[p]) < 0.5
