@@ -3226,6 +3226,40 @@ FROM events WHERE user_id % 50 = 0
 """
 
 
+def _skew_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key skew report (operators/skew.hot_key_report): exact
+    top-10 user_ids by event count with integer corpus share — the
+    pre-salting diagnosis; TakeOrderedAndProject, never a global
+    sort."""
+    from deepee_spark.operators.skew import hot_key_report
+
+    return hot_key_report(
+        _t(spark, sf_dir, "events").select(
+            F.col("user_id").cast("long").alias("user_id")
+        ),
+        ["user_id"],
+        top_k=10,
+    )
+
+
+_SKEW_HOT_KEYS_SQL = """
+WITH c AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY user_id),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM events),
+r AS (
+  SELECT user_id, n_rows,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, user_id ASC)
+              AS BIGINT) AS rank
+  FROM c)
+SELECT user_id, n_rows,
+       CAST((1000000 * n_rows) // t.total AS BIGINT) AS share_e6,
+       rank
+FROM r, t WHERE rank <= 10
+"""
+
+
 def _kg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable KMV rollup (operators/sketches.kmv_sketch_parts +
     kmv_merge): per-day sketches of each predicate's distinct users,
@@ -5665,6 +5699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_logprob": _text_bigram_logprob,
         "kg_dangling_refs": _kg_dangling_refs,
         "kg_sketch_merge": _kg_sketch_merge,
+        "skew_hot_keys": _skew_hot_keys,
         "kg_fact_diff": _kg_fact_diff,
         "kg_fact_intervals": _kg_fact_intervals,
         "kg_pagerank_seeded": _kg_pagerank_seeded,
@@ -5802,6 +5837,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bigram_logprob": _BIGRAM_SQL,
         "kg_dangling_refs": _KG_DANGLING_SQL,
         "kg_sketch_merge": _KG_SKETCH_MERGE_SQL,
+        "skew_hot_keys": _SKEW_HOT_KEYS_SQL,
         "kg_harmonic_centrality": _graph_sql.harmonic_oracle_sql(
             _KG_EDGE_PROJ_SQL, _KG_BFS_SEEDS_SQL, max_hops=3
         ),

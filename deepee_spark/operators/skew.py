@@ -39,3 +39,46 @@ def salted_join(
     ).withColumn("_salt", F.col("_salt").cast("bigint"))
     out = f.join(d, on=[key, "_salt"], how=how)
     return out.drop("_salt")
+
+
+def hot_key_report(
+    df, key_cols: list[str], top_k: int = 10
+):
+    """Skew diagnosis: the top_k hottest key values with exact counts
+    and corpus share — the report you run BEFORE choosing salting
+    factors or AQE skew thresholds (operators/skew.salted_join's
+    inputs come from here).
+
+    -> (key..., n_rows, share_e6, rank), rank by (count desc, keys
+    asc) — a total order, so the cut at top_k is deterministic.
+    One partial-agged shuffle on the key; the global total rides in as
+    a broadcast scalar; the rank window sees only the aggregated key
+    space. share_e6 is an exact integer fraction.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    total = df.agg(F.count(F.lit(1)).cast("long").alias("_total"))
+    order = [F.col("n_rows").desc()] + [F.col(c).asc() for c in key_cols]
+    # orderBy + limit compiles to TakeOrderedAndProject: per-partition
+    # top-k heaps merged at the driver — NOT a global sort, so this
+    # survives a billion-key aggregate where a rank window (single
+    # partition over the whole key space) would not. The rank column
+    # is assigned afterwards on the k-row result.
+    top = counts.orderBy(*order).limit(top_k)
+    w = W.orderBy(*order)
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            *key_cols,
+            "n_rows",
+            F.expr("1000000 * n_rows DIV _total").cast("long").alias(
+                "share_e6"
+            ),
+            "rank",
+        )
+    )

@@ -793,3 +793,25 @@ def test_kmv_merge_equals_direct_sketch(spark):
         truth[p].add(e)
     for p, _, _, est in merged:
         assert abs(est - len(truth[p])) / len(truth[p]) < 0.5
+
+
+def test_hot_key_report_bruteforce(spark):
+    from collections import Counter
+
+    from deepee_spark.operators.skew import hot_key_report
+
+    rows = [(f"k{i % 7}",) for i in range(100)] + [("hot",)] * 60
+    df = spark.createDataFrame(rows, ["key"])
+    c = Counter(r[0] for r in rows)
+    total = len(rows)
+    ordered = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    exp = {
+        (k, n, 1_000_000 * n // total, i + 1)
+        for i, (k, n) in enumerate(ordered)
+    }
+    got = {
+        (r.key, r.n_rows, r.share_e6, r.rank)
+        for r in hot_key_report(df, ["key"], top_k=3).collect()
+    }
+    assert got == exp
+    assert ("hot", 60, 1_000_000 * 60 // total, 1) in got
