@@ -454,3 +454,51 @@ def test_activity_bursts_combines_before_shuffle(spark):
     exch_line = min(i for i, ln in enumerate(tree.splitlines())
                     if "Exchange" in ln)
     assert agg_line > exch_line, tree  # deepest-first: agg feeds exchange
+
+
+def test_substring_dedup_combines_before_shuffle(spark):
+    """The window-hash groupBy must partial-aggregate map-side (hot
+    boilerplate windows cost one long per mapper, not a skewed
+    reduce), and no stage may collapse to a single partition."""
+    from deepee_spark.operators.substrings import substring_dup_stats
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", "a b c d e f g h i j k l m n o p")
+         for i in range(40)],
+        ["doc_id", "text"],
+    )
+    plan = formatted_plan(substring_dup_stats(docs, "doc_id", "text"))
+    assert "SinglePartition" not in plan, plan
+    first_exchange = plan.index("Exchange (")
+    assert "partial_count" in plan[first_exchange:], plan
+
+
+def test_setjoin_repartitions_prefix_buckets(spark):
+    """The prefix-token self-join must be keyed on an explicitly
+    repartitioned probe side (the AQE explosion guard) and never
+    degrade to a broadcast NESTED-LOOP (equi-join keys present)."""
+    from deepee_spark.operators.setjoin import jaccard_similarity_join
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", [f"w{j}" for j in range(i % 5 + 2)])
+         for i in range(60)],
+        ["doc_id", "tokens"],
+    )
+    plan = formatted_plan(
+        jaccard_similarity_join(docs, "doc_id", "tokens", 500)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "REPARTITION_BY_NUM" in plan or "hashpartitioning(ptoken" in plan, plan
+
+
+def test_calibration_bins_one_shuffle(spark):
+    from deepee_spark.operators.metrics import calibration_bins
+
+    df = spark.createDataFrame(
+        [((i * 37) % 1001, i % 3 == 0) for i in range(500)],
+        "conf_milli: long, correct: boolean",
+    )
+    plan = formatted_plan(calibration_bins(df, "conf_milli", "correct"))
+    assert plan.count("Exchange (") == 1, plan
+    first_exchange = plan.index("Exchange (")
+    assert "partial_count" in plan[first_exchange:], plan
