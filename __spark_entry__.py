@@ -4009,31 +4009,38 @@ WHERE p.obj_neg != p.obj
 
 def _dedup_setjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT set-similarity self-join with AllPairs prefix filtering
-    (operators/setjoin.jaccard_similarity_join): every doc pair with
-    distinct-token Jaccard >= 0.5, no false negatives — the exact
-    counterpart of the MinHash-LSH probabilistic path. Oracle is the
-    brute-force all-pairs SQL (a genuinely different algorithm)."""
+    (operators/setjoin.jaccard_similarity_join): every SAME-SOURCE doc
+    pair with distinct-token Jaccard >= 0.5, no false negatives — the
+    exact counterpart of the MinHash-LSH probabilistic path, blocked
+    by source (the synthetic corpus is genuinely pairwise-similar, so
+    the unblocked OUTPUT is quadratic by construction). Oracle is the
+    brute-force blocked all-pairs SQL (a different algorithm)."""
     from deepee_spark.operators.setjoin import jaccard_similarity_join
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
+        "source",
         F.filter(F.split(F.col("text"), " "), lambda t: t != "").alias(
             "tokens"
         ),
     )
-    return jaccard_similarity_join(docs, "doc_id", "tokens", 500)
+    return jaccard_similarity_join(
+        docs, "doc_id", "tokens", 500, block_cols=["source"]
+    )
 
 
 _SETJOIN_SQL = f"""
 WITH tok AS (
-  SELECT doc_id, list_distinct({_TOKENS_SQL}) AS toks FROM documents
+  SELECT doc_id, source, list_distinct({_TOKENS_SQL}) AS toks
+  FROM documents
   WHERE len({_TOKENS_SQL}) > 0),
 pairs AS (
   SELECT x.doc_id AS a, y.doc_id AS b,
          CAST(len(list_intersect(x.toks, y.toks)) AS BIGINT) AS n_common,
          CAST(len(x.toks) + len(y.toks)
               - len(list_intersect(x.toks, y.toks)) AS BIGINT) AS n_union
-  FROM tok x JOIN tok y ON x.doc_id < y.doc_id)
+  FROM tok x JOIN tok y
+    ON x.doc_id < y.doc_id AND x.source = y.source)
 SELECT a, b, n_common, n_union,
        CAST((1000000 * n_common) // n_union AS BIGINT) AS jaccard_e6
 FROM pairs

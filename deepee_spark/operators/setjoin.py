@@ -32,17 +32,29 @@ def jaccard_similarity_join(
     id_col: str,
     tokens_col: str,
     threshold_permille: int,
+    block_cols: list[str] | None = None,
 ) -> DataFrame:
     """-> (a, b, n_common, n_union, jaccard_e6): every unordered pair
     of records (a < b by id) whose DISTINCT-token Jaccard similarity
     reaches threshold_permille/1000. Exact — the prefix filter admits
     no false negatives; verification removes the false positives.
     Records with empty token sets never pair.
+
+    `block_cols` restricts pairing to records sharing those columns
+    (same discipline as ngram_jaccard_pairs: on a corpus that is
+    GENUINELY pairwise-similar the OUTPUT is quadratic no matter the
+    algorithm — measured 8.9M qualifying pairs from 5k synthetic docs
+    at t=0.5 — so production runs block by lang/source/length bucket
+    and the prefix filter prunes within blocks). Document frequencies
+    stay corpus-global: the prefix bound only needs ONE consistent
+    total order, not a per-block one.
     """
     if not 0 < threshold_permille <= 1000:
         raise ValueError("threshold_permille must be in (0, 1000]")
+    block_cols = list(block_cols or [])
     toks = df.select(
         F.col(id_col).alias("id"),
+        *block_cols,
         F.array_distinct(F.col(tokens_col)).alias("toks"),
     ).filter(F.size("toks") > 0)
 
@@ -55,9 +67,9 @@ def jaccard_similarity_join(
     # record sorts its own tokens by (df, token) — same total order
     # everywhere, computed row-locally after one dimension join.
     ranked = (
-        toks.select("id", F.explode("toks").alias("token"))
+        toks.select("id", *block_cols, F.explode("toks").alias("token"))
         .join(dfreq, "token")
-        .groupBy("id")
+        .groupBy("id", *block_cols)
         .agg(
             F.sort_array(
                 F.collect_list(F.struct("df", "token"))
@@ -65,6 +77,7 @@ def jaccard_similarity_join(
         )
         .select(
             "id",
+            *block_cols,
             F.transform(F.col("ordered"), lambda s: s["token"]).alias(
                 "toks"
             ),
@@ -75,18 +88,22 @@ def jaccard_similarity_join(
     plen = n - F.ceil(n * threshold_permille / 1000).cast("int") + 1
     prefixes = ranked.select(
         "id",
+        *block_cols,
         "toks",
         F.explode(F.slice("toks", 1, plen)).alias("ptoken"),
     )
     n_parts = df.sparkSession.sparkContext.defaultParallelism
+    join_keys = ["ptoken", *block_cols]
     a = prefixes.select(
-        F.col("id").alias("a"), F.col("toks").alias("toks_a"), "ptoken"
-    ).repartition(n_parts, "ptoken")
+        F.col("id").alias("a"), F.col("toks").alias("toks_a"),
+        *join_keys,
+    ).repartition(n_parts, *join_keys)
     b = prefixes.select(
-        F.col("id").alias("b"), F.col("toks").alias("toks_b"), "ptoken"
+        F.col("id").alias("b"), F.col("toks").alias("toks_b"),
+        *join_keys,
     )
     cand = (
-        a.join(b, "ptoken")
+        a.join(b, join_keys)
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", "toks_a", "toks_b")
         .distinct()

@@ -315,3 +315,24 @@ def test_jaccard_similarity_join_no_false_negatives_low_theta(spark):
         for r in jaccard_similarity_join(df, "doc_id", "tokens", 1).collect()
     }
     assert got == {("a", "b"), ("a", "d"), ("b", "d")}
+
+
+def test_jaccard_similarity_join_blocked(spark):
+    """block_cols restricts pairing to same-block records; within a
+    block results equal the unblocked join filtered to that block."""
+    from deepee_spark.operators.setjoin import jaccard_similarity_join
+
+    docs = [
+        ("a", "g1", ["x", "y", "z"]),
+        ("b", "g1", ["x", "y", "w"]),
+        ("c", "g2", ["x", "y", "z"]),  # identical to a, other block
+        ("d", "g2", ["x", "y", "z", "q"]),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "grp", "tokens"])
+    got = {
+        (r.a, r.b)
+        for r in jaccard_similarity_join(
+            df, "doc_id", "tokens", 500, block_cols=["grp"]
+        ).collect()
+    }
+    assert got == {("a", "b"), ("c", "d")}
