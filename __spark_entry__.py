@@ -3226,6 +3226,59 @@ FROM events WHERE user_id % 50 = 0
 """
 
 
+def _kg_distant_supervision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distant supervision (operators/distant.distant_supervision):
+    click contexts aligned with the purchase KB — KB pairs label
+    positives, absent pairs become hash-downsampled 'NA' negatives
+    (deterministic: retried tasks regenerate the same sample)."""
+    from deepee_spark.operators.distant import distant_supervision
+
+    ev = _t(spark, sf_dir, "events")
+    contexts = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").cast("string").alias("ctx_id"),
+        F.concat(F.lit("user#"), F.col("user_id")).alias("subj"),
+        F.concat(
+            F.lit("item#"), F.get_json_object("props", "$.k")
+        ).alias("obj"),
+    )
+    kb = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.concat(F.lit("user#"), F.col("user_id")).alias("subj"),
+            F.lit("purchase").alias("pred"),
+            F.concat(
+                F.lit("item#"), F.get_json_object("props", "$.k")
+            ).alias("obj"),
+        )
+        .distinct()
+    )
+    return distant_supervision(contexts, kb, na_keep_permille=200)
+
+
+_KG_DISTANT_SQL = f"""
+WITH contexts AS (
+  SELECT CAST(event_id AS VARCHAR) AS ctx_id,
+         'user#' || CAST(user_id AS VARCHAR) AS subj,
+         'item#' || json_extract_string(props, '$.k') AS obj
+  FROM events WHERE event_type = 'click'),
+kb AS (
+  SELECT DISTINCT 'user#' || CAST(user_id AS VARCHAR) AS subj,
+         'purchase' AS pred,
+         'item#' || json_extract_string(props, '$.k') AS obj
+  FROM events WHERE event_type = 'purchase'),
+labeled AS (
+  SELECT c.ctx_id, c.subj, c.obj, k.pred
+  FROM contexts c LEFT JOIN kb k
+    ON k.subj = c.subj AND k.obj = c.obj)
+SELECT ctx_id, subj, obj, pred FROM labeled WHERE pred IS NOT NULL
+UNION ALL
+SELECT ctx_id, subj, obj, 'NA' AS pred FROM labeled
+WHERE pred IS NULL
+  AND ({_HASH_SQL.format(col="ctx_id || '|' || subj || '|' || obj")}
+       * 2654435761) % 1000000007 % 1000 < 200
+"""
+
+
 def _skew_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key skew report (operators/skew.hot_key_report): exact
     top-10 user_ids by event count with integer corpus share — the
@@ -5707,6 +5760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_dangling_refs": _kg_dangling_refs,
         "kg_sketch_merge": _kg_sketch_merge,
         "skew_hot_keys": _skew_hot_keys,
+        "kg_distant_supervision": _kg_distant_supervision,
         "kg_fact_diff": _kg_fact_diff,
         "kg_fact_intervals": _kg_fact_intervals,
         "kg_pagerank_seeded": _kg_pagerank_seeded,
@@ -5845,6 +5899,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_dangling_refs": _KG_DANGLING_SQL,
         "kg_sketch_merge": _KG_SKETCH_MERGE_SQL,
         "skew_hot_keys": _SKEW_HOT_KEYS_SQL,
+        "kg_distant_supervision": _KG_DISTANT_SQL,
         "kg_harmonic_centrality": _graph_sql.harmonic_oracle_sql(
             _KG_EDGE_PROJ_SQL, _KG_BFS_SEEDS_SQL, max_hops=3
         ),

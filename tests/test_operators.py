@@ -815,3 +815,64 @@ def test_hot_key_report_bruteforce(spark):
     }
     assert got == exp
     assert ("hot", 60, 1_000_000 * 60 // total, 1) in got
+
+
+def test_distant_supervision_bruteforce(spark):
+    from deepee_spark.operators.dedup import MOD
+    from deepee_spark.operators.distant import (
+        distant_supervision,
+        supervision_bags,
+    )
+    from deepee_spark.operators.sampling import DIFFUSION
+
+    def h(s):
+        acc = 0
+        for c in s:
+            acc = (acc * 31 + ord(c)) % MOD
+        return acc
+
+    contexts = [
+        ("c1", "alice", "acme"),
+        ("c2", "alice", "acme"),
+        ("c3", "bob", "acme"),
+        ("c4", "carol", "dyne"),   # not in KB -> NA candidate
+        ("c5", "dave", "acme"),    # not in KB -> NA candidate
+        ("c6", "alice", "dyne"),   # not in KB -> NA candidate
+    ]
+    kb = [
+        ("alice", "works_at", "acme"),
+        ("alice", "founded", "acme"),  # multi-label pair
+        ("bob", "works_at", "acme"),
+    ]
+    cdf = spark.createDataFrame(contexts, ["ctx_id", "subj", "obj"])
+    kdf = spark.createDataFrame(kb, ["subj", "pred", "obj"])
+
+    keep = 500
+    exp = set()
+    kb_pairs = {}
+    for s, p, o in kb:
+        kb_pairs.setdefault((s, o), []).append(p)
+    for c, s, o in contexts:
+        if (s, o) in kb_pairs:
+            for p in kb_pairs[(s, o)]:
+                exp.add((c, s, o, p))
+        else:
+            bucket = h(f"{c}|{s}|{o}") * DIFFUSION % MOD % 1000
+            if bucket < keep:
+                exp.add((c, s, o, "NA"))
+    got = {
+        (r.ctx_id, r.subj, r.obj, r.pred)
+        for r in distant_supervision(cdf, kdf, na_keep_permille=keep).collect()
+    }
+    assert got == exp
+    # multi-label pair produced both predicates per context
+    assert ("c1", "alice", "acme", "works_at") in got
+    assert ("c1", "alice", "acme", "founded") in got
+
+    bags = {
+        (r.subj, r.obj, r.pred, tuple(r.ctx_ids), r.n_contexts)
+        for r in supervision_bags(
+            distant_supervision(cdf, kdf, na_keep_permille=keep)
+        ).collect()
+    }
+    assert ("alice", "acme", "works_at", ("c1", "c2"), 2) in bags
