@@ -3226,6 +3226,42 @@ FROM events WHERE user_id % 50 = 0
 """
 
 
+def _kg_rule_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-atom rule mining (operators/graph.predicate_implications):
+    p(x,y) => r(x,y) support/confidence over the event-type KG —
+    schema discovery (does purchase imply click?)."""
+    from deepee_spark.operators.graph import predicate_implications
+
+    ev = _t(spark, sf_dir, "events")
+    triples = ev.select(
+        F.concat(F.lit("user#"), F.col("user_id")).alias("subj"),
+        F.col("event_type").alias("pred"),
+        F.concat(
+            F.lit("item#"), F.get_json_object("props", "$.k")
+        ).alias("obj"),
+    )
+    return predicate_implications(triples, min_support=2)
+
+
+_KG_RULES_SQL = """
+WITH t AS (
+  SELECT DISTINCT 'user#' || CAST(user_id AS VARCHAR) AS subj,
+         event_type AS pred,
+         'item#' || json_extract_string(props, '$.k') AS obj
+  FROM events),
+np AS (SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_p FROM t GROUP BY pred),
+joint AS (
+  SELECT a.pred AS p, b.pred AS r, CAST(COUNT(*) AS BIGINT) AS support
+  FROM t a JOIN t b ON a.subj = b.subj AND a.obj = b.obj
+  WHERE a.pred != b.pred
+  GROUP BY a.pred, b.pred
+  HAVING COUNT(*) >= 2)
+SELECT j.p, j.r, np.n_p, j.support,
+       CAST((1000000 * j.support) // np.n_p AS BIGINT) AS confidence_e6
+FROM joint j JOIN np ON np.pred = j.p
+"""
+
+
 def _kg_distant_supervision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distant supervision (operators/distant.distant_supervision):
     click contexts aligned with the purchase KB — KB pairs label
@@ -5761,6 +5797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sketch_merge": _kg_sketch_merge,
         "skew_hot_keys": _skew_hot_keys,
         "kg_distant_supervision": _kg_distant_supervision,
+        "kg_rule_mining": _kg_rule_mining,
         "kg_fact_diff": _kg_fact_diff,
         "kg_fact_intervals": _kg_fact_intervals,
         "kg_pagerank_seeded": _kg_pagerank_seeded,
@@ -5900,6 +5937,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sketch_merge": _KG_SKETCH_MERGE_SQL,
         "skew_hot_keys": _SKEW_HOT_KEYS_SQL,
         "kg_distant_supervision": _KG_DISTANT_SQL,
+        "kg_rule_mining": _KG_RULES_SQL,
         "kg_harmonic_centrality": _graph_sql.harmonic_oracle_sql(
             _KG_EDGE_PROJ_SQL, _KG_BFS_SEEDS_SQL, max_hops=3
         ),

@@ -1206,3 +1206,51 @@ SELECT node, CAST(COUNT(*) AS BIGINT) AS n_seeds_reaching,
        CAST(SUM(1000000 // dist) AS BIGINT) AS harmonic_e6
 FROM firsth WHERE dist > 0 GROUP BY node"""
     )
+
+
+def predicate_implications(
+    triples: DataFrame, min_support: int = 1
+) -> DataFrame:
+    """Rule mining, 1-atom form (the AMIE family's base case, public):
+    for every ordered predicate pair (p, r), how often does p(x, y)
+    imply r(x, y)? -> (p, r, n_p, support, confidence_e6) with
+    support = |pairs asserting both|, confidence = support / |p pairs|
+    as an exact integer fraction. High-confidence rules expose
+    redundant or hierarchically-related predicates — schema discovery
+    over the emitted KG.
+
+    Scale shape: distinct (subj, pred, obj) once; the implication join
+    keys on (subj, obj) — pair fanout equals the number of predicates
+    per entity pair (ontology-bounded, typically < 10), so the join
+    output is |triples| x avg-preds-per-pair, never quadratic in
+    entities. Two partial-agged aggregations; predicate-pair-sized
+    output.
+    """
+    t = triples.select("subj", "pred", "obj").distinct()
+    n_p = t.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_p")
+    )
+    joint = (
+        t.join(
+            t.select(
+                "subj", F.col("pred").alias("r"), "obj"
+            ),
+            ["subj", "obj"],
+        )
+        .filter(F.col("pred") != F.col("r"))
+        .groupBy(F.col("pred").alias("p"), "r")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    return (
+        joint.join(n_p.select(F.col("pred").alias("p"), "n_p"), "p")
+        .select(
+            "p",
+            "r",
+            "n_p",
+            "support",
+            F.expr("1000000 * support DIV n_p").cast("long").alias(
+                "confidence_e6"
+            ),
+        )
+    )

@@ -710,3 +710,40 @@ def test_random_walks_bruteforce_and_oracle(spark):
         ).fetchall()
     }
     assert got == oracle
+
+
+def test_predicate_implications_bruteforce(spark):
+    from collections import defaultdict
+
+    from deepee_spark.operators.graph import predicate_implications
+
+    rows = [
+        ("u1", "buy", "i1"), ("u1", "click", "i1"), ("u1", "view", "i1"),
+        ("u2", "buy", "i1"), ("u2", "click", "i1"),
+        ("u3", "click", "i2"), ("u3", "view", "i2"),
+        ("u4", "buy", "i3"),
+        ("u1", "buy", "i1"),  # duplicate assertion: counted once
+    ]
+    df = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    t = set(rows)
+    by_pair = defaultdict(set)
+    n_p = defaultdict(int)
+    for s, p, o in t:
+        by_pair[(s, o)].add(p)
+        n_p[p] += 1
+    exp = set()
+    joint = defaultdict(int)
+    for preds in by_pair.values():
+        for p in preds:
+            for r in preds:
+                if p != r:
+                    joint[(p, r)] += 1
+    for (p, r), sup in joint.items():
+        exp.add((p, r, n_p[p], sup, 1_000_000 * sup // n_p[p]))
+    got = {
+        (r.p, r.r, r.n_p, r.support, r.confidence_e6)
+        for r in predicate_implications(df).collect()
+    }
+    assert got == exp
+    # buy => click holds 2/3 times
+    assert ("buy", "click", 3, 2, 666666) in got
