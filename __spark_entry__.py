@@ -3226,6 +3226,38 @@ FROM events WHERE user_id % 50 = 0
 """
 
 
+def _kg_bgp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive BGP query (operators/bgp.bgp_match) over the event
+    KG: {(?u, purchase, ?i), (?u, click, ?i)} — users who purchased
+    AND clicked the same item; literals push down, joins key on the
+    shared variables."""
+    from deepee_spark.operators.bgp import bgp_match
+
+    ev = _t(spark, sf_dir, "events")
+    triples = ev.select(
+        F.concat(F.lit("user#"), F.col("user_id")).alias("subj"),
+        F.col("event_type").alias("pred"),
+        F.concat(
+            F.lit("item#"), F.get_json_object("props", "$.k")
+        ).alias("obj"),
+    )
+    return bgp_match(
+        triples, [("?u", "purchase", "?i"), ("?u", "click", "?i")]
+    )
+
+
+_KG_BGP_SQL = """
+WITH t AS (
+  SELECT DISTINCT 'user#' || CAST(user_id AS VARCHAR) AS subj,
+         event_type AS pred,
+         'item#' || json_extract_string(props, '$.k') AS obj
+  FROM events)
+SELECT DISTINCT a.subj AS u, a.obj AS i
+FROM t a JOIN t b ON b.subj = a.subj AND b.obj = a.obj
+WHERE a.pred = 'purchase' AND b.pred = 'click'
+"""
+
+
 def _kg_rule_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-atom rule mining (operators/graph.predicate_implications):
     p(x,y) => r(x,y) support/confidence over the event-type KG —
@@ -5798,6 +5830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_hot_keys": _skew_hot_keys,
         "kg_distant_supervision": _kg_distant_supervision,
         "kg_rule_mining": _kg_rule_mining,
+        "kg_bgp_query": _kg_bgp_query,
         "kg_fact_diff": _kg_fact_diff,
         "kg_fact_intervals": _kg_fact_intervals,
         "kg_pagerank_seeded": _kg_pagerank_seeded,
@@ -5938,6 +5971,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_hot_keys": _SKEW_HOT_KEYS_SQL,
         "kg_distant_supervision": _KG_DISTANT_SQL,
         "kg_rule_mining": _KG_RULES_SQL,
+        "kg_bgp_query": _KG_BGP_SQL,
         "kg_harmonic_centrality": _graph_sql.harmonic_oracle_sql(
             _KG_EDGE_PROJ_SQL, _KG_BFS_SEEDS_SQL, max_hops=3
         ),

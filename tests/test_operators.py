@@ -876,3 +876,63 @@ def test_distant_supervision_bruteforce(spark):
         ).collect()
     }
     assert ("alice", "acme", "works_at", ("c1", "c2"), 2) in bags
+
+
+def test_bgp_match_bruteforce(spark):
+    import itertools
+
+    import pytest
+
+    from deepee_spark.operators.bgp import bgp_match
+
+    rows = [
+        ("u1", "purchase", "i1"), ("u1", "click", "i1"),
+        ("u1", "purchase", "i2"),
+        ("u2", "click", "i1"), ("u2", "purchase", "i1"),
+        ("u3", "view", "i1"),
+        ("i1", "made_by", "m1"),
+    ]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+
+    # users who purchased AND clicked the same item
+    got = {
+        (r.u, r.i)
+        for r in bgp_match(
+            t, [("?u", "purchase", "?i"), ("?u", "click", "?i")]
+        ).collect()
+    }
+    assert got == {("u1", "i1"), ("u2", "i1")}
+
+    # 3-pattern chain with a literal head: purchasers of m1's items
+    got3 = {
+        (r.u, r.i)
+        for r in bgp_match(
+            t,
+            [
+                ("?i", "made_by", "m1"),
+                ("?u", "purchase", "?i"),
+                ("?u", "click", "?i"),
+            ],
+        ).collect()
+    }
+    assert got3 == {("u1", "i1"), ("u2", "i1")}
+
+    # literal-only filter + single var
+    assert {
+        r.u for r in bgp_match(t, [("?u", "view", "i1")]).collect()
+    } == {"u3"}
+
+    # same var twice in one pattern: self-loop equality
+    t2 = spark.createDataFrame(
+        [("a", "same_as", "a"), ("a", "same_as", "b")],
+        ["subj", "pred", "obj"],
+    )
+    assert {
+        r.x for r in bgp_match(t2, [("?x", "same_as", "?x")]).collect()
+    } == {"a"}
+
+    # cartesian rejection
+    with pytest.raises(ValueError):
+        bgp_match(t, [("?a", "purchase", "?b"), ("?c", "click", "?d")])
+    with pytest.raises(ValueError):
+        bgp_match(t, [])
