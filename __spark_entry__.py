@@ -3226,6 +3226,51 @@ FROM events WHERE user_id % 50 = 0
 """
 
 
+def _kg_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (operators/temporal.funnel): earliest
+    view -> click -> purchase chain per user with strict time order;
+    stepwise filtered min-aggs, no event-stream window."""
+    from deepee_spark.operators.temporal import funnel
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("etype"),
+        F.unix_timestamp("ts").cast("long").alias("tsec"),
+    )
+    return funnel(
+        ev, ["user_id"], "etype", "tsec", ["view", "click", "purchase"]
+    )
+
+
+_KG_FUNNEL_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type AS p,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS tsec
+  FROM events),
+s1 AS (
+  SELECT user_id, MIN(tsec) AS t_1 FROM ev WHERE p = 'view'
+  GROUP BY user_id),
+s2 AS (
+  SELECT s1.user_id, s1.t_1,
+         MIN(CASE WHEN e.p = 'click' AND e.tsec > s1.t_1
+                  THEN e.tsec END) AS t_2
+  FROM s1 LEFT JOIN ev e ON e.user_id = s1.user_id
+  GROUP BY s1.user_id, s1.t_1),
+s3 AS (
+  SELECT s2.user_id, s2.t_1, s2.t_2,
+         MIN(CASE WHEN e.p = 'purchase' AND e.tsec > s2.t_2
+                  THEN e.tsec END) AS t_3
+  FROM s2 LEFT JOIN ev e ON e.user_id = s2.user_id
+  GROUP BY s2.user_id, s2.t_1, s2.t_2)
+SELECT user_id, t_1, t_2, t_3,
+       CAST((CASE WHEN t_1 IS NOT NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN t_2 IS NOT NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN t_3 IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS steps_completed
+FROM s3
+"""
+
+
 def _kg_bgp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive BGP query (operators/bgp.bgp_match) over the event
     KG: {(?u, purchase, ?i), (?u, click, ?i)} — users who purchased
@@ -5831,6 +5876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_distant_supervision": _kg_distant_supervision,
         "kg_rule_mining": _kg_rule_mining,
         "kg_bgp_query": _kg_bgp_query,
+        "kg_event_funnel": _kg_event_funnel,
         "kg_fact_diff": _kg_fact_diff,
         "kg_fact_intervals": _kg_fact_intervals,
         "kg_pagerank_seeded": _kg_pagerank_seeded,
@@ -5972,6 +6018,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_distant_supervision": _KG_DISTANT_SQL,
         "kg_rule_mining": _KG_RULES_SQL,
         "kg_bgp_query": _KG_BGP_SQL,
+        "kg_event_funnel": _KG_FUNNEL_SQL,
         "kg_harmonic_centrality": _graph_sql.harmonic_oracle_sql(
             _KG_EDGE_PROJ_SQL, _KG_BFS_SEEDS_SQL, max_hops=3
         ),

@@ -277,3 +277,55 @@ def sessionize(
         F.max(ts_col).cast("long").alias("session_end"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    keys: list[str],
+    pred_col: str,
+    ts_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered-funnel analysis: for each key, the earliest time it
+    completed step 1, then the earliest step-2 event STRICTLY after
+    that, and so on — "clicked, then purchased, then reviewed" with
+    enforced order. -> (keys..., t_1..t_n, steps_completed); t_i is
+    NULL (and stays NULL downstream) once a step is unmet. Every key
+    with at least one step-1 event appears.
+
+    Scale shape: one filtered min-agg for step 1, then per later step
+    ONE join of the (key, t_prev) frame against that step's events
+    plus a conditional min-agg — no window over the event stream, no
+    per-key event collection; each step's shuffle is keyed the same
+    way so AQE reuses exchanges. The earliest-completion semantics
+    (greedy) is the standard funnel definition and is deterministic.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ev = events.select(
+        *keys, F.col(pred_col).alias("_p"), F.col(ts_col).alias("_ts")
+    )
+    cur = (
+        ev.filter(F.col("_p") == steps[0])
+        .groupBy(*keys)
+        .agg(F.min("_ts").alias("t_1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = ev.filter(F.col("_p") == step)
+        prev_t = f"t_{i - 1}"
+        cur = (
+            cur.join(nxt, keys, "left")
+            .groupBy(*keys, *[f"t_{j}" for j in range(1, i)])
+            .agg(
+                F.min(
+                    F.when(
+                        F.col("_ts") > F.col(prev_t), F.col("_ts")
+                    )
+                ).alias(f"t_{i}")
+            )
+        )
+    done = sum(
+        F.when(F.col(f"t_{i}").isNotNull(), 1).otherwise(0)
+        for i in range(1, len(steps) + 1)
+    )
+    return cur.withColumn("steps_completed", done.cast("long"))

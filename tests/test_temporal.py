@@ -291,3 +291,64 @@ def test_sessionize_one_exchange_rejects_bad_gap(spark):
     assert plan.count("Exchange (") == 1, plan
     with pytest.raises(ValueError):
         sessionize(df, ["user"], "ts", gap=-1)
+
+
+# ---------------------------------------------------------------------------
+# funnel
+
+
+def _brute_funnel(rows, steps):
+    """rows: (key, pred, ts). Greedy earliest-completion funnel."""
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for k, p, ts in rows:
+        by_key[k].append((p, ts))
+    out = {}
+    for k, evs in by_key.items():
+        ts1 = [t for p, t in evs if p == steps[0]]
+        if not ts1:
+            continue
+        times = [min(ts1)]
+        for step in steps[1:]:
+            if times[-1] is None:
+                times.append(None)
+                continue
+            cands = [t for p, t in evs if p == step and t > times[-1]]
+            times.append(min(cands) if cands else None)
+        out[k] = tuple(times) + (sum(t is not None for t in times),)
+    return out
+
+
+def test_funnel_bruteforce(spark):
+    import random
+
+    from deepee_spark.operators.temporal import funnel
+
+    rng = random.Random(21)
+    preds = ["view", "click", "purchase"]
+    rows = [
+        (f"u{rng.randrange(12)}", rng.choice(preds), rng.randrange(1000))
+        for _ in range(400)
+    ]
+    # a user who purchases BEFORE clicking: step 3 must stay unmet
+    rows += [("ux", "view", 10), ("ux", "purchase", 5), ("ux", "click", 20)]
+    df = spark.createDataFrame(rows, "user: string, pred: string, ts: long")
+    steps = ["view", "click", "purchase"]
+    exp = _brute_funnel(rows, steps)
+    got = {
+        r.user: (r.t_1, r.t_2, r.t_3, r.steps_completed)
+        for r in funnel(df, ["user"], "pred", "ts", steps).collect()
+    }
+    assert got == exp
+    assert got["ux"][:3] == (10, 20, None) and got["ux"][3] == 2
+
+
+def test_funnel_rejects_empty_steps(spark):
+    import pytest
+
+    from deepee_spark.operators.temporal import funnel
+
+    df = spark.createDataFrame([("u", "a", 1)], "user: string, pred: string, ts: long")
+    with pytest.raises(ValueError):
+        funnel(df, ["user"], "pred", "ts", [])
