@@ -3339,6 +3339,40 @@ FROM joint j JOIN np ON np.pred = j.p
 """
 
 
+def _kg_taxonomy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ancestor materialization (operators/graph.transitive_closure)
+    over a deterministic part-category taxonomy: node k's parent is
+    k DIV 8, a forest ~log8(N) deep. Path-doubling closure — every
+    (node, ancestor, shortest-dist) pair; the downstream KG use is
+    taxonomy/type inference ("all ancestors of X" as a table). The
+    DuckDB twin is a genuinely different algorithm (step-wise recursive
+    CTE vs min-plus doubling)."""
+    from deepee_spark.operators.graph import transitive_closure
+
+    part = _t(spark, sf_dir, "part")
+    edges = part.select(
+        F.col("p_partkey").cast("long").alias("src"),
+        (F.col("p_partkey").cast("long") / 8).cast("long").alias("dst"),
+    ).filter(F.col("dst") >= 1)
+    return transitive_closure(edges, max_depth=16)
+
+
+_KG_CLOSURE_SQL = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT CAST(p_partkey AS BIGINT) AS src,
+         CAST(p_partkey // 8 AS BIGINT) AS dst
+  FROM part WHERE p_partkey // 8 >= 1 AND p_partkey // 8 <> p_partkey),
+r(src, dst, dist) AS (
+  SELECT src, dst, 1 AS dist FROM e
+  UNION
+  SELECT r.src, e.dst, r.dist + 1 FROM r JOIN e ON r.dst = e.src
+  WHERE r.dist < 16
+)
+SELECT src, dst, CAST(MIN(dist) AS BIGINT) AS dist FROM r
+WHERE src <> dst GROUP BY src, dst
+"""
+
+
 def _kg_distant_supervision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distant supervision (operators/distant.distant_supervision):
     click contexts aligned with the purchase KB — KB pairs label
@@ -5875,6 +5909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_hot_keys": _skew_hot_keys,
         "kg_distant_supervision": _kg_distant_supervision,
         "kg_rule_mining": _kg_rule_mining,
+        "kg_taxonomy_closure": _kg_taxonomy_closure,
         "kg_bgp_query": _kg_bgp_query,
         "kg_event_funnel": _kg_event_funnel,
         "kg_fact_diff": _kg_fact_diff,
@@ -6017,6 +6052,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_hot_keys": _SKEW_HOT_KEYS_SQL,
         "kg_distant_supervision": _KG_DISTANT_SQL,
         "kg_rule_mining": _KG_RULES_SQL,
+        "kg_taxonomy_closure": _KG_CLOSURE_SQL,
         "kg_bgp_query": _KG_BGP_SQL,
         "kg_event_funnel": _KG_FUNNEL_SQL,
         "kg_harmonic_centrality": _graph_sql.harmonic_oracle_sql(

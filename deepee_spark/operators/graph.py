@@ -1254,3 +1254,89 @@ def predicate_implications(
             ),
         )
     )
+
+
+def transitive_closure(edges: DataFrame, max_depth: int = 16) -> DataFrame:
+    """(src, dst) DAG edges -> (src, dst, dist): every pair connected by
+    a directed path of length <= max_depth, dist = length of the
+    SHORTEST such path. The KG use is taxonomy/ancestor materialization
+    (is-a / part-of hierarchies): downstream type inference wants "all
+    ancestors of X" as a table, not a per-query traversal.
+
+    Path DOUBLING on the min-plus semiring: round t holds the exact
+    shortest distance for every pair at distance <= 2^t; each round
+    self-joins the closure-so-far (a.dst = b.src), unions the previous
+    set, and min-aggs per pair. O(log2 max_depth) shuffle rounds rather
+    than max_depth frontier rounds — for the deep-hierarchy case (a
+    taxonomy 1000 levels deep costs 10 rounds, not 1000). Converged
+    when a round adds no pair: pairs always FIRST appear with their
+    exact shortest distance (both halves of the split are exact by
+    induction), so count equality is a true fixpoint test.
+
+    Scale shape: per round one self-join shuffle on the compose key
+    plus one (src, dst) min-agg; lineage cut per round. Output is
+    O(V * depth) for trees/forests (the taxonomy case this is built
+    for); for dense DAGs the closure itself is the quadratic object —
+    max_depth is the honest cap and callers pass the same constant to
+    closure_oracle_sql so both engines cut identically. Cycles are the
+    caller's contract (a cycle inside would stabilize at its shortest
+    distances but the "DAG depth" reading of max_depth no longer
+    applies).
+    """
+    if max_depth < 1:
+        raise ValueError("max_depth must be >= 1")
+    n_parts = edges.sparkSession.sparkContext.defaultParallelism
+    clo = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .withColumn("dist", F.lit(1).cast("long"))
+        .repartition(n_parts, "src")
+        .localCheckpoint()
+    )
+    n = clo.count()
+    depth = 1
+    while depth < max_depth:
+        a = clo.select(
+            F.col("src"), F.col("dst").alias("mid"), F.col("dist").alias("da")
+        )
+        b = clo.select(
+            F.col("src").alias("mid"), F.col("dst"), F.col("dist").alias("db")
+        )
+        composed = a.join(b, "mid").select(
+            "src", "dst", (F.col("da") + F.col("db")).alias("dist")
+        ).filter(F.col("dist") <= max_depth)
+        clo = (
+            clo.unionByName(composed)
+            .groupBy("src", "dst")
+            .agg(F.min("dist").alias("dist"))
+            .filter(F.col("src") != F.col("dst"))
+            .repartition(n_parts, "src")
+            .localCheckpoint()
+        )
+        n_next = clo.count()
+        if n_next == n:
+            break
+        n = n_next
+        depth *= 2
+    return clo
+
+
+def closure_oracle_sql(edges_sql: str, max_depth: int = 16) -> str:
+    """DuckDB twin of transitive_closure: recursive CTE extending one
+    edge per step, capped at the same max_depth, min-dist per pair.
+    Step-wise extension enumerates exactly the paths of length <=
+    max_depth, so the capped sets agree with the doubling formulation
+    (which also only emits dist <= max_depth)."""
+    return f"""
+WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM ({edges_sql})
+                     WHERE src <> dst),
+r(src, dst, dist) AS (
+  SELECT src, dst, 1 AS dist FROM e
+  UNION
+  SELECT r.src, e.dst, r.dist + 1 FROM r JOIN e ON r.dst = e.src
+  WHERE r.dist < {max_depth}
+)
+SELECT src, dst, CAST(MIN(dist) AS BIGINT) AS dist FROM r
+WHERE src <> dst GROUP BY src, dst
+"""

@@ -747,3 +747,78 @@ def test_predicate_implications_bruteforce(spark):
     assert got == exp
     # buy => click holds 2/3 times
     assert ("buy", "click", 3, 2, 666666) in got
+
+
+def _closure_py(
+    rows: list[tuple[int, int]], max_depth: int
+) -> dict[tuple[int, int], int]:
+    adj = defaultdict(set)
+    for s, d in rows:
+        if s != d:
+            adj[s].add(d)
+    want = {}
+    for start in sorted(adj):
+        dist = {start: 0}
+        q = deque([start])
+        while q:
+            u = q.popleft()
+            if dist[u] == max_depth:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        for v, d in dist.items():
+            if v != start:
+                want[(start, v)] = d
+    return want
+
+
+def test_transitive_closure_bruteforce_and_oracle(spark, edges):
+    from deepee_spark.operators.graph import (
+        closure_oracle_sql,
+        transitive_closure,
+    )
+
+    rows = [(r.src, r.dst) for r in edges.collect()]
+    for cap in (2, 16):  # pre-convergence cap AND converged closure
+        want = _closure_py(rows, cap)
+        got = {
+            (r.src, r.dst): r.dist
+            for r in transitive_closure(edges, max_depth=cap).collect()
+        }
+        assert got == want, f"cap={cap}"
+        con = duckdb.connect()
+        con.register("edges_tbl", edges.toPandas())
+        sql = closure_oracle_sql("SELECT src, dst FROM edges_tbl", cap)
+        assert {
+            (s, d): dist for s, d, dist in con.execute(sql).fetchall()
+        } == want, f"cap={cap}"
+
+
+def test_transitive_closure_chain_and_guards(spark):
+    from deepee_spark.operators.graph import transitive_closure
+
+    # 5-node chain: closure is all ordered pairs with exact distances,
+    # reached in ceil(log2(4)) = 2 doubling rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "src: long, dst: long"
+    )
+    got = {
+        (r.src, r.dst): r.dist
+        for r in transitive_closure(chain, max_depth=16).collect()
+    }
+    assert got == {
+        (i, j): j - i for i in range(5) for j in range(i + 1, 5)
+    }
+    # self-loops are dropped, not propagated
+    loopy = spark.createDataFrame(
+        [(1, 1), (1, 2)], "src: long, dst: long"
+    )
+    got = {
+        (r.src, r.dst): r.dist
+        for r in transitive_closure(loopy, max_depth=4).collect()
+    }
+    assert got == {(1, 2): 1}
+    with pytest.raises(ValueError):
+        transitive_closure(chain, max_depth=0)
