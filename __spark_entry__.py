@@ -3669,6 +3669,24 @@ def _kg_random_walks_sql() -> str:
     )
 
 
+def _kg_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context, n) training pairs (operators/walks.
+    skipgram_pairs) over the deterministic walk corpus — the embedding
+    trainer's input, weighted by co-occurrence count. Spark explodes
+    context offsets then equi-joins (hash join on narrow keys); the
+    DuckDB twin runs the |step diff| range self-join the Spark side
+    deliberately avoids."""
+    from deepee_spark.operators.walks import skipgram_pairs
+
+    return skipgram_pairs(_kg_random_walks(spark, sf_dir), window=2)
+
+
+def _kg_skipgram_pairs_sql() -> str:
+    from deepee_spark.operators.walks import skipgram_pairs_oracle_sql
+
+    return skipgram_pairs_oracle_sql(_kg_random_walks_sql(), window=2)
+
+
 def _kg_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled harmonic centrality (operators/graph.
     harmonic_centrality): landmark estimator of SUM(1/d) via per-seed
@@ -5902,6 +5920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_harmonic_centrality": _kg_harmonic,
         "dedup_setjoin": _dedup_setjoin,
         "kg_random_walks": _kg_random_walks,
+        "kg_skipgram_pairs": _kg_skipgram_pairs,
         "kg_cluster_prf": _kg_cluster_prf,
         "text_bigram_logprob": _text_bigram_logprob,
         "kg_dangling_refs": _kg_dangling_refs,
@@ -6045,6 +6064,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_pmi": _KG_PMI_SQL,
         "dedup_setjoin": _SETJOIN_SQL,
         "kg_random_walks": _kg_random_walks_sql(),
+        "kg_skipgram_pairs": _kg_skipgram_pairs_sql(),
         "kg_cluster_prf": _KG_CLUSTER_PRF_SQL,
         "text_bigram_logprob": _BIGRAM_SQL,
         "kg_dangling_refs": _KG_DANGLING_SQL,

@@ -142,3 +142,58 @@ def random_walks_oracle_sql(
         union.append(f"SELECT start, walk, step, node FROM w{step}")
         prev = f"w{step}"
     return ",\n".join(parts) + "\n" + " UNION ALL ".join(union)
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Walk corpus (start, walk, step, node) -> (center, context, n):
+    skip-gram training pairs with co-occurrence counts, the input a
+    distributed embedding trainer consumes alongside
+    operators/negatives. A pair is (node at step i, node at step j)
+    within the same (start, walk), 0 < |i - j| <= window; counts
+    aggregate the whole corpus so the trainer weights by frequency
+    instead of re-reading duplicate rows.
+
+    Shape: the naive formulation is a |step diff| range self-join; here
+    each row instead EXPLODES its <= 2*window context positions and
+    equi-joins back on (start, walk, step) — a hash join on narrow
+    keys, never a range join. One shuffle for the join, one for the
+    final (center, context) agg. Revisit pairs (center = context, a
+    walk that returns) are kept: both engines count identically and
+    the trainer's dot(u, u) handling is its own concern.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    offs = [o for o in range(-window, window + 1) if o != 0]
+    probe = walks.select(
+        "start",
+        "walk",
+        F.col("node").alias("center"),
+        F.explode(
+            F.array(*[F.col("step") + F.lit(o) for o in offs])
+        ).alias("step"),
+    )
+    return (
+        probe.join(
+            walks.select(
+                "start", "walk", "step", F.col("node").alias("context")
+            ),
+            ["start", "walk", "step"],
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def skipgram_pairs_oracle_sql(walks_sql: str, window: int = 2) -> str:
+    """DuckDB twin of skipgram_pairs: plain |step diff| self-join (the
+    formulation the Spark side deliberately avoids) — a genuinely
+    different plan that must produce identical counts."""
+    return f"""
+WITH wk AS (SELECT start, walk, step, node FROM ({walks_sql}))
+SELECT a.node AS center, b.node AS context,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM wk a JOIN wk b
+  ON a.start = b.start AND a.walk = b.walk
+ AND abs(a.step - b.step) BETWEEN 1 AND {window}
+GROUP BY a.node, b.node
+"""

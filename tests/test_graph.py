@@ -822,3 +822,54 @@ def test_transitive_closure_chain_and_guards(spark):
     assert got == {(1, 2): 1}
     with pytest.raises(ValueError):
         transitive_closure(chain, max_depth=0)
+
+
+def test_skipgram_pairs_bruteforce_and_oracle(spark):
+    from deepee_spark.operators.walks import (
+        skipgram_pairs,
+        skipgram_pairs_oracle_sql,
+    )
+
+    # hand corpus incl. a revisiting walk (a appears twice) and a
+    # short walk (dead end after one hop)
+    rows = [
+        ("a", 0, 0, "a"), ("a", 0, 1, "b"), ("a", 0, 2, "a"),
+        ("a", 0, 3, "c"),
+        ("b", 0, 0, "b"), ("b", 0, 1, "d"),
+        ("b", 1, 0, "b"),  # walk of length 0
+    ]
+    df = spark.createDataFrame(rows, ["start", "walk", "step", "node"])
+    for window in (1, 2, 5):  # window > walk length must not crash
+        want = defaultdict(int)
+        for s1, w1, i, u in rows:
+            for s2, w2, j, v in rows:
+                if s1 == s2 and w1 == w2 and 0 < abs(i - j) <= window:
+                    want[(u, v)] += 1
+        got = {
+            (r.center, r.context): r.n
+            for r in skipgram_pairs(df, window=window).collect()
+        }
+        assert got == dict(want), f"window={window}"
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE w(start VARCHAR, walk BIGINT,"
+            " step BIGINT, node VARCHAR)"
+        )
+        con.executemany("INSERT INTO w VALUES (?,?,?,?)", rows)
+        oracle = {
+            (c, x): n
+            for c, x, n in con.execute(
+                skipgram_pairs_oracle_sql(
+                    "SELECT * FROM w", window=window
+                )
+            ).fetchall()
+        }
+        assert got == oracle, f"window={window}"
+    # symmetric corpus => symmetric counts; revisit pair exists
+    out = {
+        (r.center, r.context): r.n
+        for r in skipgram_pairs(df, window=2).collect()
+    }
+    assert out[("a", "a")] == 2  # step0<->step2 both directions
+    with pytest.raises(ValueError):
+        skipgram_pairs(df, window=0)
