@@ -3687,6 +3687,47 @@ def _kg_skipgram_pairs_sql() -> str:
     return skipgram_pairs_oracle_sql(_kg_random_walks_sql(), window=2)
 
 
+def _kg_outlink_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host link graph (operators/links): html pages constructed
+    deterministically from doc_id (one cross-site + one same-host
+    link each) go through the REAL decode -> regex <a> harvest ->
+    resolution -> host rollup path; the oracle computes the expected
+    host pairs analytically — if the regex/resolution/rollup drops or
+    fabricates anything, counts diverge."""
+    from deepee_spark.operators.links import extract_outlinks, host_graph
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        F.concat(
+            F.lit("https://host"), (F.col("doc_id") % 41).cast("string"),
+            F.lit(".test/d/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><p>x</p><a href='https://host"),
+                ((F.col("doc_id") * 13 + 7) % 41).cast("string"),
+                F.lit(".test/r/"), F.col("doc_id").cast("string"),
+                F.lit("'>ref</a><a href='/next/"),
+                (F.col("doc_id") + 1).cast("string"),
+                F.lit("'>n</a></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    return host_graph(extract_outlinks(docs))
+
+
+_KG_OUTLINKS_SQL = """
+SELECT 'host' || CAST(doc_id % 41 AS VARCHAR) || '.test' AS src_host,
+       'host' || CAST((doc_id * 13 + 7) % 41 AS VARCHAR) || '.test'
+         AS dst_host,
+       CAST(COUNT(*) AS BIGINT) AS n_links
+FROM documents
+WHERE (doc_id % 41) <> ((doc_id * 13 + 7) % 41)
+GROUP BY 1, 2
+"""
+
+
 def _kg_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled harmonic centrality (operators/graph.
     harmonic_centrality): landmark estimator of SUM(1/d) via per-seed
@@ -5921,6 +5962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_setjoin": _dedup_setjoin,
         "kg_random_walks": _kg_random_walks,
         "kg_skipgram_pairs": _kg_skipgram_pairs,
+        "kg_outlink_hosts": _kg_outlink_hosts,
         "kg_cluster_prf": _kg_cluster_prf,
         "text_bigram_logprob": _text_bigram_logprob,
         "kg_dangling_refs": _kg_dangling_refs,
@@ -6065,6 +6107,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_setjoin": _SETJOIN_SQL,
         "kg_random_walks": _kg_random_walks_sql(),
         "kg_skipgram_pairs": _kg_skipgram_pairs_sql(),
+        "kg_outlink_hosts": _KG_OUTLINKS_SQL,
         "kg_cluster_prf": _KG_CLUSTER_PRF_SQL,
         "text_bigram_logprob": _BIGRAM_SQL,
         "kg_dangling_refs": _KG_DANGLING_SQL,

@@ -151,7 +151,13 @@ def gen_doc(i: int, seed: int = SEED) -> dict:
     html = (
         "<html><head><title>synthetic</title>"
         "<style>body{margin:0}</style></head>"
-        "<nav><a href='/'>home</a> | <a href='/about'>about</a></nav>"
+        # deterministic outlinks (pure in i — rng stream untouched so
+        # text/gold fixtures are unchanged): one cross-site absolute,
+        # one root-relative; nav is boilerplate-stripped by extract_text
+        # but harvested by operators/links.extract_outlinks
+        f"<nav><a href='/'>home</a> | <a href='/about'>about</a> | "
+        f"<a href='https://site{(i * 7 + 1) % 97}.example.com/en/page/{i * 3 + 1}'>ref {i}</a> | "
+        f"<a href='/{lang}/page/{i + 1}'>next</a></nav>"
         "<body>"
         f"<h1>doc {i}</h1>" + "".join(body_parts) + "</body>"
         "<footer>&copy; 2026 synthetic corp</footer></html>"

@@ -804,6 +804,28 @@ class Pipeline:
         self.ran.append("triples_rewrite")
         return cat.read(spark, "triples")
 
+    def materialize_links(
+        self,
+        docs: DataFrame,
+        input_fingerprint: str,
+        resume: bool = True,
+    ) -> DataFrame:
+        """Commit the `host_links` table — the (src_host, dst_host,
+        n_links) hyperlink graph harvested from the SAME documents scan
+        the extraction stage reads (operators/links). Runs as its own
+        stage under the standard fingerprint/resume contract: the html
+        column is decoded once here, the rollup is one shuffle, and the
+        committed table is what host-PageRank-style linking priors read
+        — they never touch html again."""
+        from ..operators.links import extract_outlinks, host_graph
+
+        return self._stage(
+            "host_links",
+            f"{input_fingerprint}/host_links/v1",
+            lambda: host_graph(extract_outlinks(docs)),
+            resume,
+        )
+
     def materialize_graph(
         self,
         triples: DataFrame,
