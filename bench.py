@@ -84,6 +84,9 @@ def main() -> None:
         "kg_fact_latest",
         "kg_fact_asof",
         "kg_kcore",
+        "kg_taxonomy_closure",
+        "kg_skipgram_pairs",
+        "kg_outlink_hosts",
         "ee_trigger_counts",
         "bert_trigger_tags",
         "qa_span_args",
