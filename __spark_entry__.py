@@ -3728,6 +3728,56 @@ GROUP BY 1, 2
 """
 
 
+def _kg_anchor_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text alias dictionary (operators/links.anchor_aliases)
+    over the same constructed pages as kg_outlink_hosts, with anchors
+    carrying digits ('Entity <d%13>' / 'Next <d>') — exercising the
+    full regex harvest + SC6 surface normalization + (surface, host)
+    rollup; the oracle builds the expected dictionary analytically."""
+    from deepee_spark.operators.links import (
+        anchor_aliases,
+        extract_outlinks,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        F.concat(
+            F.lit("https://host"), (F.col("doc_id") % 41).cast("string"),
+            F.lit(".test/d/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><a href='https://host"),
+                ((F.col("doc_id") * 13 + 7) % 41).cast("string"),
+                F.lit(".test/r'>Entity "),
+                (F.col("doc_id") % 13).cast("string"),
+                F.lit("</a><a href='/n'>Next "),
+                F.col("doc_id").cast("string"),
+                F.lit("</a></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    return anchor_aliases(extract_outlinks(docs), min_count=2)
+
+
+_KG_ALIASES_SQL = """
+WITH links AS (
+  SELECT 'entity ' || regexp_replace(CAST(doc_id % 13 AS VARCHAR),
+                                     '[0-9]', '0', 'g') AS surface,
+         'host' || CAST((doc_id * 13 + 7) % 41 AS VARCHAR) || '.test'
+           AS dst_host
+  FROM documents
+  UNION ALL
+  SELECT 'next ' || regexp_replace(CAST(doc_id AS VARCHAR),
+                                   '[0-9]', '0', 'g') AS surface,
+         'host' || CAST(doc_id % 41 AS VARCHAR) || '.test' AS dst_host
+  FROM documents)
+SELECT surface, dst_host, CAST(COUNT(*) AS BIGINT) AS n
+FROM links GROUP BY surface, dst_host HAVING COUNT(*) >= 2
+"""
+
+
 def _kg_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled harmonic centrality (operators/graph.
     harmonic_centrality): landmark estimator of SUM(1/d) via per-seed
@@ -5963,6 +6013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_random_walks": _kg_random_walks,
         "kg_skipgram_pairs": _kg_skipgram_pairs,
         "kg_outlink_hosts": _kg_outlink_hosts,
+        "kg_anchor_aliases": _kg_anchor_aliases,
         "kg_cluster_prf": _kg_cluster_prf,
         "text_bigram_logprob": _text_bigram_logprob,
         "kg_dangling_refs": _kg_dangling_refs,
@@ -6108,6 +6159,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_random_walks": _kg_random_walks_sql(),
         "kg_skipgram_pairs": _kg_skipgram_pairs_sql(),
         "kg_outlink_hosts": _KG_OUTLINKS_SQL,
+        "kg_anchor_aliases": _KG_ALIASES_SQL,
         "kg_cluster_prf": _KG_CLUSTER_PRF_SQL,
         "text_bigram_logprob": _BIGRAM_SQL,
         "kg_dangling_refs": _KG_DANGLING_SQL,

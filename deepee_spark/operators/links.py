@@ -89,3 +89,27 @@ def host_graph(outlinks: DataFrame) -> DataFrame:
     return pairs.groupBy("src_host", "dst_host").agg(
         F.count(F.lit(1)).cast("long").alias("n_links")
     )
+
+
+def anchor_aliases(outlinks: DataFrame, min_count: int = 1) -> DataFrame:
+    """(src_url, dst_url, anchor) -> (surface, dst_host, n): the
+    anchor-text alias dictionary — how the web refers to each target —
+    the classic linking prior (the public Wikipedia-anchor-dictionary
+    technique): P(entity | surface) ∝ n. Surfaces are lowercased and
+    digit-normalized (the SC6 rule entity linking already applies to
+    mentions, operators/linking.py) so the two sides of the
+    mention ⋈ alias join normalize identically. ONE shuffle (the
+    (surface, dst_host) agg); min_count prunes the long tail of
+    one-off anchors before the dictionary broadcasts into the linking
+    join."""
+    surface = F.regexp_replace(F.lower(F.col("anchor")), "[0-9]", "0")
+    out = (
+        outlinks.select(
+            surface.alias("surface"),
+            F.regexp_extract("dst_url", _HOST_RE, 1).alias("dst_host"),
+        )
+        .filter((F.col("surface") != "") & (F.col("dst_host") != ""))
+        .groupBy("surface", "dst_host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return out.filter(F.col("n") >= min_count) if min_count > 1 else out

@@ -109,3 +109,30 @@ def test_materialize_links_stage_resume(spark, tmp_path):
     again = pipe2.materialize_links(docs, "corpus:40")
     assert pipe2.skipped == ["host_links"] and pipe2.ran == []
     assert again.count() == n
+
+
+def test_anchor_aliases_normalization_and_counts(spark):
+    from deepee_spark.operators.links import anchor_aliases
+
+    rows = [
+        ("https://s.com/1", "https://t.com/x", "Acme 42"),
+        ("https://s.com/2", "https://t.com/y", "acme 17"),  # same surface
+        ("https://s.com/3", "https://u.com/z", "Acme 42"),  # other host
+        ("https://s.com/4", "https://t.com/w", ""),  # empty dropped
+        ("https://s.com/5", "https://t.com/v", "plain"),
+    ]
+    df = spark.createDataFrame(rows, ["src_url", "dst_url", "anchor"])
+    got = {
+        (r.surface, r.dst_host): r.n
+        for r in anchor_aliases(df).collect()
+    }
+    assert got == {
+        ("acme 00", "t.com"): 2,
+        ("acme 00", "u.com"): 1,
+        ("plain", "t.com"): 1,
+    }
+    pruned = {
+        (r.surface, r.dst_host): r.n
+        for r in anchor_aliases(df, min_count=2).collect()
+    }
+    assert pruned == {("acme 00", "t.com"): 2}

@@ -502,3 +502,44 @@ def test_calibration_bins_one_shuffle(spark):
     assert plan.count("Exchange (") == 1, plan
     first_exchange = plan.index("Exchange (")
     assert "partial_count" in plan[first_exchange:], plan
+
+
+def test_outlink_harvest_is_pure_catalyst(spark):
+    """The link harvest must never fall back to a Python UDF — decode,
+    regexp_extract_all, explode, and the host rollup are all JVM-side
+    expressions (whole-stage codegen), and the only Exchange is the
+    final host-pair agg."""
+    from pyspark.sql import functions as F
+
+    from deepee_spark.operators.links import extract_outlinks, host_graph
+
+    docs = spark.range(50).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 5).cast("string"),
+                 F.lit(".test/p")).alias("url"),
+        F.encode(
+            F.concat(F.lit("<body><a href='https://h"),
+                     ((F.col("id") + 1) % 5).cast("string"),
+                     F.lit(".test/x'>a</a></body>")),
+            "UTF-8",
+        ).alias("html"),
+    )
+    plan = formatted_plan(host_graph(extract_outlinks(docs)))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("Exchange (") == 1, plan
+    assert "partial_count" in plan, plan
+
+
+def test_skipgram_join_is_equi_hash_not_range(spark):
+    """skipgram_pairs must compile to an equi hash/sort-merge join on
+    (start, walk, step) — never a nested-loop/cartesian range join on
+    |step diff| (the formulation the DuckDB twin deliberately runs)."""
+    from deepee_spark.operators.walks import skipgram_pairs
+
+    walks = spark.createDataFrame(
+        [("a", 0, s, f"n{s}") for s in range(4)],
+        ["start", "walk", "step", "node"],
+    )
+    plan = formatted_plan(skipgram_pairs(walks, window=2))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" in plan, plan
