@@ -826,6 +826,27 @@ class Pipeline:
             resume,
         )
 
+    def accumulate_host_links(
+        self, delta_docs: DataFrame, input_fingerprint: str
+    ) -> DataFrame:
+        """Incremental host-link maintenance for crawl drops: the DELTA
+        documents' host-pair link counts MERGE into the `host_links`
+        counter table (same additive-counter contract as
+        accumulate_degrees — union + one keyed groupBy-sum, never a
+        rescan of the accumulated table). n_links is additive across
+        drops by construction, so incremental accumulation equals the
+        full rebuild exactly."""
+        from ..operators.links import extract_outlinks, host_graph
+
+        return self.catalog.merge_accumulate(
+            self.spark,
+            host_graph(extract_outlinks(delta_docs)),
+            "host_links",
+            keys=["src_host", "dst_host"],
+            counters=["n_links"],
+            fingerprint=f"{input_fingerprint}/host_links/v1",
+        )
+
     def materialize_graph(
         self,
         triples: DataFrame,

@@ -136,3 +136,29 @@ def test_anchor_aliases_normalization_and_counts(spark):
         for r in anchor_aliases(df, min_count=2).collect()
     }
     assert pruned == {("acme 00", "t.com"): 2}
+
+
+def test_accumulate_host_links_equals_full_rebuild(spark, tmp_path):
+    """Two crawl drops accumulated incrementally must equal the host
+    graph of the union corpus exactly (n_links is additive)."""
+    from deepee_spark.corpus import corpus_df
+    from deepee_spark.operators.links import extract_outlinks, host_graph
+    from deepee_spark.plans.pipeline import Pipeline
+    from deepee_spark.sources.tables import StageCatalog
+
+    all_docs = corpus_df(spark, 60)
+    drop1 = all_docs.filter("url like '%/page/1%'")
+    drop2 = all_docs.subtract(drop1)
+    cat = StageCatalog(str(tmp_path / "cat"))
+    pipe = Pipeline(spark, cat)
+    pipe.accumulate_host_links(drop1, "drop:1")
+    acc = pipe.accumulate_host_links(drop2, "drop:2")
+    got = {
+        (r.src_host, r.dst_host): r.n_links
+        for r in acc.select("src_host", "dst_host", "n_links").collect()
+    }
+    full = {
+        (r.src_host, r.dst_host): r.n_links
+        for r in host_graph(extract_outlinks(all_docs)).collect()
+    }
+    assert got == full and full
