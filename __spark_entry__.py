@@ -3778,6 +3778,46 @@ FROM links GROUP BY surface, dst_host HAVING COUNT(*) >= 2
 """
 
 
+def _kg_bloom_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier Bloom gate (operators/bloom): the seen-set bitmap
+    is built over the event item keys and probed with candidate keys
+    from the documents table — (candidate, possibly_seen) with NO false
+    negatives by construction. Both engines compute the identical
+    md5-arithmetic bitmap, so verdicts (including the false positives)
+    hash-match exactly."""
+    from deepee_spark.operators.bloom import bloom_build, bloom_probe
+
+    m, k = 1 << 16, 4
+    ev = _t(spark, sf_dir, "events")
+    seen = ev.select(
+        F.concat(
+            F.lit("item#"), F.get_json_object("props", "$.k")
+        ).alias("v")
+    )
+    docs = _t(spark, sf_dir, "documents")
+    probes = docs.select(
+        F.concat(
+            F.lit("item#"), (F.col("doc_id") % 500).cast("string")
+        ).alias("v")
+    )
+    return bloom_probe(
+        bloom_build(seen, "v", m_bits=m, k=k), probes, "v", m_bits=m, k=k
+    )
+
+
+def _kg_bloom_frontier_sql() -> str:
+    from deepee_spark.operators.bloom import bloom_probe_oracle_sql
+
+    return bloom_probe_oracle_sql(
+        "SELECT 'item#' || json_extract_string(props, '$.k') AS v"
+        " FROM events",
+        "SELECT 'item#' || CAST(doc_id % 500 AS VARCHAR) AS v"
+        " FROM documents",
+        1 << 16,
+        4,
+    )
+
+
 def _kg_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled harmonic centrality (operators/graph.
     harmonic_centrality): landmark estimator of SUM(1/d) via per-seed
@@ -6014,6 +6054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_skipgram_pairs": _kg_skipgram_pairs,
         "kg_outlink_hosts": _kg_outlink_hosts,
         "kg_anchor_aliases": _kg_anchor_aliases,
+        "kg_bloom_frontier": _kg_bloom_frontier,
         "kg_cluster_prf": _kg_cluster_prf,
         "text_bigram_logprob": _text_bigram_logprob,
         "kg_dangling_refs": _kg_dangling_refs,
@@ -6160,6 +6201,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_skipgram_pairs": _kg_skipgram_pairs_sql(),
         "kg_outlink_hosts": _KG_OUTLINKS_SQL,
         "kg_anchor_aliases": _KG_ALIASES_SQL,
+        "kg_bloom_frontier": _kg_bloom_frontier_sql(),
         "kg_cluster_prf": _KG_CLUSTER_PRF_SQL,
         "text_bigram_logprob": _BIGRAM_SQL,
         "kg_dangling_refs": _KG_DANGLING_SQL,

@@ -1,0 +1,82 @@
+"""Bloom-filter seen-set: no false negatives, cross-engine bitmap and
+verdict identity, merge-by-bit_or additivity."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from deepee_spark.operators.bloom import (
+    bloom_build,
+    bloom_build_oracle_sql,
+    bloom_probe,
+    bloom_probe_oracle_sql,
+)
+
+M, K = 1 << 12, 4  # small m so collisions actually occur in-test
+
+
+def test_bloom_no_false_negatives_and_oracle(spark):
+    seen = [f"https://s{i}.test/p/{i}" for i in range(300)]
+    unseen = [f"https://u{i}.test/q/{i}" for i in range(300)]
+    df = spark.createDataFrame([(v,) for v in seen], ["v"])
+    bitmap = bloom_build(df, "v", m_bits=M, k=K)
+    probes = spark.createDataFrame(
+        [(v,) for v in seen + unseen], ["v"]
+    )
+    got = {
+        r.v: r.possibly_seen
+        for r in bloom_probe(bitmap, probes, "v", m_bits=M, k=K).collect()
+    }
+    # every built key MUST probe true
+    assert all(got[v] for v in seen)
+    # at m=4096 bits / n=300 keys / k=4 the FP rate is ~2.6%; all-true
+    # on the unseen side would mean the filter is broken
+    fp = sum(got[v] for v in unseen)
+    assert fp < 60
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE seen(v VARCHAR)")
+    con.executemany("INSERT INTO seen VALUES (?)", [(v,) for v in seen])
+    con.execute("CREATE TABLE pr(v VARCHAR)")
+    con.executemany(
+        "INSERT INTO pr VALUES (?)", [(v,) for v in seen + unseen]
+    )
+    # bitmap identity
+    b_spark = {
+        (r.word_idx, r.word) for r in bitmap.collect()
+    }
+    b_duck = set(
+        map(
+            tuple,
+            con.execute(
+                bloom_build_oracle_sql("SELECT v FROM seen", M, K)
+            ).fetchall(),
+        )
+    )
+    assert b_spark == b_duck
+    # verdict identity
+    v_duck = dict(
+        con.execute(
+            bloom_probe_oracle_sql(
+                "SELECT v FROM seen", "SELECT v FROM pr", M, K
+            )
+        ).fetchall()
+    )
+    assert got == v_duck
+
+
+def test_bloom_merge_is_bit_or(spark):
+    a = spark.createDataFrame([("x",), ("y",)], ["v"])
+    b = spark.createDataFrame([("y",), ("z",)], ["v"])
+    merged = (
+        bloom_build(a, "v", m_bits=M, k=K)
+        .unionByName(bloom_build(b, "v", m_bits=M, k=K))
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(word)").alias("word"))
+    )
+    together = bloom_build(a.unionByName(b), "v", m_bits=M, k=K)
+    assert {
+        (r.word_idx, r.word) for r in merged.collect()
+    } == {(r.word_idx, r.word) for r in together.collect()}
