@@ -847,6 +847,50 @@ class Pipeline:
             fingerprint=f"{input_fingerprint}/host_links/v1",
         )
 
+    def frontier_gate(
+        self,
+        delta_docs: DataFrame,
+        input_fingerprint: str,
+        m_bits: int = 1 << 20,
+        k: int = 4,
+    ) -> DataFrame:
+        """Admit only the crawl drop's NOT-yet-seen urls, then commit
+        the updated `url_bloom` bitmap (prior ∪ this drop's urls).
+
+        The gate is the Bloom seen-set (operators/bloom): no false
+        negatives, so an already-crawled url is NEVER re-admitted; a
+        false positive (textbook rate, ~1% at 10 bits/key) skips a
+        genuinely new url — the standard frontier tradeoff, chosen
+        over an anti-join against the ever-growing history table. The
+        probe side broadcasts the bitmap (m=2^20 -> 32k words); the
+        bitmap update is one bit_or merge (StageCatalog.merge_bitmap),
+        drop-sized compute like the other incremental paths."""
+        from ..operators.bloom import bloom_build, bloom_probe
+
+        cat, spark = self.catalog, self.spark
+        urls = delta_docs.select(F.col("url").alias("v"))
+        try:
+            bitmap = cat.read(spark, "url_bloom").select(
+                "word_idx", "word"
+            )
+            verdicts = bloom_probe(bitmap, urls, "v", m_bits, k)
+            admitted = delta_docs.join(
+                verdicts.filter(~F.col("possibly_seen")).select(
+                    F.col("v").alias("url")
+                ),
+                "url",
+                "left_semi",
+            )
+        except FileNotFoundError:
+            admitted = delta_docs
+        cat.merge_bitmap(
+            spark,
+            bloom_build(urls, "v", m_bits, k),
+            "url_bloom",
+            f"{input_fingerprint}/url_bloom/v1",
+        )
+        return admitted
+
     def materialize_graph(
         self,
         triples: DataFrame,

@@ -207,6 +207,30 @@ class StageCatalog:
         self.write(merged, name, fingerprint)
         return self.read(spark, name)
 
+    def merge_bitmap(
+        self,
+        spark: SparkSession,
+        delta: DataFrame,
+        name: str,
+        fingerprint: str,
+    ) -> DataFrame:
+        """bit_or-merge a (word_idx, word) Bloom bitmap delta into
+        table `name` — merge_accumulate's contract with OR instead of
+        SUM (set-bit union is the bitmap's additive operation;
+        operators/bloom.py). Same one-shuffle shape: union + keyed
+        groupBy with map-side partials."""
+        try:
+            cur = self.read(spark, name).select("word_idx", "word")
+        except FileNotFoundError:
+            cur = None
+        d = delta.select("word_idx", "word")
+        merged = cur.unionByName(d) if cur is not None else d
+        merged = merged.groupBy("word_idx").agg(
+            F.expr("bit_or(word)").alias("word")
+        )
+        self.write(merged, name, fingerprint)
+        return self.read(spark, name)
+
     def compact(self, spark: SparkSession, name: str,
                 target_rows_per_file: int = 1_000_000,
                 sort_by: list[str] | None = None) -> dict:

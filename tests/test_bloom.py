@@ -80,3 +80,30 @@ def test_bloom_merge_is_bit_or(spark):
     assert {
         (r.word_idx, r.word) for r in merged.collect()
     } == {(r.word_idx, r.word) for r in together.collect()}
+
+
+def test_frontier_gate_admits_only_new_urls(spark, tmp_path):
+    """Drop 1 admits everything; an overlapping drop 2 admits exactly
+    its new urls (m is large enough that no false positive fires on 30
+    urls); replaying drop 1 admits nothing."""
+    from deepee_spark.corpus import corpus_df
+    from deepee_spark.plans.pipeline import Pipeline
+    from deepee_spark.sources.tables import StageCatalog
+
+    docs = corpus_df(spark, 30).cache()
+    d1 = docs.filter("url like '%/page/1%'")
+    d2 = docs  # superset: overlap = all of d1
+    cat = StageCatalog(str(tmp_path / "cat"))
+    pipe = Pipeline(spark, cat)
+
+    a1 = pipe.frontier_gate(d1, "drop:1")
+    assert {r.url for r in a1.select("url").collect()} == {
+        r.url for r in d1.select("url").collect()
+    }
+    a2 = pipe.frontier_gate(d2, "drop:2")
+    want = {r.url for r in d2.select("url").collect()} - {
+        r.url for r in d1.select("url").collect()
+    }
+    assert {r.url for r in a2.select("url").collect()} == want
+    a3 = pipe.frontier_gate(d1, "drop:3")
+    assert a3.count() == 0
