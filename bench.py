@@ -87,6 +87,7 @@ def main() -> None:
         "kg_taxonomy_closure",
         "kg_skipgram_pairs",
         "kg_outlink_hosts",
+        "kg_bloom_frontier",
         "ee_trigger_counts",
         "bert_trigger_tags",
         "qa_span_args",
