@@ -866,23 +866,30 @@ class Pipeline:
         bitmap update is one bit_or merge (StageCatalog.merge_bitmap),
         drop-sized compute like the other incremental paths."""
         from ..operators.bloom import bloom_build, bloom_probe
+        from ..operators.urls import canonical_url
 
         cat, spark = self.catalog, self.spark
-        urls = delta_docs.select(F.col("url").alias("v"))
+        # the bitmap holds CANONICAL urls (operators/urls: lowercase
+        # host, default ports, fragments and tracking params stripped)
+        # so re-crawl variants of a seen page are gated too; within-
+        # drop canonical duplicates are the extractor's exact-dedup
+        # concern, not the frontier's
+        keyed = delta_docs.withColumn("_cu", canonical_url(F.col("url")))
+        urls = keyed.select(F.col("_cu").alias("v"))
         try:
             bitmap = cat.read(spark, "url_bloom").select(
                 "word_idx", "word"
             )
             verdicts = bloom_probe(bitmap, urls, "v", m_bits, k)
-            admitted = delta_docs.join(
+            admitted = keyed.join(
                 verdicts.filter(~F.col("possibly_seen")).select(
-                    F.col("v").alias("url")
+                    F.col("v").alias("_cu")
                 ),
-                "url",
+                "_cu",
                 "left_semi",
-            )
+            ).drop("_cu")
         except FileNotFoundError:
-            admitted = delta_docs
+            admitted = keyed.drop("_cu")
         cat.merge_bitmap(
             spark,
             bloom_build(urls, "v", m_bits, k),

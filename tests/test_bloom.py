@@ -107,3 +107,28 @@ def test_frontier_gate_admits_only_new_urls(spark, tmp_path):
     assert {r.url for r in a2.select("url").collect()} == want
     a3 = pipe.frontier_gate(d1, "drop:3")
     assert a3.count() == 0
+
+
+def test_frontier_gate_is_canonical_url_aware(spark, tmp_path):
+    """A re-crawl of a seen page under a tracking-param/fragment
+    variant url must be gated out: the bitmap is keyed on canonical
+    urls."""
+    from deepee_spark.plans.pipeline import Pipeline
+    from deepee_spark.sources.tables import StageCatalog
+
+    cat = StageCatalog(str(tmp_path / "cat"))
+    pipe = Pipeline(spark, cat)
+    d1 = spark.createDataFrame(
+        [("https://a.test/x", "h1"), ("https://a.test/y", "h2")],
+        ["url", "html"],
+    )
+    assert pipe.frontier_gate(d1, "drop:1").count() == 2
+    d2 = spark.createDataFrame(
+        [
+            ("https://a.test/x?utm_source=feed#top", "h1"),  # variant
+            ("https://a.test/z", "h3"),  # genuinely new
+        ],
+        ["url", "html"],
+    )
+    got = {r.url for r in pipe.frontier_gate(d2, "drop:2").collect()}
+    assert got == {"https://a.test/z"}
