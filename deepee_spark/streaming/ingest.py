@@ -261,3 +261,99 @@ def stream_host_sessions(
             F.col("count").cast("long").alias("n_docs"),
         )
     )
+
+
+def _epoch_done(catalog, table: str, epoch_id: int) -> bool:
+    last = catalog.latest_meta(table) or {}
+    return last.get("stream_batch_id") is not None and epoch_id <= int(
+        last["stream_batch_id"]
+    )
+
+
+def _stamp_epoch(catalog, table: str, meta: dict, epoch_id: int) -> None:
+    import json as _json
+    import os as _os
+
+    meta["stream_batch_id"] = int(epoch_id)
+    snap_dir = _os.path.join(
+        catalog._table_dir(table), f"snapshot={meta['snapshot']}"
+    )
+    with open(_os.path.join(snap_dir, "_meta.json"), "w") as f:
+        _json.dump(meta, f)
+
+
+def stream_frontier_gate(
+    spark: SparkSession,
+    source_dir: str,
+    catalog,
+    checkpoint_dir: str,
+    admitted_table: str = "documents_admitted",
+    bloom_table: str = "url_bloom_live",
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    available_now: bool = True,
+):
+    """Streaming crawl ADMISSION: each micro-batch of raw documents is
+    gated against the live canonical-url Bloom bitmap (operators/bloom
+    — admit only never-seen pages), the admitted rows FAST-APPEND to
+    ``admitted_table``, and the batch's bits bit_or-merge into
+    ``bloom_table`` — Pipeline.frontier_gate at stream cadence, so
+    later micro-batches are deduped against earlier ones within the
+    same run AND across runs.
+
+    Crash consistency: the two commits are INDIVIDUALLY epoch-stamped,
+    admitted-append first — a replayed epoch re-runs only the missing
+    commit, and because the gate verdicts are always computed against
+    the bitmap as of BEFORE this epoch's merge, the replay admits the
+    identical row set."""
+    from pyspark.sql import functions as F
+
+    from ..operators.bloom import bloom_build, bloom_probe
+    from ..operators.urls import canonical_url
+
+    def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        keyed = batch_df.withColumn("_cu", canonical_url(F.col("url")))
+        urls = keyed.select(F.col("_cu").alias("v"))
+        if not _epoch_done(catalog, admitted_table, epoch_id):
+            try:
+                bitmap = catalog.read(spark, bloom_table).select(
+                    "word_idx", "word"
+                )
+                verdicts = bloom_probe(bitmap, urls, "v", m_bits, k)
+                admitted = keyed.join(
+                    verdicts.filter(~F.col("possibly_seen")).select(
+                        F.col("v").alias("_cu")
+                    ),
+                    "_cu",
+                    "left_semi",
+                ).drop("_cu")
+            except FileNotFoundError:
+                admitted = keyed.drop("_cu")
+            meta = catalog.append(
+                admitted,
+                admitted_table,
+                f"stream-frontier:{source_dir}:epoch={epoch_id}",
+            )
+            _stamp_epoch(catalog, admitted_table, meta, epoch_id)
+        if not _epoch_done(catalog, bloom_table, epoch_id):
+            catalog.merge_bitmap(
+                spark,
+                bloom_build(urls, "v", m_bits, k),
+                bloom_table,
+                f"stream-frontier:{source_dir}:bloom:epoch={epoch_id}",
+            )
+            _stamp_epoch(
+                catalog, bloom_table, catalog.latest_meta(bloom_table), epoch_id
+            )
+
+    docs = stream_documents(spark, source_dir)
+    writer = (
+        docs.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

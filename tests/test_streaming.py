@@ -381,3 +381,49 @@ def test_stream_host_sessions_match_batch(spark, tmp_path):
         assert want.get(k) == v, k
     # every emitted host exists and no session has zero docs
     assert all(v >= 1 for v in got.values())
+
+
+def test_stream_frontier_gate_dedupes_across_drops(spark, tmp_path):
+    """Two overlapping crawl drops arrive as separate stream runs: the
+    admitted table must hold each canonical url exactly once, the
+    overlap must be gated out by the live bitmap, and a no-new-input
+    run admits nothing."""
+    from deepee_spark.corpus import corpus_df
+    from deepee_spark.sources.tables import StageCatalog
+    from deepee_spark.streaming.ingest import stream_frontier_gate
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    cat = StageCatalog(str(tmp_path / "cat"))
+
+    docs = corpus_df(spark, 40).cache()
+    d1 = docs.filter("url like '%/page/1%'")
+    d1.write.mode("append").parquet(src)
+    stream_frontier_gate(spark, src, cat, ckpt)
+    got1 = {
+        r.url
+        for r in cat.read(spark, "documents_admitted")
+        .select("url")
+        .collect()
+    }
+    assert got1 == {r.url for r in d1.select("url").collect()}
+
+    # drop 2 = ALL docs (full overlap with drop 1)
+    docs.write.mode("append").parquet(src)
+    stream_frontier_gate(spark, src, cat, ckpt)
+    got2 = {
+        r.url
+        for r in cat.read(spark, "documents_admitted")
+        .select("url")
+        .collect()
+    }
+    assert got2 == {r.url for r in docs.select("url").collect()}
+    # exactly-once: no url appears twice across the snapshots
+    n_rows = cat.read(spark, "documents_admitted").count()
+    assert n_rows == len(got2)
+
+    # replay with no new input: nothing admitted, bitmap unchanged
+    before = cat.latest_meta("url_bloom_live")["snapshot"]
+    stream_frontier_gate(spark, src, cat, ckpt)
+    assert cat.read(spark, "documents_admitted").count() == n_rows
+    assert cat.latest_meta("url_bloom_live")["snapshot"] == before
