@@ -3818,6 +3818,78 @@ def _kg_bloom_frontier_sql() -> str:
     )
 
 
+def _kg_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl scheduling capstone — three op families composed: the
+    link harvest's host graph (operators/links) feeds exact-integer
+    host PageRank (operators/graph.pagerank_int), and each host's
+    candidate urls are ranked top-3 by a deterministic priority
+    (host-partitioned window — parallel across hosts). The oracle
+    nests the unrolled-CTE pagerank twin inside the same window."""
+    from pyspark.sql import Window as W
+
+    from deepee_spark.operators.graph import pagerank_int
+
+    hg = _kg_outlink_hosts(spark, sf_dir)
+    rank = pagerank_int(
+        hg.select(
+            F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+        ),
+        iters=3,
+    )
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("host"), (F.col("doc_id") % 41).cast("string"), F.lit(".test")
+    )
+    cand = d.select(
+        host.alias("host"),
+        F.concat(
+            F.lit("https://host"), (F.col("doc_id") % 41).cast("string"),
+            F.lit(".test/d/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "doc_id",
+    )
+    j = cand.join(
+        rank.select(
+            F.col("node").alias("host"), F.col("rank").alias("host_rank")
+        ),
+        "host",
+        "left",
+    ).withColumn("host_rank", F.coalesce("host_rank", F.lit(0)).cast("long"))
+    w = W.partitionBy("host").orderBy(F.col("doc_id").asc())
+    return (
+        j.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("host", "url", "host_rank", "rk")
+    )
+
+
+def _kg_crawl_schedule_sql() -> str:
+    from deepee_spark.operators.graph import pagerank_oracle_sql
+
+    edges = (
+        "SELECT 'host' || CAST(doc_id % 41 AS VARCHAR) || '.test' AS src,"
+        " 'host' || CAST((doc_id * 13 + 7) % 41 AS VARCHAR) || '.test'"
+        " AS dst FROM documents"
+        " WHERE (doc_id % 41) <> ((doc_id * 13 + 7) % 41)"
+    )
+    pr = pagerank_oracle_sql(edges, iters=3)
+    return f"""
+WITH cand AS (
+  SELECT 'host' || CAST(doc_id % 41 AS VARCHAR) || '.test' AS host,
+         'https://host' || CAST(doc_id % 41 AS VARCHAR) || '.test/d/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         doc_id
+  FROM documents),
+ranked AS (
+  SELECT c.host, c.url,
+         CAST(COALESCE(pr.rank, 0) AS BIGINT) AS host_rank,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c.host ORDER BY c.doc_id)
+              AS BIGINT) AS rk
+  FROM cand c LEFT JOIN ({pr}) pr ON pr.node = c.host)
+SELECT host, url, host_rank, rk FROM ranked WHERE rk <= 3
+"""
+
+
 def _kg_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled harmonic centrality (operators/graph.
     harmonic_centrality): landmark estimator of SUM(1/d) via per-seed
@@ -6055,6 +6127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_outlink_hosts": _kg_outlink_hosts,
         "kg_anchor_aliases": _kg_anchor_aliases,
         "kg_bloom_frontier": _kg_bloom_frontier,
+        "kg_crawl_schedule": _kg_crawl_schedule,
         "kg_cluster_prf": _kg_cluster_prf,
         "text_bigram_logprob": _text_bigram_logprob,
         "kg_dangling_refs": _kg_dangling_refs,
@@ -6202,6 +6275,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_outlink_hosts": _KG_OUTLINKS_SQL,
         "kg_anchor_aliases": _KG_ALIASES_SQL,
         "kg_bloom_frontier": _kg_bloom_frontier_sql(),
+        "kg_crawl_schedule": _kg_crawl_schedule_sql(),
         "kg_cluster_prf": _KG_CLUSTER_PRF_SQL,
         "text_bigram_logprob": _BIGRAM_SQL,
         "kg_dangling_refs": _KG_DANGLING_SQL,
