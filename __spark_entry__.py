@@ -2747,6 +2747,71 @@ WHERE sample_bucket < (CASE lang WHEN 'en' THEN 200 WHEN 'zh' THEN 500
 DECON_N = 8  # benchmark-overlap gram width (GPT-3/Llama data-card range)
 
 
+def _kg_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture allocation + realized sample (operators/sampling.
+    mixture_rates -> stratified_sample): a 40%-of-corpus row budget
+    split across sources proportional to n_chars quality mass, then
+    sampled with the shared deterministic hash — per source the
+    allocation inputs, the integer permille, and the realized count,
+    all engine-replayable."""
+    from deepee_spark.operators.sampling import (
+        mixture_rates,
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    budget = docs.count() * 2 // 5
+    rates = mixture_rates(docs, "source", "n_chars", budget)
+    sampled = (
+        stratified_sample(
+            docs, "doc_id", "source", rates.select("stratum", "permille")
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
+    )
+    return (
+        rates.join(
+            sampled, rates["stratum"] == sampled["source"], "left"
+        )
+        .select(
+            "stratum",
+            "n_rows",
+            "mass",
+            "permille",
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias(
+                "n_sampled"
+            ),
+        )
+    )
+
+
+_KG_MIXTURE_SQL = f"""
+WITH per AS (
+  SELECT source AS stratum, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(n_chars) AS BIGINT) AS mass
+  FROM documents GROUP BY source),
+tot AS (
+  SELECT SUM(mass) AS total,
+         (SELECT COUNT(*) * 2 // 5 FROM documents) AS budget
+  FROM per),
+rates AS (
+  SELECT stratum, n_rows, mass,
+         CAST(LEAST(1000, (1000 * ((tot.budget * mass) // tot.total))
+                          // n_rows) AS BIGINT) AS permille
+  FROM per, tot),
+samp AS (
+  SELECT d.source AS stratum, CAST(COUNT(*) AS BIGINT) AS n_sampled
+  FROM documents d JOIN rates r ON r.stratum = d.source
+  WHERE ({{h}}) * 2654435761 % 1000000007 % 1000 < r.permille
+  GROUP BY d.source)
+SELECT r.stratum, r.n_rows, r.mass, r.permille,
+       CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled
+FROM rates r LEFT JOIN samp s USING (stratum)
+""".format(h=_HASH_SQL.format(col="CAST(doc_id AS VARCHAR)"))
+
+
 def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs sharing >=1 token 8-gram
     with the eval set (here the deterministic doc_id%97==3 slice of the
@@ -6128,6 +6193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_anchor_aliases": _kg_anchor_aliases,
         "kg_bloom_frontier": _kg_bloom_frontier,
         "kg_crawl_schedule": _kg_crawl_schedule,
+        "kg_corpus_mixture": _kg_corpus_mixture,
         "kg_cluster_prf": _kg_cluster_prf,
         "text_bigram_logprob": _text_bigram_logprob,
         "kg_dangling_refs": _kg_dangling_refs,
@@ -6276,6 +6342,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_anchor_aliases": _KG_ALIASES_SQL,
         "kg_bloom_frontier": _kg_bloom_frontier_sql(),
         "kg_crawl_schedule": _kg_crawl_schedule_sql(),
+        "kg_corpus_mixture": _KG_MIXTURE_SQL,
         "kg_cluster_prf": _KG_CLUSTER_PRF_SQL,
         "text_bigram_logprob": _BIGRAM_SQL,
         "kg_dangling_refs": _KG_DANGLING_SQL,

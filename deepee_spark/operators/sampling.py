@@ -85,3 +85,52 @@ def stratified_sample(df: DataFrame, key_col: str, stratum_col: str,
         )
         .drop("_stratum", "_permille")
     )
+
+
+def mixture_rates(
+    df: DataFrame,
+    stratum_col: str,
+    score_col: str,
+    budget_rows: int,
+) -> DataFrame:
+    """Corpus mixture allocation (the DoReMi/data-mixture line of work,
+    reduced to its deterministic core): split a row budget across
+    strata proportional to each stratum's QUALITY MASS (sum of an
+    integer per-row score), and express the result as the
+    (stratum, permille) rates dimension stratified_sample consumes.
+
+        target_s   = budget_rows * mass_s // total_mass
+        permille_s = min(1000, 1000 * target_s // n_s)
+
+    All-integer, so the rates — and every downstream sampling decision
+    — are engine-reproducible. Shape: ONE stratum agg (tiny output) +
+    a scalar total broadcast; the corpus itself is touched once.
+    Realized sample size undershoots the budget slightly (two floor
+    divisions + the hash's granularity) — never overshoots except for
+    the permille cap on strata whose fair share exceeds their size.
+    """
+    if budget_rows < 0:
+        raise ValueError("budget_rows must be >= 0")
+    per = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col(score_col)).cast("long").alias("mass"),
+    )
+    total = per.agg(F.sum("mass").alias("_total"))
+    # BIGINT DIV throughout — float division would silently lose
+    # exactness once budget * mass passes 2^53 (real at corpus scale)
+    return (
+        per.crossJoin(F.broadcast(total))
+        .withColumn(
+            "_target",
+            F.expr(f"({budget_rows} * mass) DIV _total"),
+        )
+        .select(
+            F.col(stratum_col).alias("stratum"),
+            "n_rows",
+            "mass",
+            F.least(
+                F.lit(1000).cast("long"),
+                F.expr("(1000 * _target) DIV n_rows"),
+            ).alias("permille"),
+        )
+    )
