@@ -6159,8 +6159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    dedup_embedding_cosine / dedup_cluster_assign were REWRITTEN
         #    this round so their r02 green rows no longer cover them) --
         "s11_framenet_exemplars": _s11_framenet_exemplars,
-        "dedup_embedding_cosine": _dedup_embedding_cosine,
-        "dedup_cluster_assign": _dedup_cluster_assign,
+        "kg_taxonomy_closure": _kg_taxonomy_closure,
+        "kg_bloom_frontier": _kg_bloom_frontier,
         "ann_pq_topk": _ann_pq_topk,
         # -- round-3 temporal/graph additions: the four most distinct new
         #    families (as-of join, k-core peel, label-propagation
@@ -6191,7 +6191,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_skipgram_pairs": _kg_skipgram_pairs,
         "kg_outlink_hosts": _kg_outlink_hosts,
         "kg_anchor_aliases": _kg_anchor_aliases,
-        "kg_bloom_frontier": _kg_bloom_frontier,
         "kg_crawl_schedule": _kg_crawl_schedule,
         "kg_corpus_mixture": _kg_corpus_mixture,
         "kg_cluster_prf": _kg_cluster_prf,
@@ -6201,7 +6200,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_hot_keys": _skew_hot_keys,
         "kg_distant_supervision": _kg_distant_supervision,
         "kg_rule_mining": _kg_rule_mining,
-        "kg_taxonomy_closure": _kg_taxonomy_closure,
         "kg_bgp_query": _kg_bgp_query,
         "kg_event_funnel": _kg_event_funnel,
         "kg_fact_diff": _kg_fact_diff,
@@ -6211,6 +6209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_community_rank": _kg_community_rank,
         # -- demoted past 50: already driver-green on unchanged code,
         #    still locally checked --
+        "dedup_embedding_cosine": _dedup_embedding_cosine,
+        "dedup_cluster_assign": _dedup_cluster_assign,
         "q1_pricing_summary": _q1,
         "a1_vocab_build": _a1_vocab,
         "a4_chunk_prf": _a4_chunk_prf,
