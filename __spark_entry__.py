@@ -3955,6 +3955,47 @@ SELECT host, url, host_rank, rk FROM ranked WHERE rk <= 3
 """
 
 
+def _kg_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency estimates (operators/sketches.cms_build/
+    cms_estimate) over event item-key OCCURRENCES, probed with the
+    doc_id%600 candidate set — present keys estimate >= truth, absent
+    keys mostly 0, and every cell/estimate is md5-replayable so the
+    twin matches exactly (sketch triad: KMV cardinality, Bloom
+    membership, CMS frequency)."""
+    from deepee_spark.operators.sketches import cms_build, cms_estimate
+
+    w, d = 1 << 12, 4
+    ev = _t(spark, sf_dir, "events")
+    occurrences = ev.select(
+        F.concat(
+            F.lit("item#"), F.get_json_object("props", "$.k")
+        ).alias("v")
+    )
+    docs = _t(spark, sf_dir, "documents")
+    probes = docs.select(
+        F.concat(
+            F.lit("item#"), (F.col("doc_id") % 600).cast("string")
+        ).alias("v")
+    )
+    return cms_estimate(
+        cms_build(occurrences, "v", width=w, depth=d),
+        probes, "v", width=w, depth=d,
+    )
+
+
+def _kg_cms_frequencies_sql() -> str:
+    from deepee_spark.operators.sketches import cms_estimate_oracle_sql
+
+    return cms_estimate_oracle_sql(
+        "SELECT 'item#' || json_extract_string(props, '$.k') AS v"
+        " FROM events",
+        "SELECT 'item#' || CAST(doc_id % 600 AS VARCHAR) AS v"
+        " FROM documents",
+        1 << 12,
+        4,
+    )
+
+
 def _kg_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled harmonic centrality (operators/graph.
     harmonic_centrality): landmark estimator of SUM(1/d) via per-seed
@@ -6193,6 +6234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_anchor_aliases": _kg_anchor_aliases,
         "kg_crawl_schedule": _kg_crawl_schedule,
         "kg_corpus_mixture": _kg_corpus_mixture,
+        "kg_cms_frequencies": _kg_cms_frequencies,
         "kg_cluster_prf": _kg_cluster_prf,
         "text_bigram_logprob": _text_bigram_logprob,
         "kg_dangling_refs": _kg_dangling_refs,
@@ -6343,6 +6385,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bloom_frontier": _kg_bloom_frontier_sql(),
         "kg_crawl_schedule": _kg_crawl_schedule_sql(),
         "kg_corpus_mixture": _KG_MIXTURE_SQL,
+        "kg_cms_frequencies": _kg_cms_frequencies_sql(),
         "kg_cluster_prf": _KG_CLUSTER_PRF_SQL,
         "text_bigram_logprob": _BIGRAM_SQL,
         "kg_dangling_refs": _KG_DANGLING_SQL,

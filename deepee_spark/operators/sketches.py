@@ -149,3 +149,128 @@ def kmv_merge(
         .cast("long")
         .alias("distinct_est"),
     )
+
+
+# ---------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan, J. Algorithms 2005 —
+# public): approximate per-key frequencies in O(width * depth) space.
+# Completes the engine-checkable sketch triad — KMV (cardinality,
+# above), Bloom (membership, operators/bloom.py), CMS (frequency) —
+# all three built from the same md5 arithmetic, so a DuckDB twin
+# reproduces the exact sketch state and every estimate. Estimates
+# NEVER undercount (min over depth rows of colliding sums); the
+# overestimate is bounded by 2*N/width with prob 1-(1/2)^depth.
+
+CMS_WIDTH = 1 << 14
+CMS_DEPTH = 4
+
+
+def _cms_col(col, d: int, width: int):
+    from .negatives import md5_long48
+
+    return md5_long48(
+        F.concat(col.cast("string"), F.lit(f"|cms{d}"))
+    ) % F.lit(width)
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """Occurrences of `value_col` -> the (row, col, cnt) CMS state.
+    One explode (depth rows per occurrence) + ONE (row, col) agg with
+    map-side partials; state is width*depth cells max — broadcastable.
+    Sketches merge by summing cnt on (row, col) (counters are
+    additive), the same contract as kmv_merge/merge_accumulate."""
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("long").alias("row"),
+                        _cms_col(F.col(value_col), d, width).alias("col"),
+                    )
+                    for d in range(1, depth + 1)
+                ]
+            )
+        ).alias("c")
+    )
+    return (
+        cells.select("c.row", "c.col")
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """-> (value_col, est): min over the depth rows of the probed
+    cells — the CMS point estimate, >= the true count always. The
+    sketch side broadcasts; absent cells count 0 (a key with any
+    absent cell was never inserted)."""
+    p = probes.select(F.col(value_col)).distinct()
+    pos = p.select(
+        value_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("long").alias("row"),
+                        _cms_col(F.col(value_col), d, width).alias("col"),
+                    )
+                    for d in range(1, depth + 1)
+                ]
+            )
+        ).alias("c"),
+    ).select(value_col, "c.row", "c.col")
+    joined = pos.join(F.broadcast(cms), ["row", "col"], "left")
+    return (
+        joined.select(
+            value_col,
+            F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
+        )
+        .groupBy(value_col)
+        .agg(F.min("cnt").alias("est"))
+    )
+
+
+def cms_estimate_oracle_sql(
+    values_sql: str,
+    probes_sql: str,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> str:
+    """DuckDB twin of cms_build + cms_estimate; both inputs yield a
+    column v; output (v, est)."""
+    from .negatives import md5_long48_sql
+
+    def col_sql(d: int) -> str:
+        h = md5_long48_sql(f"CAST(v AS VARCHAR) || '|cms{d}'")
+        return f"(({h}) % {width})"
+
+    build_rows = " UNION ALL ".join(
+        f"SELECT {d} AS row, {col_sql(d)} AS col FROM cms_vals"
+        for d in range(1, depth + 1)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT v, {d} AS row, {col_sql(d)} AS col FROM cms_probes"
+        for d in range(1, depth + 1)
+    )
+    return f"""
+WITH cms_vals AS (SELECT v FROM ({values_sql})),
+cms AS (
+  SELECT row, col, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ({build_rows}) GROUP BY row, col),
+cms_probes AS (SELECT DISTINCT v FROM ({probes_sql})),
+pp AS ({probe_rows})
+SELECT pp.v, CAST(MIN(COALESCE(cms.cnt, 0)) AS BIGINT) AS est
+FROM pp LEFT JOIN cms ON cms.row = pp.row AND cms.col = pp.col
+GROUP BY pp.v
+"""
