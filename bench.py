@@ -88,6 +88,9 @@ def main() -> None:
         "kg_skipgram_pairs",
         "kg_outlink_hosts",
         "kg_bloom_frontier",
+        "kg_cms_frequencies",
+        "kg_corpus_mixture",
+        "kg_crawl_schedule",
         "ee_trigger_counts",
         "bert_trigger_tags",
         "qa_span_args",
