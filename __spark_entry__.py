@@ -5563,6 +5563,66 @@ SELECT id_a, id_b, cosine FROM cand WHERE cosine >= {DUP_COS}
 """
 
 
+def _kg_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality AUDIT for the LSH near-dup path: pair recall of
+    the hyperplane-LSH candidates vs exact all-pairs ground truth at
+    the same threshold. Both sides run the SAME gemm scorer
+    (operators/dedup.embedding_dup_pairs) — the LSH run with its
+    hamming<=1 bucket rule, the truth run with a constant block (brute
+    all-pairs; audit-scale only — at corpus scale you run this on a
+    hash-sampled slice). LSH candidates are a subset of all pairs, so
+    recall_e6 <= 1e6 by construction; integer division keeps it
+    engine-exact.
+
+    Reading the number: hyperplane-LSH collision probability is
+    1 - theta/pi per plane, so recall climbs steeply with the cosine
+    threshold. The synthetic corpus has no true near-dups, so DUP_COS
+    sits at 0.2 to produce pairs at all — and the audit duly reports
+    the ~18% recall 8 planes give barely-correlated pairs. At a real
+    near-dup threshold (0.9+) the same setup recalls >95%; THAT is the
+    regime the pipeline runs in, and exactly what this query exists to
+    verify when the embedding distribution changes."""
+    from deepee_spark.operators.dedup import embedding_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    found = embedding_dup_pairs(
+        emb, "vec_id", "embedding", dim=64, min_cosine=DUP_COS
+    ).count()
+    true = embedding_dup_pairs(
+        emb.withColumn("blk", F.lit(1)),
+        "vec_id", "embedding", dim=64, min_cosine=DUP_COS,
+        block_col="blk",
+    ).count()
+    return spark.createDataFrame(
+        [(int(true), int(found), 1_000_000 * int(found) // int(true))],
+        "n_true: long, n_found: long, recall_e6: long",
+    )
+
+
+_KG_LSH_RECALL_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         CAST({' + '.join(_LSH_PLANE_TERM.format(p=p, bit=1 << p) for p in range(8))} AS BIGINT) AS bucket
+  FROM embeddings),
+allp AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         (xor(a.bucket, b2.bucket) & (xor(a.bucket, b2.bucket) - 1)) = 0
+           AS is_cand,
+         ROUND({_DOT_SQL.format(a='a.embedding', b='b2.embedding')} /
+               (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')}) *
+                sqrt({_DOT_SQL.format(a='b2.embedding', b='b2.embedding')})), 6) AS cosine
+  FROM b a JOIN b b2 ON a.vec_id < b2.vec_id),
+cnt AS (
+  SELECT CAST(COUNT(*) FILTER (cosine >= {DUP_COS}) AS BIGINT) AS n_true,
+         CAST(COUNT(*) FILTER (cosine >= {DUP_COS} AND is_cand) AS BIGINT)
+           AS n_found
+  FROM allp)
+SELECT n_true, n_found,
+       CAST((1000000 * n_found) // n_true AS BIGINT) AS recall_e6
+FROM cnt
+"""
+
+
 def _dedup_cluster_assign(spark, sf):
     """Near-dup CLUSTERS: embedding dup pairs as coreference edges ->
     connected components -> (node, component=min id of its component).
@@ -6235,6 +6295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_crawl_schedule": _kg_crawl_schedule,
         "kg_corpus_mixture": _kg_corpus_mixture,
         "kg_cms_frequencies": _kg_cms_frequencies,
+        "kg_lsh_recall": _kg_lsh_recall,
         "kg_cluster_prf": _kg_cluster_prf,
         "text_bigram_logprob": _text_bigram_logprob,
         "kg_dangling_refs": _kg_dangling_refs,
@@ -6386,6 +6447,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_crawl_schedule": _kg_crawl_schedule_sql(),
         "kg_corpus_mixture": _KG_MIXTURE_SQL,
         "kg_cms_frequencies": _kg_cms_frequencies_sql(),
+        "kg_lsh_recall": _KG_LSH_RECALL_SQL,
         "kg_cluster_prf": _KG_CLUSTER_PRF_SQL,
         "text_bigram_logprob": _BIGRAM_SQL,
         "kg_dangling_refs": _KG_DANGLING_SQL,
