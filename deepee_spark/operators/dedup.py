@@ -205,6 +205,7 @@ def embedding_dup_pairs(
     min_cosine: float = 0.95,
     block_col: str | None = None,
     planes: int = 8,
+    tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-dup candidate pairs.
 
@@ -269,33 +270,88 @@ def embedding_dup_pairs(
     else:
         from .similarity import hyperplane_bucket
 
-        d = df.select(
-            F.col(id_col).alias("pid"), F.col(vec_col).alias("v")
-        ).withColumn("bucket", hyperplane_bucket(F.col("v"), dim, planes))
-        # each (a, b) with Hamming <= 1 matches on exactly one probe value,
-        # so no post-score distinct is needed
-        probes = F.array(
-            F.col("bucket"),
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << p)).cast("long")
+        # MULTI-TABLE recall amplification (Indyk-Motwani style, the
+        # standard LSH knob): `tables` independent plane families; a
+        # pair is a candidate if it collides (hamming <= 1) in ANY
+        # table. P[miss] = prod over tables of P[miss in one] — the
+        # kg_lsh_recall audit measures the effect. Cost is linear in
+        # `tables` on both exploded sides. The table id is encoded in
+        # the join key's high bits (t << planes | bucket), so one
+        # cogroup serves every table and the 1-bit probe flips can
+        # never cross tables.
+        d = df.select(F.col(id_col).alias("pid"), F.col(vec_col).alias("v"))
+        if tables > 1:
+            # integer-exact buckets: 32+ planes make float sign
+            # boundaries real (NumPy gemm vs a SQL fold accumulate in
+            # different orders near zero) — see
+            # similarity.hyperplane_bucket_exact
+            from .similarity import hyperplane_bucket_exact as _bucket_fn
+        else:
+            _bucket_fn = hyperplane_bucket
+        keys = [
+            (
+                _bucket_fn(F.col("v"), dim, planes, plane_offset=t * planes)
+                + F.lit(t << planes)
+            ).cast("long")
+            for t in range(tables)
+        ]
+        d = d.withColumn("keys", F.array(*keys))
+        probe_cols = []
+        for t in range(tables):
+            k = F.element_at("keys", t + 1)
+            probe_cols.append(k)
+            probe_cols.extend(
+                k.bitwiseXOR(F.lit(1 << p)).cast("long")
                 for p in range(planes)
-            ],
-        )
+            )
+        # within ONE table a hamming<=1 pair matches exactly one probe
+        # value; across tables a pair can collide several times. A
+        # value-level distinct CANNOT dedupe those: the same pair's
+        # gemm cosine is computed in different group matrices, and BLAS
+        # blocking makes the float bits batch-shape-dependent (observed:
+        # +426 phantom "distinct" pairs at sf0.01). Instead each pair is
+        # emitted ONLY by its FIRST colliding table — a structural,
+        # float-free dedup: both sides carry their full key arrays, and
+        # the scorer drops a pair whose minimum colliding table is not
+        # this group's.
         a = (
-            d.withColumn("probe", F.explode(probes))
-            .select("pid", "v", "probe")
+            d.withColumn("probe", F.explode(F.array(*probe_cols)))
+            .select("pid", "v", "keys", "probe")
             .repartition(n_parts, "probe")
         )
         # distinct names on the right side: both cogroup children derive
         # from `d`, and shared attribute ids let the optimizer mis-prune
         # the right child's columns (observed KeyError 'v' in the UDF)
-        b = d.select(
-            F.col("pid").alias("rpid"), F.col("v").alias("rv"), "bucket"
-        ).repartition(n_parts, "bucket")
-        scored = a.groupby("probe").cogroup(b.groupby("bucket")).applyInPandas(
-            lambda left, right: _score(
+        b = (
+            d.select(
+                F.col("pid").alias("rpid"),
+                F.col("v").alias("rv"),
+                F.col("keys").alias("rkeys"),
+                F.explode("keys").alias("bucket"),
+            )
+            .repartition(n_parts, "bucket")
+        )
+
+        def _score_first_table(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if len(left) == 0 or len(right) == 0:
+                return empty
+            out = _score(
                 left, right.rename(columns={"rpid": "pid", "rv": "v"})
-            ),
+            )
+            if len(out) == 0 or tables == 1:
+                return out
+            t_group = int(left["probe"].iloc[0]) >> planes
+            Ka = {p: np.asarray(k) for p, k in zip(left["pid"], left["keys"])}
+            Kb = {p: np.asarray(k) for p, k in zip(right["rpid"], right["rkeys"])}
+            keep = []
+            for ia, ib in zip(out["id_a"], out["id_b"]):
+                x = Ka.get(ia, Kb.get(ia)) ^ Kb.get(ib, Ka.get(ib))
+                coll = (x & (x - 1)) == 0
+                keep.append(int(np.argmax(coll)) == t_group)
+            return out[np.array(keep, dtype=bool)]
+
+        scored = a.groupby("probe").cogroup(b.groupby("bucket")).applyInPandas(
+            _score_first_table,
             out_schema,
         )
     return scored.select(

@@ -43,16 +43,19 @@ def hyperplane_plane(p: int, dim: int) -> list[float]:
     ]
 
 
-def hyperplane_bucket(vec, dim: int, planes: int = 8):
-    """-> bigint LSH bucket: bit p = sign(vec . plane_p).
+def hyperplane_bucket(vec, dim: int, planes: int = 8, plane_offset: int = 0):
+    """-> bigint LSH bucket: bit p = sign(vec . plane_{offset+p}).
 
     One float64 gemm per Arrow batch (n x dim @ dim x planes) instead of
     `planes` interpreted Catalyst folds per row — the fold version cost
-    ~4ms/row at dim=64/planes=8, which dominated every LSH consumer."""
+    ~4ms/row at dim=64/planes=8, which dominated every LSH consumer.
+    `plane_offset` selects an independent plane family from the shared
+    deterministic sequence — multi-table LSH uses offset = t * planes."""
     from pyspark.sql.functions import pandas_udf
 
     P = np.array(
-        [hyperplane_plane(p, dim) for p in range(planes)], dtype=np.float64
+        [hyperplane_plane(plane_offset + p, dim) for p in range(planes)],
+        dtype=np.float64,
     ).T  # dim x planes
     weights = (1 << np.arange(planes)).astype(np.int64)
 
@@ -231,3 +234,42 @@ def pq_topk(emb: DataFrame, queries: DataFrame, codebook: DataFrame,
         .filter(F.col("rk") <= k)
         .select("q_id", id_col, "adc")
     )
+
+
+def hyperplane_bucket_exact(
+    vec, dim: int, planes: int = 8, plane_offset: int = 0
+):
+    """Integer-exact LSH bucket: the embedding quantizes to 1e-6 and
+    the plane coefficients are the integer numerators of
+    hyperplane_plane, so the sign test is a BIGINT sum — independent of
+    summation order, BLAS implementation, and engine. The float gemm
+    version (hyperplane_bucket) can flip a bit when a dot product sits
+    within rounding distance of zero (NumPy's pairwise gemm vs a SQL
+    fold accumulate differently); with one 8-plane table those
+    boundary hits never materialized, but 32 planes made them real —
+    multi-table LSH uses this variant so its cross-engine twin matches
+    bit-for-bit."""
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.array(
+        [
+            [
+                (plane_offset + p) * 73856093 + j * 19349663
+                for j in range(1, dim + 1)
+            ]
+            for p in range(planes)
+        ],
+        dtype=np.int64,
+    )
+    P = P % 2000 - 1000  # integer numerators of the float planes
+    P = P.T  # dim x planes
+    weights = (1 << np.arange(planes)).astype(np.int64)
+
+    @pandas_udf("long")
+    def _bucket(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype="int64")
+        A = np.rint(np.stack(s.to_numpy()) * 1_000_000.0).astype(np.int64)
+        return pd.Series(((A @ P > 0).astype(np.int64) @ weights))
+
+    return _bucket(vec)

@@ -873,3 +873,37 @@ def test_skipgram_pairs_bruteforce_and_oracle(spark):
     assert out[("a", "a")] == 2  # step0<->step2 both directions
     with pytest.raises(ValueError):
         skipgram_pairs(df, window=0)
+
+
+def test_embedding_dedup_multitable_amplifies_recall(spark):
+    """tables=4 must (a) return ONLY pairs the brute all-pairs path
+    returns, with identical cosines, and (b) recall at least every
+    single-table pair — recall amplification, never correctness loss."""
+    import random as _random
+
+    from deepee_spark.operators.dedup import embedding_dup_pairs
+
+    rng = _random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kw = dict(id_col="vec_id", vec_col="embedding", dim=16, min_cosine=0.2)
+    brute = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_dup_pairs(
+            df.withColumn("blk", __import__("pyspark.sql.functions", fromlist=["lit"]).lit(1)),
+            block_col="blk", **kw,
+        ).collect()
+    }
+    t1 = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_dup_pairs(df, planes=8, tables=1, **kw).collect()
+    }
+    t4 = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_dup_pairs(df, planes=8, tables=4, **kw).collect()
+    }
+    assert set(t1) <= set(t4) <= set(brute)
+    assert all(t4[p] == brute[p] for p in t4)
+    assert len(t4) > len(t1)  # amplification must actually bite here
