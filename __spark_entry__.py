@@ -3568,6 +3568,36 @@ GROUP BY pred
 """
 
 
+def _kg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog cardinality (operators/sketches.hll_distinct):
+    per-predicate distinct-subject estimate from m=64 max-rank
+    registers with the integer-exact estimator (harmonic mean carried
+    as the BIGINT sum of 2^(31-reg); one integer division at the end),
+    so the DuckDB twin is bit-identical. KMV (kg_distinct_sketch) is
+    exact below k and the default; HLL is the scale path where even
+    k hash values stop resolving (10^12-distinct regimes) — registers
+    are bounded state (<= m rows/key) no matter the input size."""
+    from deepee_spark.operators.sketches import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    t = ev.select(
+        F.col("event_type").alias("pred"),
+        F.concat(F.lit("user#"), F.col("user_id")).alias("subj"),
+    )
+    return hll_distinct(t, ["pred"], "subj")
+
+
+def _kg_hll_distinct_sql() -> str:
+    from deepee_spark.operators.sketches import hll_oracle_sql
+
+    src = (
+        "SELECT event_type AS pred, "
+        f"({_HASH_SQL.format(col=chr(39) + 'user#' + chr(39) + ' || CAST(user_id AS VARCHAR)')}"
+        " * 2654435761) % 1000000007 AS h FROM events"
+    )
+    return hll_oracle_sql(src, ["pred"])
+
+
 def _kg_dangling_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity sweep (operators/validation.
     dangling_references): purchase triples whose endpoint is missing
@@ -6373,6 +6403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_logprob": _text_bigram_logprob,
         "kg_dangling_refs": _kg_dangling_refs,
         "kg_sketch_merge": _kg_sketch_merge,
+        "kg_hll_distinct": _kg_hll_distinct,
         "skew_hot_keys": _skew_hot_keys,
         "kg_distant_supervision": _kg_distant_supervision,
         "kg_rule_mining": _kg_rule_mining,
@@ -6526,6 +6557,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bigram_logprob": _BIGRAM_SQL,
         "kg_dangling_refs": _KG_DANGLING_SQL,
         "kg_sketch_merge": _KG_SKETCH_MERGE_SQL,
+        "kg_hll_distinct": _kg_hll_distinct_sql(),
         "skew_hot_keys": _SKEW_HOT_KEYS_SQL,
         "kg_distant_supervision": _KG_DISTANT_SQL,
         "kg_rule_mining": _KG_RULES_SQL,
