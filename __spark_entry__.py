@@ -3291,6 +3291,48 @@ FROM events WHERE user_id % 50 = 0
 """
 
 
+def _kg_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (operators/graph.scc) over a
+    DIRECTED interaction graph: purchase edges point user->item and
+    view edges point item->user for every third user, so the fixture
+    has one-way sources (users who only buy), singleton SCCs, and a
+    mutual-reachability core. Label-peeling FW-BW — node-sized label
+    state, never the quadratic reachability closure (that object is
+    oracle-side only, where sf0.01 keeps it small)."""
+    from deepee_spark.operators.graph import scc
+
+    ev = _t(spark, sf_dir, "events")
+    fwd = ev.filter(F.col("event_type") == "purchase").select(
+        F.concat(F.lit("user#"), F.col("user_id")).alias("src"),
+        F.concat(
+            F.lit("item#"), F.get_json_object("props", "$.k")
+        ).alias("dst"),
+    )
+    back = ev.filter(
+        (F.col("event_type") == "view") & (F.col("user_id") % 3 == 0)
+    ).select(
+        F.concat(
+            F.lit("item#"), F.get_json_object("props", "$.k")
+        ).alias("src"),
+        F.concat(F.lit("user#"), F.col("user_id")).alias("dst"),
+    )
+    return scc(fwd.unionByName(back))
+
+
+def _kg_scc_sql() -> str:
+    from deepee_spark.operators.graph import scc_oracle_sql
+
+    return scc_oracle_sql(
+        "SELECT 'user#' || CAST(user_id AS VARCHAR) AS src,"
+        " 'item#' || json_extract_string(props, '$.k') AS dst"
+        " FROM events WHERE event_type = 'purchase'"
+        " UNION ALL"
+        " SELECT 'item#' || json_extract_string(props, '$.k') AS src,"
+        " 'user#' || CAST(user_id AS VARCHAR) AS dst"
+        " FROM events WHERE event_type = 'view' AND user_id % 3 = 0"
+    )
+
+
 def _kg_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (operators/temporal.funnel): earliest
     view -> click -> purchase chain per user with strict time order;
@@ -6404,6 +6446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_dangling_refs": _kg_dangling_refs,
         "kg_sketch_merge": _kg_sketch_merge,
         "kg_hll_distinct": _kg_hll_distinct,
+        "kg_scc": _kg_scc,
         "skew_hot_keys": _skew_hot_keys,
         "kg_distant_supervision": _kg_distant_supervision,
         "kg_rule_mining": _kg_rule_mining,
@@ -6558,6 +6601,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_dangling_refs": _KG_DANGLING_SQL,
         "kg_sketch_merge": _KG_SKETCH_MERGE_SQL,
         "kg_hll_distinct": _kg_hll_distinct_sql(),
+        "kg_scc": _kg_scc_sql(),
         "skew_hot_keys": _SKEW_HOT_KEYS_SQL,
         "kg_distant_supervision": _KG_DISTANT_SQL,
         "kg_rule_mining": _KG_RULES_SQL,

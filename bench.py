@@ -81,10 +81,12 @@ def main() -> None:
         "kg_triangles",
         "kg_co_neighbors",
         "kg_distinct_sketch",
+        "kg_hll_distinct",
         "kg_fact_latest",
         "kg_fact_asof",
         "kg_kcore",
         "kg_taxonomy_closure",
+        "kg_scc",
         "kg_skipgram_pairs",
         "kg_outlink_hosts",
         "kg_bloom_frontier",

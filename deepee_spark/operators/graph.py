@@ -1340,3 +1340,155 @@ r(src, dst, dist) AS (
 SELECT src, dst, CAST(MIN(dist) AS BIGINT) AS dist FROM r
 WHERE src <> dst GROUP BY src, dst
 """
+
+
+def _scc_minlabel(
+    edges: DataFrame, nodes: DataFrame, max_hops: int
+) -> DataFrame:
+    """Min-label propagation along the DIRECTION of `edges` to the true
+    fixpoint: returns (node, lab) where lab = min id over {node} union
+    every node with a directed path TO node. Each hop is one
+    shuffle-hash join of the node-sized label table against the
+    persisted pre-partitioned edge list (only labels move — the
+    pagerank/bfs lesson) plus one min-agg; convergence is detected by
+    the (count, hash-sum) signature of the label table (labels only
+    ever decrease, so a stable signature is a true fixpoint). Raises
+    if max_hops rounds pass without converging rather than returning a
+    silently-unconverged labeling — the SCC peel above it needs EXACT
+    ancestor minima."""
+    lab = nodes.select("node", F.col("node").alias("lab")).localCheckpoint()
+    sig = None
+    for _ in range(max_hops):
+        pushed = (
+            edges.join(
+                lab.withColumnRenamed("node", "src").hint("shuffle_hash"),
+                "src",
+            )
+            .select(F.col("dst").alias("node"), "lab")
+        )
+        lab = (
+            lab.unionByName(pushed)
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint()
+        )
+        nxt = lab.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(node, lab))").alias("h"),
+        ).collect()[0]
+        nxt = (nxt["n"], nxt["h"])
+        if nxt == sig:
+            return lab
+        sig = nxt
+    raise RuntimeError(
+        f"scc: label propagation did not converge in {max_hops} hops"
+    )
+
+
+def scc(
+    edges: DataFrame, max_rounds: int = 10, max_hops: int = 64
+) -> DataFrame:
+    """Strongly connected components of the DIRECTED graph (src, dst):
+    (node, scc_id) for every node incident to an edge, scc_id = the
+    minimum node id in the component. Mutual-reachability semantics —
+    the directed sibling of components.connected_components, which this
+    deliberately does NOT reuse: direction is the whole question (a
+    purchase edge u->i plus a view edge i->u is a cycle; either alone
+    is not).
+
+    Algorithm (label-peeling FW-BW, the Pregel-standard formulation of
+    Orzan's coloring): per round, F(v) = min id over v's ancestor
+    closure and B(v) = min id over its descendant closure, each by
+    min-label propagation to fixpoint; F(v) = B(v) = c certifies
+    c -> v -> c, i.e. v is in SCC(c) — and c, being an ancestor AND
+    descendant minimum, is the min id IN that SCC. Settled nodes and
+    their edges leave the graph; unsettled nodes (their ancestor min
+    differed from their descendant min — both outside their SCC) retry
+    on the shrunken graph. Each round settles at least the SCC of the
+    smallest surviving id (it is its own ancestor and descendant
+    minimum), so the peel terminates; real web/KG graphs settle almost
+    everything in round one because most SCC-DAG chains are short.
+
+    Scale shape: state is two node-sized label tables; the edge set is
+    shuffled once per round per direction into a persisted
+    hash-partitioned list that every propagation hop probes in place.
+    No step materializes reachability PAIRS — the closure object the
+    DuckDB oracle builds (oracle-side only) would be quadratic at
+    cluster scale; labels keep it O(V) here.
+    """
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
+    n_parts = edges.sparkSession.sparkContext.defaultParallelism
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    settled = nodes.limit(0).select("node", F.col("node").alias("scc_id"))
+    for _ in range(max_rounds):
+        if nodes.isEmpty():
+            return settled
+        fwd = e.repartition(n_parts, "src").persist()
+        bwd = (
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            .repartition(n_parts, "src")
+            .persist()
+        )
+        f_lab = _scc_minlabel(fwd, nodes, max_hops)
+        b_lab = _scc_minlabel(bwd, nodes, max_hops)
+        roots = (
+            f_lab.join(b_lab.withColumnRenamed("lab", "blab"), "node")
+            .filter(F.col("lab") == F.col("blab"))
+            .select("node", F.col("lab").alias("scc_id"))
+        )
+        settled = settled.unionByName(roots).localCheckpoint()
+        nodes = nodes.join(
+            settled.select("node"), "node", "left_anti"
+        ).localCheckpoint()
+        e = (
+            e.join(
+                nodes.withColumnRenamed("node", "src"), "src", "left_semi"
+            )
+            .join(nodes.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        fwd.unpersist()
+        bwd.unpersist()
+    if not nodes.isEmpty():
+        raise RuntimeError(
+            f"scc: peel did not settle every node in {max_rounds} rounds"
+        )
+    return settled
+
+
+def scc_oracle_sql(edges_sql: str) -> str:
+    """DuckDB twin of scc via the definition itself: the recursive
+    reachability closure, mutual pairs, min partner per node. The
+    closure is quadratic in SCC size — fine for the oracle's sf0.01
+    world, and exactly the object the Spark side avoids building."""
+    return f"""
+WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM ({edges_sql})
+                     WHERE src <> dst),
+reach(a, b) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+mutual AS (
+  SELECT r1.a AS node, r1.b AS partner
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+)
+SELECT n.node,
+       LEAST(n.node, COALESCE(MIN(m.partner), n.node)) AS scc_id
+FROM nodes n LEFT JOIN mutual m ON m.node = n.node
+GROUP BY n.node
+"""

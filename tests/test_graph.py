@@ -907,3 +907,61 @@ def test_embedding_dedup_multitable_amplifies_recall(spark):
     assert set(t1) <= set(t4) <= set(brute)
     assert all(t4[p] == brute[p] for p in t4)
     assert len(t4) > len(t1)  # amplification must actually bite here
+
+
+def _scc_py(rows):
+    adj = defaultdict(set)
+    nodes = set()
+    for s, d in rows:
+        if s != d:
+            adj[s].add(d)
+            nodes |= {s, d}
+    reach = {}
+    for n in nodes:
+        seen, stack = set(), [n]
+        while stack:
+            for v in adj[stack.pop()]:
+                if v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        reach[n] = seen
+    return {
+        n: min(
+            [n]
+            + [m for m in nodes if m in reach[n] and n in reach[m]]
+        )
+        for n in nodes
+    }
+
+
+def test_scc_bruteforce_and_oracle(spark, edges):
+    from deepee_spark.operators.graph import scc, scc_oracle_sql
+
+    rows = [(r.src, r.dst) for r in edges.collect()]
+    want = _scc_py(rows)
+    got = {r.node: r.scc_id for r in scc(edges).collect()}
+    assert got == want
+    con = duckdb.connect()
+    con.register("edges_tbl", edges.toPandas())
+    sql = scc_oracle_sql("SELECT src, dst FROM edges_tbl")
+    assert {n: c for n, c in con.execute(sql).fetchall()} == want
+
+
+def test_scc_multi_round_peel_and_guards(spark):
+    """Adversarial SCC-DAG chain where the cycle {5,6} has its ancestor
+    minimum (0) and descendant minimum (1) OUTSIDE the cycle — settling
+    it takes three peel rounds (0 first, then 1, then {5,6}). Also:
+    self-loops drop, empty input returns empty, bad params raise."""
+    from deepee_spark.operators.graph import scc
+
+    g = spark.createDataFrame(
+        [(0, 5), (5, 6), (6, 5), (6, 1), (7, 7)], "src: long, dst: long"
+    )
+    got = {r.node: r.scc_id for r in scc(g).collect()}
+    assert got == {0: 0, 1: 1, 5: 5, 6: 5}  # 7 had only a self-loop
+    with pytest.raises(RuntimeError):
+        scc(g, max_rounds=2)  # needs 3 peel rounds
+    with pytest.raises(ValueError):
+        scc(g, max_rounds=0)
+    empty = spark.createDataFrame([], "src: long, dst: long")
+    assert scc(empty).count() == 0

@@ -543,3 +543,38 @@ def test_skipgram_join_is_equi_hash_not_range(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Join" in plan, plan
+
+
+def test_scc_propagation_avoids_sortmerge(spark):
+    """Each SCC label-propagation hop joins the node-sized label table
+    against the (persisted, pre-partitioned in scc()) edge list — the
+    same plan class as the PageRank iteration: sort-merge would re-sort
+    the edges every hop, so the push join must plan as a shuffled hash
+    join and never a cartesian."""
+    from deepee_spark.operators.graph import _scc_minlabel
+
+    edges = spark.createDataFrame(
+        [(i % 40, (i * 11) % 40) for i in range(300) if i % 40 != (i * 11) % 40],
+        "src: long, dst: long",
+    ).distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    lab = nodes.select("node", F.col("node").alias("lab"))
+    pushed = edges.join(
+        lab.withColumnRenamed("node", "src").hint("shuffle_hash"), "src"
+    ).select(F.col("dst").alias("node"), "lab")
+    one_hop = (
+        lab.unionByName(pushed).groupBy("node").agg(F.min("lab").alias("lab"))
+    )
+    plan = formatted_plan(one_hop)
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    # and the operator's own fixpoint matches on this graph shape
+    got = _scc_minlabel(
+        edges.repartition(4, "src").persist(), nodes, max_hops=64
+    )
+    assert got.count() == nodes.count()
