@@ -3291,6 +3291,41 @@ FROM events WHERE user_id % 50 = 0
 """
 
 
+def _kg_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl politeness schedule (operators/urls.
+    politeness_schedule): fetch_at_i = max(ts_i, fetch_at_{i-1} + 5s)
+    per host, computed as a running-max window unroll — one exchange
+    on host, no recursion, exact BIGINT seconds. The oracle steps the
+    defining recurrence itself through a recursive CTE (a different
+    algorithm), so an unroll bug cannot reproduce on the SQL side."""
+    from deepee_spark.operators.urls import politeness_schedule
+
+    ev = _t(spark, sf_dir, "events")
+    req = ev.select(
+        F.concat(F.lit("host"), F.col("user_id") % 20).alias("host"),
+        F.concat(
+            F.lit("https://host"),
+            F.col("user_id") % 20,
+            F.lit("/e/"),
+            F.col("event_id"),
+        ).alias("url"),
+        F.unix_timestamp("ts").cast("long").alias("ts_s"),
+    )
+    return politeness_schedule(req, gap_s=5)
+
+
+def _kg_politeness_sql() -> str:
+    from deepee_spark.operators.urls import politeness_oracle_sql
+
+    return politeness_oracle_sql(
+        "SELECT 'host' || CAST(user_id % 20 AS VARCHAR) AS host,"
+        " 'https://host' || CAST(user_id % 20 AS VARCHAR) || '/e/' ||"
+        " CAST(event_id AS VARCHAR) AS url,"
+        " CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events",
+        gap_s=5,
+    )
+
+
 def _kg_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strongly connected components (operators/graph.scc) over a
     DIRECTED interaction graph: purchase edges point user->item and
@@ -6447,6 +6482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sketch_merge": _kg_sketch_merge,
         "kg_hll_distinct": _kg_hll_distinct,
         "kg_scc": _kg_scc,
+        "kg_politeness": _kg_politeness,
         "skew_hot_keys": _skew_hot_keys,
         "kg_distant_supervision": _kg_distant_supervision,
         "kg_rule_mining": _kg_rule_mining,
@@ -6602,6 +6638,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sketch_merge": _KG_SKETCH_MERGE_SQL,
         "kg_hll_distinct": _kg_hll_distinct_sql(),
         "kg_scc": _kg_scc_sql(),
+        "kg_politeness": _kg_politeness_sql(),
         "skew_hot_keys": _SKEW_HOT_KEYS_SQL,
         "kg_distant_supervision": _KG_DISTANT_SQL,
         "kg_rule_mining": _KG_RULES_SQL,

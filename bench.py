@@ -93,6 +93,7 @@ def main() -> None:
         "kg_cms_frequencies",
         "kg_corpus_mixture",
         "kg_crawl_schedule",
+        "kg_politeness",
         "ee_trigger_counts",
         "bert_trigger_tags",
         "qa_span_args",

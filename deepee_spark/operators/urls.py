@@ -86,3 +86,77 @@ def url_host_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
             1 - F.countDistinct("canonical") / F.count(F.lit(1)), 6
         ).alias("dup_frac"),
     )
+
+
+def politeness_schedule(
+    df: DataFrame,
+    gap_s: int,
+    host_col: str = "host",
+    url_col: str = "url",
+    ts_col: str = "ts_s",
+) -> DataFrame:
+    """Per-host crawl politeness: serialize each host's fetch requests
+    so consecutive fetches are >= gap_s apart, never before the request
+    time. The defining recurrence (first fetch at its request time,
+    then fetch_at_i = max(ts_i, fetch_at_{i-1} + gap)) LOOKS like a
+    sequential per-host fold, but unrolls to
+
+        fetch_at_i = max_{j<=i}(ts_j - j*gap) + i*gap
+
+    — a running max over one monotone transform. So the whole schedule
+    is two window functions over a single (host)-partitioned sort: one
+    exchange on host, sequential only WITHIN a host (politeness is a
+    per-host serial constraint by definition), parallel across the
+    billions of hosts of a web crawl. No applyInPandas, no recursion,
+    exact BIGINT seconds. Returns the input plus fetch_at and wait_s =
+    fetch_at - ts (how long the queue delayed the request).
+
+    The DuckDB oracle (politeness_oracle_sql) intentionally runs the
+    RECURRENCE ITSELF via a recursive CTE — a different algorithm, so
+    an unroll bug here cannot reproduce there; pytest also checks a
+    driver-side Python fold.
+    """
+    from pyspark.sql import Window as W
+
+    if gap_s < 0:
+        raise ValueError("gap_s must be >= 0")
+    order = W.partitionBy(host_col).orderBy(ts_col, url_col)
+    rn = F.row_number().over(order)
+    run = W.partitionBy(host_col).orderBy(ts_col, url_col).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    with_rn = df.withColumn("_rn", rn)
+    fetch_at = (
+        F.max(F.col(ts_col) - F.col("_rn") * F.lit(gap_s)).over(run)
+        + F.col("_rn") * F.lit(gap_s)
+    ).cast("long")
+    return (
+        with_rn.withColumn("fetch_at", fetch_at)
+        .withColumn(
+            "wait_s", (F.col("fetch_at") - F.col(ts_col)).cast("long")
+        )
+        .drop("_rn")
+    )
+
+
+def politeness_oracle_sql(source_sql: str, gap_s: int) -> str:
+    """DuckDB twin of politeness_schedule over `source_sql` (a SELECT
+    yielding host, url, ts_s) — by stepping the defining recurrence
+    with a recursive CTE, one rank per step, NOT the window unroll the
+    Spark side uses."""
+    return f"""
+WITH RECURSIVE ranked AS (
+  SELECT host, url, ts_s,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY ts_s, url) AS rn
+  FROM ({source_sql})),
+sched(host, rn, fetch_at) AS (
+  SELECT host, rn, ts_s FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT r.host, r.rn, GREATEST(r.ts_s, s.fetch_at + {gap_s})
+  FROM ranked r JOIN sched s ON r.host = s.host AND r.rn = s.rn + 1
+)
+SELECT r.host, r.url, r.ts_s,
+       CAST(s.fetch_at AS BIGINT) AS fetch_at,
+       CAST(s.fetch_at - r.ts_s AS BIGINT) AS wait_s
+FROM ranked r JOIN sched s ON s.host = r.host AND s.rn = r.rn
+"""

@@ -1012,3 +1012,56 @@ def test_bgp_match_bruteforce(spark):
         bgp_match(t, [("?a", "purchase", "?b"), ("?c", "click", "?d")])
     with pytest.raises(ValueError):
         bgp_match(t, [])
+
+
+def test_politeness_schedule_bruteforce_and_oracle(spark):
+    """The window-unroll schedule equals the defining per-host fold
+    (driver-side Python) AND the recursive-CTE DuckDB twin, on a
+    fixture with bursts (same-second requests), idle gaps (queue
+    drains), and an interleaved multi-host stream."""
+    import duckdb
+    import random
+
+    from deepee_spark.operators.urls import (
+        politeness_oracle_sql,
+        politeness_schedule,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(400):
+        host = f"h{rng.randrange(5)}"
+        # bursts: many requests in the same few seconds, then jumps
+        ts = rng.randrange(20) + (i // 50) * 300
+        rows.append((host, f"https://{host}/p{i}", ts))
+    df = spark.createDataFrame(rows, "host: string, url: string, ts_s: long")
+    gap = 7
+    got = {
+        (r.host, r.url): (r.ts_s, r.fetch_at, r.wait_s)
+        for r in politeness_schedule(df, gap).collect()
+    }
+    # defining fold per host
+    want = {}
+    byhost = {}
+    for h, u, t in rows:
+        byhost.setdefault(h, []).append((t, u))
+    for h, reqs in byhost.items():
+        prev = None
+        for t, u in sorted(reqs):
+            at = t if prev is None else max(t, prev + gap)
+            want[(h, u)] = (t, at, at - t)
+            prev = at
+    assert got == want
+    con = duckdb.connect()
+    con.register("req", df.toPandas())
+    sql = politeness_oracle_sql("SELECT host, url, ts_s FROM req", gap)
+    assert {
+        (h, u): (t, at, w) for h, u, t, at, w in con.execute(sql).fetchall()
+    } == want
+    # gap=0 degenerates to fetch_at == ts
+    z = politeness_schedule(df, 0).agg(F.sum("wait_s")).collect()[0][0]
+    assert z == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        politeness_schedule(df, -1)

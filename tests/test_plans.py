@@ -578,3 +578,19 @@ def test_scc_propagation_avoids_sortmerge(spark):
         edges.repartition(4, "src").persist(), nodes, max_hops=64
     )
     assert got.count() == nodes.count()
+
+
+def test_politeness_schedule_one_partitioned_exchange(spark):
+    """Both politeness windows (row_number + running max) share the
+    (host) partitioning and (ts, url) sort, so the plan must contain
+    exactly ONE shuffle exchange and no global window — per-host
+    sequencing is the semantics, cross-host parallelism is the plan."""
+    from deepee_spark.operators.urls import politeness_schedule
+
+    req = spark.createDataFrame(
+        [(f"h{i % 5}", f"u{i}", i % 37) for i in range(200)],
+        "host: string, url: string, ts_s: long",
+    )
+    plan = formatted_plan(politeness_schedule(req, 5))
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("Exchange (") == 1, plan
