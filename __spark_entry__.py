@@ -2053,6 +2053,82 @@ def _ann_cosine_topk(spark, sf):
     )
 
 
+def _ann_rrf_fused(spark, sf):
+    """Reciprocal-rank fusion (operators/similarity.rrf_fuse) of two
+    retrieval paths over the same queries — normalized cosine and raw
+    dot-product rankings disagree exactly where candidate norms vary,
+    so the fused order differs from both inputs. Integer 1e9 div
+    (60+rank) scoring makes the fusion BIGINT-exact cross-engine."""
+    from pyspark.sql import Window as W
+
+    from deepee_spark.operators.similarity import rrf_fuse
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    pairs = q.crossJoin(c).filter(F.col("q_id") != F.col("c_id"))
+    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+        * F.sqrt(_dot(F.col("c_emb"), F.col("c_emb")))
+    )
+    scored = pairs.select(
+        "q_id",
+        "c_id",
+        F.round(cos, 6).alias("cosine"),
+        F.round(_dot(F.col("q_emb"), F.col("c_emb")), 6).alias("dotv"),
+    )
+    wc = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    wd = W.partitionBy("q_id").orderBy(F.desc("dotv"), F.asc("c_id"))
+    r1 = (
+        scored.withColumn("rank", F.row_number().over(wc).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("q_id", "c_id", "rank")
+    )
+    r2 = (
+        scored.withColumn("rank", F.row_number().over(wd).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("q_id", "c_id", "rank")
+    )
+    return rrf_fuse(r1.unionByName(r2), k_rrf=60, topk=5)
+
+
+_ANN_RRF_SQL = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+scored AS (
+  SELECT q_id, c_id,
+         ROUND({_DOT_SQL.format(a='q_emb', b='c_emb')} /
+               (sqrt({_DOT_SQL.format(a='q_emb', b='q_emb')}) *
+                sqrt({_DOT_SQL.format(a='c_emb', b='c_emb')})), 6) AS cosine,
+         ROUND({_DOT_SQL.format(a='q_emb', b='c_emb')}, 6) AS dotv
+  FROM q, c WHERE q_id != c_id),
+r1 AS (
+  SELECT q_id, c_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+  FROM scored QUALIFY rank <= 10),
+r2 AS (
+  SELECT q_id, c_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dotv DESC, c_id) AS rank
+  FROM scored QUALIFY rank <= 10),
+pooled AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2),
+fused AS (
+  SELECT q_id, c_id,
+         CAST(SUM(1000000000 // (60 + rank)) AS BIGINT) AS rrf_score_e9,
+         CAST(COUNT(*) AS BIGINT) AS n_lists
+  FROM pooled GROUP BY q_id, c_id)
+SELECT q_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY rrf_score_e9 DESC, c_id) AS BIGINT) AS rank_fused,
+       c_id, rrf_score_e9, n_lists
+FROM fused
+QUALIFY rank_fused <= 5
+"""
+
+
 _ANN_SQL = f"""
 WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
 c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
@@ -3784,6 +3860,54 @@ def _kg_cluster_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pairwise_cluster_prf(assign)
+
+
+def _kg_cluster_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed clustering P/R/F1 (operators/metrics.bcubed_prf) on the
+    same mod-7 pred vs mod-5 gold disagreement fixture as
+    kg_cluster_prf — the per-mention metric next to the pairwise one,
+    all cell-collapsed integer arithmetic (no per-mention rows past
+    the first agg)."""
+    from deepee_spark.operators.metrics import bcubed_prf
+
+    assign = (
+        _t(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            (F.col("user_id") % 7).cast("long").alias("pred_cluster"),
+            (F.col("user_id") % 5).cast("long").alias("gold_class"),
+        )
+    )
+    return bcubed_prf(assign)
+
+
+_KG_CLUSTER_BCUBED_SQL = """
+WITH a AS (SELECT DISTINCT user_id FROM events),
+cells AS (
+  SELECT user_id % 7 AS p, user_id % 5 AS g, COUNT(*) AS m
+  FROM a GROUP BY user_id % 7, user_id % 5),
+psz AS (SELECT p, SUM(m) AS np FROM cells GROUP BY p),
+gsz AS (SELECT g, SUM(m) AS ng FROM cells GROUP BY g),
+agg AS (
+  SELECT CAST(SUM(c.m) AS BIGINT) AS n_mentions,
+         CAST(SUM(c.m * ((1000000 * c.m) // psz.np)) AS BIGINT) AS sp,
+         CAST(SUM(c.m * ((1000000 * c.m) // gsz.ng)) AS BIGINT) AS sg
+  FROM cells c JOIN psz ON psz.p = c.p JOIN gsz ON gsz.g = c.g),
+pr AS (
+  SELECT n_mentions,
+         CAST(CASE WHEN n_mentions > 0 THEN sp // n_mentions ELSE 0 END
+              AS BIGINT) AS b3_precision_e6,
+         CAST(CASE WHEN n_mentions > 0 THEN sg // n_mentions ELSE 0 END
+              AS BIGINT) AS b3_recall_e6
+  FROM agg)
+SELECT n_mentions, b3_precision_e6, b3_recall_e6,
+       CAST(CASE WHEN b3_precision_e6 + b3_recall_e6 > 0
+                 THEN (2 * b3_precision_e6 * b3_recall_e6)
+                      // (b3_precision_e6 + b3_recall_e6)
+                 ELSE 0 END AS BIGINT) AS b3_f1_e6
+FROM pr
+"""
 
 
 _KG_CLUSTER_PRF_SQL = """
@@ -6483,6 +6607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hll_distinct": _kg_hll_distinct,
         "kg_scc": _kg_scc,
         "kg_politeness": _kg_politeness,
+        "kg_cluster_bcubed": _kg_cluster_bcubed,
+        "ann_rrf_fused": _ann_rrf_fused,
         "skew_hot_keys": _skew_hot_keys,
         "kg_distant_supervision": _kg_distant_supervision,
         "kg_rule_mining": _kg_rule_mining,
@@ -6639,6 +6765,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_hll_distinct": _kg_hll_distinct_sql(),
         "kg_scc": _kg_scc_sql(),
         "kg_politeness": _kg_politeness_sql(),
+        "kg_cluster_bcubed": _KG_CLUSTER_BCUBED_SQL,
+        "ann_rrf_fused": _ANN_RRF_SQL,
         "skew_hot_keys": _SKEW_HOT_KEYS_SQL,
         "kg_distant_supervision": _KG_DISTANT_SQL,
         "kg_rule_mining": _KG_RULES_SQL,

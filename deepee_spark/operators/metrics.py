@@ -274,3 +274,67 @@ def pairwise_cluster_prf(
             " ELSE 0 END"
         ).cast("long").alias("f1_e6"),
     )
+
+
+def bcubed_prf(
+    assignments: DataFrame,
+    pred_col: str = "pred_cluster",
+    gold_col: str = "gold_class",
+) -> DataFrame:
+    """B-cubed clustering P/R/F1 (Bagga & Baldwin 1998 — public), the
+    per-MENTION complement of pairwise_cluster_prf: precision for a
+    mention is the fraction of its predicted cluster sharing its gold
+    class, recall the fraction of its gold class its cluster captured;
+    both averaged over mentions. Pairwise over-weights big clusters
+    quadratically (C(n,2)); B-cubed weights every mention equally —
+    entity-resolution evaluations report both, so the engine carries
+    both.
+
+    All-integer: every mention in a (pred, gold) contingency cell has
+    the same intersection m and the same denominators, so per-mention
+    fractions collapse to cell arithmetic —
+        sum_prec = Σ_cells m * ((1e6 * m) div n_pred)
+    and the average is one more integer division by N. ONE row out:
+    (n_mentions, b3_precision_e6, b3_recall_e6, b3_f1_e6), zeros on
+    empty input, exactly reproducible in any BIGINT engine.
+
+    Scale shape: identical to pairwise_cluster_prf — three partial-
+    agged groupBys whose reduce sides are cluster-count-sized; nothing
+    per-pair, nothing per-mention past the first agg.
+    """
+    cells = (
+        assignments.select(
+            F.col(pred_col).alias("_p"), F.col(gold_col).alias("_g")
+        )
+        .groupBy("_p", "_g")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    psz = cells.groupBy("_p").agg(F.sum("m").cast("long").alias("np"))
+    gsz = cells.groupBy("_g").agg(F.sum("m").cast("long").alias("ng"))
+    j = cells.join(psz, "_p").join(gsz, "_g")
+    agg = j.select(
+        F.sum("m").cast("long").alias("n_mentions"),
+        F.sum(F.expr("m * ((1000000 * m) DIV np)"))
+        .cast("long")
+        .alias("_sp"),
+        F.sum(F.expr("m * ((1000000 * m) DIV ng)"))
+        .cast("long")
+        .alias("_sg"),
+    )
+    prec = F.expr(
+        "CASE WHEN n_mentions > 0 THEN _sp DIV n_mentions ELSE 0 END"
+    ).cast("long")
+    rec = F.expr(
+        "CASE WHEN n_mentions > 0 THEN _sg DIV n_mentions ELSE 0 END"
+    ).cast("long")
+    out = agg.select(
+        F.coalesce("n_mentions", F.lit(0)).cast("long").alias("n_mentions"),
+        prec.alias("b3_precision_e6"),
+        rec.alias("b3_recall_e6"),
+    )
+    f1 = F.expr(
+        "CASE WHEN b3_precision_e6 + b3_recall_e6 > 0"
+        " THEN (2 * b3_precision_e6 * b3_recall_e6)"
+        " DIV (b3_precision_e6 + b3_recall_e6) ELSE 0 END"
+    ).cast("long")
+    return out.withColumn("b3_f1_e6", f1)

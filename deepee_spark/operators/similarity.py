@@ -273,3 +273,47 @@ def hyperplane_bucket_exact(
         return pd.Series(((A @ P > 0).astype(np.int64) @ weights))
 
     return _bucket(vec)
+
+
+def rrf_fuse(
+    rankings: DataFrame, k_rrf: int = 60, topk: int = 10
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09 —
+    public) of several per-query candidate rankings: input rows
+    (q_id, c_id, rank) pooled from any number of retrieval paths (the
+    engine's brute cosine / IVF / PQ / LSH lists), fused score per
+    candidate = sum over lists of 1e9 div (k_rrf + rank) — INTEGER
+    division, so the fusion is exact in any BIGINT engine and immune
+    to float summation order. Returns the fused top-k per query:
+    (q_id, rank_fused, c_id, rrf_score_e9, n_lists), ties broken by
+    c_id for a total order.
+
+    This is the standard way to combine heterogeneous retrieval paths
+    without score calibration — ranks are scale-free where raw cosine
+    vs ADC distances are not comparable.
+
+    Scale shape: one (q_id, c_id) partial-agged shuffle over the
+    pooled candidate lists (k rows per query per list — never corpus-
+    sized), then a per-query window. Both stages partition on query;
+    a million queries fan across the cluster.
+    """
+    if k_rrf < 1 or topk < 1:
+        raise ValueError("k_rrf and topk must be >= 1")
+    scored = (
+        rankings.select("q_id", "c_id", "rank")
+        .groupBy("q_id", "c_id")
+        .agg(
+            F.sum(F.expr(f"1000000000 DIV ({k_rrf} + rank)"))
+            .cast("long")
+            .alias("rrf_score_e9"),
+            F.count(F.lit(1)).cast("long").alias("n_lists"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("rrf_score_e9"), F.asc("c_id")
+    )
+    return (
+        scored.withColumn("rank_fused", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank_fused") <= topk)
+        .select("q_id", "rank_fused", "c_id", "rrf_score_e9", "n_lists")
+    )

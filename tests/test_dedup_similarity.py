@@ -336,3 +336,46 @@ def test_jaccard_similarity_join_blocked(spark):
         ).collect()
     }
     assert got == {("a", "b"), ("c", "d")}
+
+
+def test_rrf_fuse_bruteforce_and_guards(spark):
+    """RRF vs a literal Python fold over three synthetic rankings,
+    including candidates present in only some lists; ties broken by
+    c_id; bad params raise."""
+    import random
+
+    import pytest as _pytest
+
+    from deepee_spark.operators.similarity import rrf_fuse
+
+    rng = random.Random(5)
+    rows = []
+    for q in range(4):
+        for src in range(3):
+            cands = rng.sample(range(30), 10)
+            rows += [(q, c, r + 1) for r, c in enumerate(cands)]
+    df = spark.createDataFrame(rows, "q_id: long, c_id: long, rank: long")
+    got = {
+        (r.q_id, r.rank_fused): (r.c_id, r.rrf_score_e9, r.n_lists)
+        for r in rrf_fuse(df, k_rrf=60, topk=7).collect()
+    }
+    from collections import defaultdict
+
+    score = defaultdict(int)
+    nlists = defaultdict(int)
+    for q, c, r in rows:
+        score[(q, c)] += 1_000_000_000 // (60 + r)
+        nlists[(q, c)] += 1
+    want = {}
+    for q in range(4):
+        cs = sorted(
+            (c for (qq, c) in score if qq == q),
+            key=lambda c: (-score[(q, c)], c),
+        )
+        for i, c in enumerate(cs[:7]):
+            want[(q, i + 1)] = (c, score[(q, c)], nlists[(q, c)])
+    assert got == want
+    with _pytest.raises(ValueError):
+        rrf_fuse(df, k_rrf=0)
+    with _pytest.raises(ValueError):
+        rrf_fuse(df, topk=0)

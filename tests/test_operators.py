@@ -1065,3 +1065,44 @@ def test_politeness_schedule_bruteforce_and_oracle(spark):
 
     with _pytest.raises(ValueError):
         politeness_schedule(df, -1)
+
+
+def test_bcubed_bruteforce_and_edges(spark):
+    """B-cubed vs a literal per-mention Python fold, plus degenerate
+    cases: perfect clustering (P=R=1e6), all-in-one cluster, empty."""
+    import random
+
+    from deepee_spark.operators.metrics import bcubed_prf
+
+    rng = random.Random(3)
+    rows = [(rng.randrange(6), rng.randrange(4)) for _ in range(500)]
+    df = spark.createDataFrame(rows, "pred_cluster: long, gold_class: long")
+    got = bcubed_prf(df).collect()[0]
+    # literal definition, cell-collapsed integer arithmetic mirrored
+    from collections import Counter
+
+    cell = Counter(rows)
+    np_ = Counter(p for p, _ in rows)
+    ng = Counter(g for _, g in rows)
+    n = len(rows)
+    sp = sum(m * ((1_000_000 * m) // np_[p]) for (p, g), m in cell.items())
+    sg = sum(m * ((1_000_000 * m) // ng[g]) for (p, g), m in cell.items())
+    want_p, want_r = sp // n, sg // n
+    assert (got.n_mentions, got.b3_precision_e6, got.b3_recall_e6) == (
+        n, want_p, want_r
+    )
+    assert got.b3_f1_e6 == (2 * want_p * want_r) // (want_p + want_r)
+
+    perfect = spark.createDataFrame(
+        [(i % 5, i % 5) for i in range(50)],
+        "pred_cluster: long, gold_class: long",
+    )
+    row = bcubed_prf(perfect).collect()[0]
+    assert (row.b3_precision_e6, row.b3_recall_e6, row.b3_f1_e6) == (
+        1_000_000, 1_000_000, 1_000_000
+    )
+    empty = spark.createDataFrame(
+        [], "pred_cluster: long, gold_class: long"
+    )
+    row = bcubed_prf(empty).collect()[0]
+    assert (row.n_mentions, row.b3_f1_e6) == (0, 0)
