@@ -3367,6 +3367,58 @@ FROM events WHERE user_id % 50 = 0
 """
 
 
+def _kg_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded weighted shortest paths (operators/graph.sssp_hops)
+    over the directed interaction graph (purchase user->item, view
+    item->user), edge weight = interaction count, from every 50th
+    user. Bellman-Ford frontier rounds; the shared hops=4 cap makes
+    the pre-/post-convergence state identical in both engines."""
+    from deepee_spark.operators.graph import sssp_hops
+
+    ev = _t(spark, sf_dir, "events")
+    fwd = ev.filter(F.col("event_type") == "purchase").select(
+        F.concat(F.lit("user#"), F.col("user_id")).alias("src"),
+        F.concat(
+            F.lit("item#"), F.get_json_object("props", "$.k")
+        ).alias("dst"),
+    )
+    back = ev.filter(F.col("event_type") == "view").select(
+        F.concat(
+            F.lit("item#"), F.get_json_object("props", "$.k")
+        ).alias("src"),
+        F.concat(F.lit("user#"), F.col("user_id")).alias("dst"),
+    )
+    edges = (
+        fwd.unionByName(back)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    seeds = (
+        ev.filter(F.col("user_id") % 50 == 0)
+        .select(F.concat(F.lit("user#"), F.col("user_id")).alias("node"))
+        .distinct()
+    )
+    return sssp_hops(edges, seeds, hops=4)
+
+
+def _kg_sssp_sql() -> str:
+    from deepee_spark.operators.graph import sssp_oracle_sql
+
+    return sssp_oracle_sql(
+        "SELECT src, dst, COUNT(*) AS w FROM ("
+        " SELECT 'user#' || CAST(user_id AS VARCHAR) AS src,"
+        " 'item#' || json_extract_string(props, '$.k') AS dst"
+        " FROM events WHERE event_type = 'purchase'"
+        " UNION ALL"
+        " SELECT 'item#' || json_extract_string(props, '$.k') AS src,"
+        " 'user#' || CAST(user_id AS VARCHAR) AS dst"
+        " FROM events WHERE event_type = 'view') GROUP BY src, dst",
+        "SELECT DISTINCT 'user#' || CAST(user_id AS VARCHAR) AS node"
+        " FROM events WHERE user_id % 50 = 0",
+        hops=4,
+    )
+
+
 def _kg_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host crawl politeness schedule (operators/urls.
     politeness_schedule): fetch_at_i = max(ts_i, fetch_at_{i-1} + 5s)
@@ -6609,6 +6661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_politeness": _kg_politeness,
         "kg_cluster_bcubed": _kg_cluster_bcubed,
         "ann_rrf_fused": _ann_rrf_fused,
+        "kg_sssp": _kg_sssp,
         "skew_hot_keys": _skew_hot_keys,
         "kg_distant_supervision": _kg_distant_supervision,
         "kg_rule_mining": _kg_rule_mining,
@@ -6767,6 +6820,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_politeness": _kg_politeness_sql(),
         "kg_cluster_bcubed": _KG_CLUSTER_BCUBED_SQL,
         "ann_rrf_fused": _ANN_RRF_SQL,
+        "kg_sssp": _kg_sssp_sql(),
         "skew_hot_keys": _SKEW_HOT_KEYS_SQL,
         "kg_distant_supervision": _KG_DISTANT_SQL,
         "kg_rule_mining": _KG_RULES_SQL,

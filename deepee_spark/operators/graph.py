@@ -1492,3 +1492,96 @@ SELECT n.node,
 FROM nodes n LEFT JOIN mutual m ON m.node = n.node
 GROUP BY n.node
 """
+
+
+def sssp_hops(
+    edges: DataFrame, seeds: DataFrame, hops: int = 8
+) -> DataFrame:
+    """Weighted single-source(-set) shortest paths, hop-bounded: (node,
+    dist) = the minimum total weight over directed paths from any seed
+    using at most `hops` edges. Weights are NON-NEGATIVE BIGINTs (the
+    caller's contract), so arithmetic is exact and both engines agree
+    bit-for-bit at any shared hop cap — pass the same `hops` to
+    sssp_oracle_sql, the kcore/closure cap convention.
+
+    Bellman-Ford with the frontier optimization: round r relays only
+    nodes whose distance improved in round r-1, which preserves the
+    hop-bounded semantics exactly (every value in the table after
+    round r is a <= r-hop path cost, and every <= r-hop optimum has
+    arrived by round r) while touching only the changing part of the
+    graph. The weighted generalization of bfs_distances: same
+    persisted pre-partitioned edge list probed in place by a
+    frontier-sized shuffle-hash join each round, state never larger
+    than the reached node set.
+    """
+    if hops < 1:
+        raise ValueError("hops must be >= 1")
+    n_parts = edges.sparkSession.sparkContext.defaultParallelism
+    e = (
+        edges.select("src", "dst", F.col("w").cast("long").alias("w"))
+        .repartition(n_parts, "src")
+        .persist()
+    )
+    dist = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    frontier = dist
+    for _ in range(hops):
+        if frontier.isEmpty():
+            break
+        cand = (
+            e.join(
+                frontier.withColumnRenamed("node", "src").hint(
+                    "shuffle_hash"
+                ),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("d"),
+            )
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+        upd = (
+            cand.join(
+                dist.withColumnRenamed("dist", "old"), "node", "left"
+            )
+            .filter(F.col("old").isNull() | (F.col("d") < F.col("old")))
+            .select("node", F.col("d").alias("dist"))
+            .localCheckpoint()
+        )
+        dist = (
+            dist.join(upd, "node", "left_anti")
+            .unionByName(upd)
+            .localCheckpoint()
+        )
+        frontier = upd
+    e.unpersist()
+    return dist
+
+
+def sssp_oracle_sql(
+    edges_sql: str, seeds_sql: str, hops: int = 8
+) -> str:
+    """DuckDB twin of sssp_hops: recursive CTE extending one edge per
+    step, capped at the same hop count, min cost per node. Enumerates
+    paths (the object the Spark side never materializes); the UNION
+    dedup on (node, dist, hop) keeps it bounded for oracle-scale
+    graphs."""
+    return f"""
+WITH RECURSIVE se AS (SELECT src, dst, CAST(w AS BIGINT) AS w
+                      FROM ({edges_sql})),
+sn AS (SELECT DISTINCT node FROM ({seeds_sql})),
+r(node, dist, hop) AS (
+  SELECT node, CAST(0 AS BIGINT) AS dist, 0 AS hop FROM sn
+  UNION
+  SELECT se.dst, r.dist + se.w, r.hop + 1
+  FROM r JOIN se ON se.src = r.node
+  WHERE r.hop < {hops}
+)
+SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM r GROUP BY node
+"""

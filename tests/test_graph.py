@@ -965,3 +965,52 @@ def test_scc_multi_round_peel_and_guards(spark):
         scc(g, max_rounds=0)
     empty = spark.createDataFrame([], "src: long, dst: long")
     assert scc(empty).count() == 0
+
+
+def _sssp_py(rows, seeds, hops):
+    dist = {s: 0 for s in seeds}
+    for _ in range(hops):
+        nxt = dict(dist)
+        for s, d, w in rows:
+            if s in dist and dist[s] + w < nxt.get(d, float("inf")):
+                nxt[d] = dist[s] + w
+        dist = nxt
+    return dist
+
+
+def test_sssp_bruteforce_and_oracle(spark):
+    """Hop-bounded weighted SSSP vs a literal Bellman-Ford fold and the
+    recursive-CTE twin, at a pre-convergence cap AND a converged one;
+    a longer-hop cheaper path must win once the cap admits it."""
+    import random
+
+    from deepee_spark.operators.graph import sssp_hops, sssp_oracle_sql
+
+    rng = random.Random(17)
+    rows = sorted(
+        {
+            (rng.randrange(30), rng.randrange(30))
+            for _ in range(90)
+        }
+    )
+    rows = [(s, d, 1 + (s * 7 + d) % 5) for s, d in rows if s != d]
+    # plus a guaranteed detour: 0->1 direct cost 9, 0->2->1 cost 2
+    rows += [(0, 1, 9), (0, 2, 1), (2, 1, 1)]
+    df = spark.createDataFrame(rows, "src: long, dst: long, w: long")
+    seeds = spark.createDataFrame([(0,), (5,)], "node: long")
+    con = duckdb.connect()
+    con.register("edges_tbl", df.toPandas())
+    for cap in (1, 6):
+        want = _sssp_py(rows, [0, 5], cap)
+        got = {
+            r.node: r.dist for r in sssp_hops(df, seeds, hops=cap).collect()
+        }
+        assert got == want, f"cap={cap}"
+        sql = sssp_oracle_sql(
+            "SELECT src, dst, w FROM edges_tbl",
+            "SELECT 0 AS node UNION ALL SELECT 5",
+            hops=cap,
+        )
+        assert dict(con.execute(sql).fetchall()) == want, f"cap={cap}"
+    with pytest.raises(ValueError):
+        sssp_hops(df, seeds, hops=0)
