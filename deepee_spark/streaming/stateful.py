@@ -100,3 +100,63 @@ def stream_dedup_canonical(docs_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+POLITE_STATE_SCHEMA = "last_fetch_at long"
+POLITE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("ts_s", T.LongType()),
+        T.StructField("fetch_at", T.LongType()),
+        T.StructField("wait_s", T.LongType()),
+    ]
+)
+
+
+def _politeness_group_fn(gap_s: int):
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        last = state.get[0] if state.exists else None
+        out: list[tuple[Any, ...]] = []
+        rows: list[tuple[int, str]] = []
+        for pdf in pdfs:
+            rows.extend(zip(pdf["ts_s"].astype(int), pdf["url"]))
+        for ts, url in sorted(rows):
+            at = ts if last is None else max(ts, last + gap_s)
+            out.append((key[0], url, ts, at, at - ts))
+            last = at
+        if last is not None:
+            state.update((int(last),))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["host", "url", "ts_s", "fetch_at", "wait_s"]
+            )
+
+    return fn
+
+
+def stream_politeness(requests: DataFrame, gap_s: int = 5) -> DataFrame:
+    """Streaming twin of operators/urls.politeness_schedule: per-host
+    fetch slots respecting a minimum gap, with the host's last granted
+    slot carried ACROSS micro-batches in the state store. Within a
+    micro-batch the host's requests fold in deterministic (ts, url)
+    order; across batches, arrival (commit) order governs — a request
+    surfacing after the scheduler has already granted later slots gets
+    queued behind them (fetch_at = max(ts, last + gap) even when ts is
+    older than last), which is exactly how a live scheduler must
+    behave: it cannot grant slots in the past. State is ONE bigint per
+    host; the batch operator's running-max window is the backfill
+    formulation, this is the online one — the pytest drives both and
+    checks they agree when every request arrives in order."""
+    keyed = requests.select("host", "url", F.col("ts_s").cast("long"))
+    return keyed.groupBy("host").applyInPandasWithState(
+        _politeness_group_fn(gap_s),
+        outputStructType=POLITE_OUT_SCHEMA,
+        stateStructType=POLITE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

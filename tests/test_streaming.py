@@ -427,3 +427,76 @@ def test_stream_frontier_gate_dedupes_across_drops(spark, tmp_path):
     stream_frontier_gate(spark, src, cat, ckpt)
     assert cat.read(spark, "documents_admitted").count() == n_rows
     assert cat.latest_meta("url_bloom_live")["snapshot"] == before
+
+
+def test_stream_politeness_matches_batch_and_carries_state(spark, tmp_path):
+    """stream_politeness == politeness_schedule when all requests
+    arrive in one drop (the backfill identity), and with a second drop
+    the host's last granted slot carries through the checkpoint: a
+    burst arriving later is queued behind batch-1's final slot."""
+    from deepee_spark.operators.urls import politeness_schedule
+    from deepee_spark.streaming.stateful import stream_politeness
+
+    schema = "host string, url string, ts_s long"
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            stream_politeness(stream, gap_s=10)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    batch1 = [
+        ("h1", "u1", 100),
+        ("h1", "u2", 100),   # same-second burst: serialized by url order
+        ("h1", "u3", 105),
+        ("h2", "u4", 100),
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    drain()
+    got = {
+        r.url: (r.fetch_at, r.wait_s)
+        for r in spark.read.parquet(out).collect()
+    }
+    want_batch = {
+        r.url: (r.fetch_at, r.wait_s)
+        for r in politeness_schedule(
+            spark.createDataFrame(batch1, schema), 10
+        ).collect()
+    }
+    assert got == want_batch  # backfill identity
+    assert got["u1"] == (100, 0)
+    assert got["u2"] == (110, 10)
+    assert got["u3"] == (120, 15)
+    assert got["u4"] == (100, 0)
+
+    # drop 2: a request with an OLDER ts than h1's last slot (120)
+    # must still be scheduled at 130 — the scheduler cannot grant the
+    # past; h2 continues from its own state independently
+    batch2 = [("h1", "u5", 103), ("h2", "u6", 200)]
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    drain()
+    got2 = {
+        r.url: (r.fetch_at, r.wait_s)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got2["u5"] == (130, 27)
+    assert got2["u6"] == (200, 0)
