@@ -3367,6 +3367,42 @@ FROM events WHERE user_id % 50 = 0
 """
 
 
+def _corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted bottom-k sampling (operators/sampling.
+    weighted_bottom_k): 20 documents per language, inclusion odds
+    proportional to n_chars — the quality-biased training-subset
+    draw, reproducible across engines because priority is the integer
+    (1e6*hash) div weight over the shared rolling hash."""
+    from deepee_spark.operators.sampling import weighted_bottom_k
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.concat(F.lit("doc#"), F.col("doc_id")).alias("key"),
+        F.col("n_chars").cast("long").alias("wt"),
+    )
+    return weighted_bottom_k(
+        docs, "key", "wt", k=20, strata_cols=["lang"]
+    ).select("lang", "key", "wt", "priority", "sample_rank")
+
+
+_CORPUS_WEIGHTED_SAMPLE_SQL = f"""
+WITH pos AS (
+  SELECT lang, 'doc#' || CAST(doc_id AS VARCHAR) AS key,
+         CAST(n_chars AS BIGINT) AS wt,
+         CAST((1000000 *
+               ((({_HASH_SQL.format(col="'doc#' || CAST(doc_id AS VARCHAR)")})
+                 * 2654435761) % 1000000007)) // n_chars AS BIGINT)
+           AS priority
+  FROM documents WHERE n_chars > 0),
+r AS (
+  SELECT lang, key, wt, priority,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY priority, key)
+              AS BIGINT) AS sample_rank
+  FROM pos)
+SELECT lang, key, wt, priority, sample_rank FROM r WHERE sample_rank <= 20
+"""
+
+
 def _kg_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hop-bounded weighted shortest paths (operators/graph.sssp_hops)
     over the directed interaction graph (purchase user->item, view
@@ -6662,6 +6698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cluster_bcubed": _kg_cluster_bcubed,
         "ann_rrf_fused": _ann_rrf_fused,
         "kg_sssp": _kg_sssp,
+        "corpus_weighted_sample": _corpus_weighted_sample,
         "skew_hot_keys": _skew_hot_keys,
         "kg_distant_supervision": _kg_distant_supervision,
         "kg_rule_mining": _kg_rule_mining,
@@ -6821,6 +6858,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_cluster_bcubed": _KG_CLUSTER_BCUBED_SQL,
         "ann_rrf_fused": _ANN_RRF_SQL,
         "kg_sssp": _kg_sssp_sql(),
+        "corpus_weighted_sample": _CORPUS_WEIGHTED_SAMPLE_SQL,
         "skew_hot_keys": _SKEW_HOT_KEYS_SQL,
         "kg_distant_supervision": _KG_DISTANT_SQL,
         "kg_rule_mining": _KG_RULES_SQL,

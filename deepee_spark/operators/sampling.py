@@ -134,3 +134,65 @@ def mixture_rates(
             ).alias("permille"),
         )
     )
+
+
+def weighted_bottom_k(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    strata_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: keep the k
+    rows with the smallest priority = (1e6 * hash(key)) div weight —
+    the integer formulation of bottom-k / priority sampling (Cohen &
+    Kaplan; Duffield, Lund & Thorup, JACM'07 — public), where doubling
+    a row's weight halves its expected priority, so inclusion odds
+    scale with weight. The curation use: sample a training subset
+    biased toward high quality-score documents, reproducibly — the
+    same engine-replicable hash discipline as hash_sample, so task
+    retries, reruns, AND the DuckDB oracle pick the identical set.
+
+    Weights are POSITIVE BIGINTs (caller scales floats to integer
+    units first); rows with weight <= 0 are dropped, matching the
+    probability-proportional-to-size reading where weight 0 means
+    "never sample". Ties (same priority) break on the key for a total
+    order. With `strata_cols`, the bottom-k runs per stratum (k docs
+    per language, per source, ...) in one partitioned window.
+
+    Scale shape: priority is a narrow per-row expression computed in
+    the scan. Stratified, the only shuffle is the strata-partitioned
+    window. Unstratified, the global bottom-k deliberately does NOT
+    use an empty-partition window (the single-task scale-killer class
+    this repo bans): it plans as sort+limit, which Spark executes as
+    TakeOrderedAndProject — each task keeps its local k smallest, the
+    driver merges partials — then ranks the k survivors (a k-row
+    window is free). Adds (priority, sample_rank) to the input row.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window as W
+
+    h = (str_hash(F.col(key_col)) * F.lit(DIFFUSION)) % F.lit(MOD)
+    pos = (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_h", h)
+        .withColumn(
+            "priority",
+            F.expr(f"(1000000 * _h) DIV {weight_col}").cast("long"),
+        )
+        .drop("_h")
+    )
+    if strata_cols:
+        w = W.partitionBy(*strata_cols).orderBy("priority", key_col)
+        return (
+            pos.withColumn(
+                "sample_rank", F.row_number().over(w).cast("long")
+            )
+            .filter(F.col("sample_rank") <= k)
+        )
+    kept = pos.orderBy("priority", key_col).limit(k)
+    w = W.partitionBy().orderBy("priority", key_col)
+    return kept.withColumn(
+        "sample_rank", F.row_number().over(w).cast("long")
+    )

@@ -1106,3 +1106,69 @@ def test_bcubed_bruteforce_and_edges(spark):
     )
     row = bcubed_prf(empty).collect()[0]
     assert (row.n_mentions, row.b3_f1_e6) == (0, 0)
+
+
+def test_weighted_bottom_k_bruteforce_bias_and_guards(spark):
+    """Priority-sample vs a literal Python fold (stratified AND global
+    paths), weight-0 rows dropped, higher weights overrepresented at
+    matched counts, k guard raises."""
+    import pytest as _pytest
+
+    from deepee_spark.operators.dedup import MOD
+    from deepee_spark.operators.sampling import (
+        DIFFUSION,
+        weighted_bottom_k,
+    )
+
+    def py_hash(s):
+        a = 0
+        for ch in s:
+            a = (a * 31 + ord(ch)) % MOD
+        return (a * DIFFUSION) % MOD
+
+    rows = [
+        (f"s{i % 3}", f"k{i}", (i % 9))  # weights 0..8; 0 must drop
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "stratum: string, key: string, wt: long")
+    want = {}
+    per = {}
+    for s, kk, wt in rows:
+        if wt <= 0:
+            continue
+        per.setdefault(s, []).append(((1_000_000 * py_hash(kk)) // wt, kk, wt))
+    for s, lst in per.items():
+        for i, (pri, kk, wt) in enumerate(sorted(lst)[:10]):
+            want[(s, kk)] = (wt, pri, i + 1)
+    got = {
+        (r.stratum, r.key): (r.wt, r.priority, r.sample_rank)
+        for r in weighted_bottom_k(
+            df, "key", "wt", k=10, strata_cols=["stratum"]
+        ).collect()
+    }
+    assert got == want
+
+    # global (unstratified) path agrees with the flat fold
+    flat = sorted(p for lst in per.values() for p in lst)[:15]
+    want_g = {kk: (pri, i + 1) for i, (pri, kk, _) in enumerate(flat)}
+    got_g = {
+        r.key: (r.priority, r.sample_rank)
+        for r in weighted_bottom_k(df, "key", "wt", k=15).collect()
+    }
+    assert got_g == want_g
+
+    # weight bias: split keys into wt=1 vs wt=8 halves; the heavy half
+    # must dominate the sample
+    biased = spark.createDataFrame(
+        [(f"k{i}", 1 if i < 500 else 8) for i in range(1000)],
+        "key: string, wt: long",
+    )
+    heavy = (
+        weighted_bottom_k(biased, "key", "wt", k=100)
+        .filter(F.col("wt") == 8)
+        .count()
+    )
+    assert heavy > 65  # E[heavy] ~ 8/9 of 100; 65 is >5 sigma slack
+
+    with _pytest.raises(ValueError):
+        weighted_bottom_k(df, "key", "wt", k=0)
