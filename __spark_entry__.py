@@ -2012,6 +2012,52 @@ def _ngram_jaccard(spark, sf):
     )
 
 
+def _dedup_containment(spark, sf):
+    """Asymmetric shingle containment (operators/dedup.
+    containment_pairs) within (lang, source) blocks — the partial-
+    duplication sweep symmetric Jaccard can't do: a short page wholly
+    quoted in a long one scores 1.0 containment at low Jaccard (the
+    sf0.01 corpus contains exactly such a pair). Integer e6 fractions:
+    BIGINT-exact cross-engine, no rounding convention needed."""
+    from deepee_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "lang", "source", _tokens().alias("toks")
+    )
+    return containment_pairs(
+        docs,
+        "doc_id",
+        "toks",
+        ["lang", "source"],
+        n=3,
+        min_containment_e6=50_000,
+    )
+
+
+_DEDUP_CONTAINMENT_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, source,
+         list_distinct(list_transform(
+           range(1, greatest(len({_TOKENS_SQL}) - 2, 1) + 1),
+           i -> {_TOKENS_SQL}[i] || '_' || {_TOKENS_SQL}[i+1] || '_' || {_TOKENS_SQL}[i+2]
+         )) AS shingles
+  FROM documents),
+f AS (SELECT * FROM d WHERE len(shingles) >= 3),
+scored AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS inter,
+         CAST(len(a.shingles) AS BIGINT) AS n_a,
+         CAST(len(b.shingles) AS BIGINT) AS n_b
+  FROM f a JOIN f b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, inter, n_a, n_b,
+       CAST((1000000 * inter) // n_a AS BIGINT) AS cont_a_in_b_e6,
+       CAST((1000000 * inter) // n_b AS BIGINT) AS cont_b_in_a_e6
+FROM scored
+WHERE GREATEST((1000000 * inter) // n_a, (1000000 * inter) // n_b) >= 50000
+"""
+
+
 _NGRAM_JACCARD_SQL = f"""
 WITH d AS (
   SELECT doc_id, lang, CAST(FLOOR(n_chars / 100) AS BIGINT) AS bucket,
@@ -6717,6 +6763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_vocab_build": _a1_vocab,
         "a4_chunk_prf": _a4_chunk_prf,
         "dedup_ngram_jaccard": _ngram_jaccard,
+        "dedup_containment": _dedup_containment,
         "dedup_minhash_signatures": _minhash_sig,
         "dedup_simhash": _simhash,
         "j5_template_fanout": _j5_template_fanout,
@@ -6892,6 +6939,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_signatures": _MINHASH_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "dedup_containment": _DEDUP_CONTAINMENT_SQL,
         "dedup_embedding_cosine": _DEDUP_EMB_SQL,
         "dedup_cluster_assign": _DEDUP_CLUSTER_SQL,
         "ann_cosine_topk": _ANN_SQL,

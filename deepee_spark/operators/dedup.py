@@ -357,3 +357,74 @@ def embedding_dup_pairs(
     return scored.select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     ).filter(F.col("cosine") >= min_cosine)
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    block_cols: list[str],
+    n: int = 3,
+    min_containment_e6: int = 500_000,
+) -> DataFrame:
+    """ASYMMETRIC shingle containment over pairs sharing the blocking
+    key: containment(A in B) = |shingles(A) ∩ shingles(B)| / |A| — the
+    Broder containment coefficient, which catches what symmetric
+    Jaccard structurally cannot: a short document wholly quoted inside
+    a much longer one scores |A|/|A| = 1.0 containment while its
+    Jaccard |A|/|B| is arbitrarily low. The curation use is partial-
+    duplication sweeps (syndicated quotes, boilerplate reuse, wrapper
+    pages around a shared body).
+
+    One row per unordered candidate pair with BOTH directions —
+    (id_a, id_b, inter, n_a, n_b, cont_a_in_b_e6, cont_b_in_a_e6),
+    kept when either direction reaches min_containment_e6. All counts
+    are set sizes and the fractions integer e6 divisions, so the
+    operator is BIGINT-exact cross-engine (unlike the float Jaccard
+    verify, which needs a rounding convention).
+
+    Same scale shape as ngram_jaccard_pairs: shingles via n zipped
+    shifted slices (O(n) refs per row), candidates meet only inside a
+    block; at corpus scale this runs as the verify stage AFTER
+    MinHash/LSH pruning, never all-pairs.
+    """
+    toks = F.col(tokens_col)
+    width = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    acc = F.slice(toks, 1, width)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, j + 1, width),
+            lambda a, b: F.concat_ws("_", a, b),
+        )
+    d = df.select(
+        F.col(id_col).alias("pid"),
+        *block_cols,
+        F.array_distinct(acc).alias("shingles"),
+    ).filter(F.size("shingles") >= n)
+    a, b = d.alias("a"), d.alias("b")
+    cond = F.col("a.pid") < F.col("b.pid")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect("a.shingles", "b.shingles"))
+    scored = a.join(b, cond).select(
+        F.col("a.pid").alias("id_a"),
+        F.col("b.pid").alias("id_b"),
+        inter.cast("long").alias("inter"),
+        F.size("a.shingles").cast("long").alias("n_a"),
+        F.size("b.shingles").cast("long").alias("n_b"),
+    )
+    return scored.select(
+        "*",
+        F.expr("(1000000 * inter) DIV n_a").cast("long").alias(
+            "cont_a_in_b_e6"
+        ),
+        F.expr("(1000000 * inter) DIV n_b").cast("long").alias(
+            "cont_b_in_a_e6"
+        ),
+    ).filter(
+        F.greatest(
+            F.col("cont_a_in_b_e6"), F.col("cont_b_in_a_e6")
+        )
+        >= min_containment_e6
+    )

@@ -379,3 +379,49 @@ def test_rrf_fuse_bruteforce_and_guards(spark):
         rrf_fuse(df, k_rrf=0)
     with _pytest.raises(ValueError):
         rrf_fuse(df, topk=0)
+
+
+def test_containment_pairs_bruteforce_and_asymmetry(spark):
+    """Containment vs a literal Python shingle fold; a short doc fully
+    quoted inside a long one must score 1.0 containment while its
+    Jaccard stays low; blocking keeps cross-block pairs out."""
+    from deepee_spark.operators.dedup import containment_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    long_doc = (
+        "intro words here " + quote + " and then a very long tail "
+        + " ".join(f"filler{i}" for i in range(40))
+    )
+    rows = [
+        (1, "b1", quote.split()),
+        (2, "b1", long_doc.split()),
+        (3, "b1", [f"other{i}" for i in range(30)]),
+        (4, "b2", quote.split()),  # different block: never paired with 1
+    ]
+    df = spark.createDataFrame(rows, "pid: long, blk: string, toks: array<string>")
+    got = {
+        (r.id_a, r.id_b): (
+            r.inter, r.n_a, r.n_b, r.cont_a_in_b_e6, r.cont_b_in_a_e6
+        )
+        for r in containment_pairs(
+            df, "pid", "toks", ["blk"], n=3, min_containment_e6=100_000
+        ).collect()
+    }
+
+    def sh(toks):
+        return {
+            "_".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    s1, s2 = sh(rows[0][2]), sh(rows[1][2])
+    inter = len(s1 & s2)
+    want = {
+        (1, 2): (
+            inter, len(s1), len(s2),
+            (1_000_000 * inter) // len(s1),
+            (1_000_000 * inter) // len(s2),
+        )
+    }
+    assert got == want
+    assert got[(1, 2)][3] == 1_000_000  # quote fully contained
+    assert got[(1, 2)][4] < 250_000     # but Jaccard-style ratio is low
