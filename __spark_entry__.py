@@ -2099,6 +2099,53 @@ def _ann_cosine_topk(spark, sf):
     )
 
 
+def _sparse_retrieval_topk(spark, sf):
+    """Inverted-index sparse retrieval (operators/similarity.
+    sparse_topk): the first five documents as queries against the full
+    corpus, integer-exact linear-IDF scoring, df>390 terms pruned
+    before the term join (the stopword/skew cap; the synthetic corpus
+    has a ~30-term vocabulary with df clustered at 370-400, so 390
+    prunes roughly half — a real cut, not a vacuous one). Self-matches
+    rank first by construction — kept; determinism is the contract."""
+    from deepee_spark.operators.similarity import sparse_topk
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("id"), _tokens().alias("tokens")
+    )
+    qs = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 5)
+        .select(F.col("doc_id").alias("q_id"), _tokens().alias("tokens"))
+    )
+    return sparse_topk(docs, qs, k=5, max_df=390)
+
+
+_SPARSE_RETRIEVAL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents),
+postings AS (
+  SELECT doc_id AS doc, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term),
+dfreq AS (
+  SELECT term, COUNT(*) AS df FROM postings
+  GROUP BY term HAVING COUNT(*) <= 390),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+idf AS (SELECT term, (1000000 * n.n_docs) // df AS idf_e6 FROM dfreq, n),
+q AS (SELECT DISTINCT doc_id AS q_id, term FROM toks WHERE doc_id < 5),
+scored AS (
+  SELECT q.q_id, p.doc,
+         CAST(SUM(p.tf * idf.idf_e6) AS BIGINT) AS score_e6
+  FROM q JOIN idf USING (term) JOIN postings p USING (term)
+  GROUP BY q.q_id, p.doc),
+r AS (
+  SELECT q_id, doc, score_e6,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY score_e6 DESC, doc) AS BIGINT) AS rank
+  FROM scored)
+SELECT q_id, rank, doc, score_e6 FROM r WHERE rank <= 5
+"""
+
+
 def _ann_rrf_fused(spark, sf):
     """Reciprocal-rank fusion (operators/similarity.rrf_fuse) of two
     retrieval paths over the same queries — normalized cosine and raw
@@ -6743,6 +6790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_politeness": _kg_politeness,
         "kg_cluster_bcubed": _kg_cluster_bcubed,
         "ann_rrf_fused": _ann_rrf_fused,
+        "sparse_retrieval_topk": _sparse_retrieval_topk,
         "kg_sssp": _kg_sssp,
         "corpus_weighted_sample": _corpus_weighted_sample,
         "skew_hot_keys": _skew_hot_keys,
@@ -6904,6 +6952,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_politeness": _kg_politeness_sql(),
         "kg_cluster_bcubed": _KG_CLUSTER_BCUBED_SQL,
         "ann_rrf_fused": _ANN_RRF_SQL,
+        "sparse_retrieval_topk": _SPARSE_RETRIEVAL_SQL,
         "kg_sssp": _kg_sssp_sql(),
         "corpus_weighted_sample": _CORPUS_WEIGHTED_SAMPLE_SQL,
         "skew_hot_keys": _SKEW_HOT_KEYS_SQL,

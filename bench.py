@@ -87,6 +87,8 @@ def main() -> None:
         "kg_kcore",
         "kg_taxonomy_closure",
         "kg_scc",
+        "kg_sssp",
+        "dedup_containment",
         "kg_skipgram_pairs",
         "kg_outlink_hosts",
         "kg_bloom_frontier",

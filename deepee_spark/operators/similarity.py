@@ -317,3 +317,76 @@ def rrf_fuse(
         .filter(F.col("rank_fused") <= topk)
         .select("q_id", "rank_fused", "c_id", "rrf_score_e9", "n_lists")
     )
+
+
+def sparse_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    max_df: int | None = None,
+    id_col: str = "id",
+    tokens_col: str = "tokens",
+    q_id_col: str = "q_id",
+) -> DataFrame:
+    """Sparse lexical retrieval via an inverted index — the term-at-a-
+    time complement to the dense ANN family (brute/IVF/PQ/LSH): score
+    every document sharing a term with the query and keep the top k.
+    Scoring is integer-exact TF·IDF with the LINEAR inverse frequency
+    idf(t) = (1e6 * N) div df(t) — deliberately not the log form,
+    because ln() is a libm call whose last-ulp behavior differs
+    between engines while integer division does not; rank order vs
+    log-idf differs only in how hard rare terms dominate, which the
+    engine's consumers tune via max_df anyway.
+
+        score(q, d) = Σ_{t ∈ q ∩ d} tf(t, d) * idf(t)
+
+    `max_df` drops terms appearing in more than that many documents
+    BEFORE the term join — the standard stopword-pruning move, and at
+    cluster scale the skew fix: without it the 'the' posting list is
+    a hot key that one task pays for; with it the join key
+    distribution is capped by construction. Ties break on doc id.
+
+    Scale shape: postings = one (doc, term) agg; df = one term agg;
+    the probe is query-terms ⋈ postings on term (query side tiny —
+    broadcastable), then one (q, doc) partial-agged sum and a
+    per-query top-k window. N rides along as a broadcast literal-free
+    1-row cross join, so the whole plan is still lazy/deterministic.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    postings = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.col(tokens_col)).alias("term"),
+        )
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_df)
+    n_docs = docs.select(
+        F.countDistinct(F.col(id_col)).cast("long").alias("n_docs")
+    )
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        F.expr("(1000000 * n_docs) DIV df").cast("long").alias("idf_e6"),
+    )
+    qterms = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        F.explode(F.array_distinct(F.col(tokens_col))).alias("term"),
+    )
+    scored = (
+        qterms.join(idf, "term")
+        .join(postings, "term")
+        .groupBy("q_id", "doc")
+        .agg(F.sum(F.expr("tf * idf_e6")).cast("long").alias("score_e6"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score_e6"), F.asc("doc"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "doc", "score_e6")
+    )

@@ -425,3 +425,54 @@ def test_containment_pairs_bruteforce_and_asymmetry(spark):
     assert got == want
     assert got[(1, 2)][3] == 1_000_000  # quote fully contained
     assert got[(1, 2)][4] < 250_000     # but Jaccard-style ratio is low
+
+
+def test_sparse_topk_bruteforce_maxdf_and_guards(spark):
+    """Inverted-index retrieval vs a literal Python scorer; max_df
+    pruning removes the stop-term's contribution; k guard raises."""
+    import pytest as _pytest
+
+    from deepee_spark.operators.similarity import sparse_topk
+
+    corpus = [
+        (1, ["the", "fox", "ran"]),
+        (2, ["the", "the", "fox", "slept"]),
+        (3, ["the", "dog", "ran", "ran"]),
+        (4, ["cat", "sat"]),
+    ]
+    queries = [(10, ["the", "fox", "ran", "ran"]), (11, ["cat"])]
+    docs = spark.createDataFrame(corpus, "id: long, tokens: array<string>")
+    qs = spark.createDataFrame(queries, "q_id: long, tokens: array<string>")
+
+    def brute(max_df):
+        from collections import Counter
+
+        tf = {d: Counter(t) for d, t in corpus}
+        df_ = Counter()
+        for d, t in corpus:
+            for term in set(t):
+                df_[term] += 1
+        n = len(corpus)
+        out = {}
+        for q, qt in queries:
+            sc = Counter()
+            for term in set(qt):
+                if term not in df_ or (max_df and df_[term] > max_df):
+                    continue
+                idf = (1_000_000 * n) // df_[term]
+                for d in tf:
+                    if tf[d][term]:
+                        sc[d] += tf[d][term] * idf
+            ranked = sorted(sc.items(), key=lambda kv: (-kv[1], kv[0]))
+            for i, (d, s) in enumerate(ranked[:3]):
+                out[(q, i + 1)] = (d, s)
+        return out
+
+    for mdf in (None, 2):
+        got = {
+            (r.q_id, r.rank): (r.doc, r.score_e6)
+            for r in sparse_topk(docs, qs, k=3, max_df=mdf).collect()
+        }
+        assert got == brute(mdf), f"max_df={mdf}"
+    with _pytest.raises(ValueError):
+        sparse_topk(docs, qs, k=0)
