@@ -3316,6 +3316,76 @@ HAVING COUNT(DISTINCT json_extract_string(props, '$.k')) > 1
 """
 
 
+_FUSION_CLAIMS_SQL = """
+SELECT source, fact, value FROM (
+  SELECT 'u#' || CAST(user_id AS VARCHAR) AS source,
+         'item#' || json_extract_string(props, '$.k') AS fact,
+         event_type AS value,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, json_extract_string(props, '$.k')
+           ORDER BY ts, event_id) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def _fusion_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared claim synthesis for the fusion queries: each user is a
+    source asserting, per item, the value of its EARLIEST event there
+    (one claim per source per fact — the truth-discovery input shape).
+    Earliest = min (ts, event_id), a per-(source, fact) window."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("u#"), F.col("user_id")).alias("source"),
+        F.concat(
+            F.lit("item#"), F.get_json_object("props", "$.k")
+        ).alias("fact"),
+        F.col("event_type").alias("value"),
+        "ts",
+        "event_id",
+    )
+    w = W.partitionBy("source", "fact").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", "fact", "value")
+    )
+
+
+def _kg_fact_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truth discovery (operators/fusion.fuse_claims): 3 rounds of
+    integer source-reliability voting over the per-user earliest-event
+    claims; per (fact, value) the micro-unit confidence and the winner
+    flag. The fusion stage a multi-source KG build runs after
+    canonicalization; the DuckDB twin is the same recurrence unrolled
+    (reference emits per-extractor outputs only — fusion is the
+    web-scale composition layer on top; cf. SURVEY §2 A2 bag argmax
+    for the single-source analogue)."""
+    from deepee_spark.operators.fusion import fuse_claims
+
+    return fuse_claims(_fusion_claims(spark, sf_dir), iters=3)
+
+
+def _kg_source_trust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dual of kg_fact_fusion: per-source reliability after the
+    same 3 rounds (operators/fusion.source_trust)."""
+    from deepee_spark.operators.fusion import source_trust
+
+    return source_trust(_fusion_claims(spark, sf_dir), iters=3)
+
+
+def _kg_fact_fusion_sql() -> str:
+    from deepee_spark.operators.fusion import fusion_oracle_sql
+
+    return fusion_oracle_sql(_FUSION_CLAIMS_SQL, iters=3)
+
+
+def _kg_source_trust_sql() -> str:
+    from deepee_spark.operators.fusion import trust_oracle_sql
+
+    return trust_oracle_sql(_FUSION_CLAIMS_SQL, iters=3)
+
+
 def _kg_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch (operators/sketches.kmv_distinct): per
     predicate, the k-minimum-values sketch of the distinct subject set
@@ -6726,7 +6796,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _decontaminate,
         "sequence_packing": _sequence_packing,
         "kg_node_rollup": _kg_node_rollup,
-        "kg_edge_rollup": _kg_edge_rollup,
         "stream_first_crawl": _stream_first_crawl,
         "kg_co_neighbors": _kg_co_neighbors,
         "kg_triangles": _kg_triangles,
@@ -6736,6 +6805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fact_latest": _kg_fact_latest,
         "kg_neighbor_jaccard": _kg_neighbor_jaccard,
         "kg_functional_conflicts": _kg_functional_conflicts,
+        "kg_fact_fusion": _kg_fact_fusion,
         "kg_distinct_sketch": _kg_distinct_sketch,
         "a10_loss_reductions": _a10_loss_reductions,
         "w6_epoch_shuffle": _w6_epoch_shuffle,
@@ -6791,6 +6861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cluster_bcubed": _kg_cluster_bcubed,
         "ann_rrf_fused": _ann_rrf_fused,
         "sparse_retrieval_topk": _sparse_retrieval_topk,
+        "kg_source_trust": _kg_source_trust,
+        "kg_edge_rollup": _kg_edge_rollup,
         "kg_sssp": _kg_sssp,
         "corpus_weighted_sample": _corpus_weighted_sample,
         "skew_hot_keys": _skew_hot_keys,
@@ -6896,7 +6968,6 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _DECON_SQL,
         "sequence_packing": _SEQPACK_SQL,
         "kg_node_rollup": _KG_NODES_SQL,
-        "kg_edge_rollup": _KG_EDGES_SQL,
         "stream_first_crawl": _STREAM_FIRST_SQL,
         "kg_co_neighbors": _KG_CO_NEIGHBORS_SQL,
         "kg_triangles": _KG_TRIANGLES_SQL,
@@ -6912,6 +6983,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_fact_latest": _KG_FACT_LATEST_SQL,
         "kg_neighbor_jaccard": _KG_NEIGHBOR_JACCARD_SQL,
         "kg_functional_conflicts": _KG_FUNCTIONAL_CONFLICTS_SQL,
+        "kg_fact_fusion": _kg_fact_fusion_sql(),
         "kg_distinct_sketch": _KG_DISTINCT_SKETCH_SQL,
         "a10_loss_reductions": _A10_SQL,
         "w6_epoch_shuffle": _W6_SQL,
@@ -6953,6 +7025,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_cluster_bcubed": _KG_CLUSTER_BCUBED_SQL,
         "ann_rrf_fused": _ANN_RRF_SQL,
         "sparse_retrieval_topk": _SPARSE_RETRIEVAL_SQL,
+        "kg_source_trust": _kg_source_trust_sql(),
+        "kg_edge_rollup": _KG_EDGES_SQL,
         "kg_sssp": _kg_sssp_sql(),
         "corpus_weighted_sample": _CORPUS_WEIGHTED_SAMPLE_SQL,
         "skew_hot_keys": _SKEW_HOT_KEYS_SQL,
