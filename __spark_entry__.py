@@ -4325,6 +4325,21 @@ FROM links GROUP BY surface, dst_host HAVING COUNT(*) >= 2
 """
 
 
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus BPE merge learning (operators/bpe.learn_merges): 6
+    iterations of most-frequent-adjacent-pair over the documents word
+    vocabulary, deterministic (n DESC, left, right) tie-break, greedy
+    leftmost merge application as a pure-Catalyst fold — no UDF, no
+    collect. The reference consumes pre-built vocabularies (e.g.
+    DMCNN_Tensorflow/Dataset_CutOut.py builds word maps; BERT models
+    ship vocab.txt); this is the upstream tokenizer-training half a
+    100 TB pipeline needs. Oracle: window-function greedy-merge twin,
+    6 chained CTE blocks."""
+    from deepee_spark.operators.bpe import learn_merges
+
+    return learn_merges(_t(spark, sf_dir, "documents"), steps=6)
+
+
 def _kg_web_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-table relational extraction (operators/webtables.
     table_triples): HTML pages carrying one <table> per user —
@@ -6850,7 +6865,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": _sequence_packing,
         "kg_node_rollup": _kg_node_rollup,
         "stream_first_crawl": _stream_first_crawl,
-        "kg_co_neighbors": _kg_co_neighbors,
+        # kg_co_neighbors (neighbor-set sibling of kg_neighbor_jaccard)
+        # demoted past 50 for the new tokenizer-training family.
+        "bpe_merges": _bpe_merges,
         "kg_triangles": _kg_triangles,
         "kg_pagerank": _kg_pagerank,
         # kg_pagerank_weighted (variant sibling of kg_pagerank) demoted
@@ -6929,6 +6946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fact_intervals": _kg_fact_intervals,
         "kg_pagerank_seeded": _kg_pagerank_seeded,
         "kg_pagerank_weighted": _kg_pagerank_weighted,
+        "kg_co_neighbors": _kg_co_neighbors,
         "kg_link_prediction": _kg_link_prediction,
         "kg_community_rank": _kg_community_rank,
         # -- demoted past 50: already driver-green on unchanged code,
@@ -6989,6 +7007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     # Same insertion order as queries() — see the ordering note there.
+    from deepee_spark.operators import bpe as _bpe_sql
     from deepee_spark.operators import graph as _graph_sql
 
     return {
@@ -7034,6 +7053,7 @@ def oracle_sql() -> dict[str, str]:
             _KG_WEDGES_SQL, iters=3
         ),
         "kg_web_tables": _KG_WEB_TABLES_SQL,
+        "bpe_merges": _bpe_sql.learn_merges_oracle_sql(steps=6),
         "kg_bfs": _graph_sql.bfs_oracle_sql(
             _KG_EDGE_PROJ_SQL, _KG_BFS_SEEDS_SQL, max_hops=3
         ),
