@@ -4325,6 +4325,75 @@ FROM links GROUP BY surface, dst_host HAVING COUNT(*) >= 2
 """
 
 
+def _robots_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt crawl admission (operators/robots): per-host robots
+    bodies are synthesized from the events table (mixed-case
+    directives, comments, carve-out Allow under a Disallow tree), URLs
+    from event rows; the REAL line parser + longest-prefix/Allow-wins
+    join decide admission. Oracle re-parses the same bodies in DuckDB.
+    (Reference starts from collected corpora — this is the upstream
+    admission gate a Common-Crawl-style build needs.)"""
+    from deepee_spark.operators.robots import parse_robots, robots_decisions
+
+    ev = _t(spark, sf_dir, "events")
+    hosts = (
+        ev.select((F.col("user_id") % 20).alias("hid"))
+        .distinct()
+        .select(
+            F.concat(F.lit("h"), F.col("hid").cast("string"), F.lit(".example")).alias(
+                "host"
+            ),
+            F.concat(
+                F.lit("User-agent: *\n"),
+                F.when(F.col("hid") % 2 == 0, F.lit("Disallow: /p")).otherwise(
+                    F.lit("DISALLOW: /p")
+                ),
+                (F.col("hid") % 7).cast("string"),
+                F.lit("/\nAllow: /p"),
+                (F.col("hid") % 7).cast("string"),
+                F.lit("/keep/  # carve-out\nDisallow: /q"),
+                (F.col("hid") % 3).cast("string"),
+                F.lit("\nDisallow:\n"),
+            ).alias("robots"),
+        )
+    )
+    urls = ev.filter(F.col("event_id") < 4000).select(
+        F.concat(
+            F.lit("http://h"),
+            (F.col("user_id") % 20).cast("string"),
+            F.lit(".example/p"),
+            (F.col("event_id") % 9).cast("string"),
+            F.lit("/"),
+            F.when(F.col("event_id") % 2 == 0, F.lit("keep/")).otherwise(F.lit("")),
+            F.lit("f"),
+            F.col("event_id").cast("string"),
+            F.lit(".html"),
+        ).alias("url")
+    )
+    return robots_decisions(urls, parse_robots(hosts))
+
+
+def _robots_admission_sql() -> str:
+    from deepee_spark.operators.robots import robots_oracle_sql
+
+    urls_sql = """
+SELECT 'http://h' || CAST(user_id % 20 AS VARCHAR) || '.example/p'
+       || CAST(event_id % 9 AS VARCHAR) || '/'
+       || CASE WHEN event_id % 2 = 0 THEN 'keep/' ELSE '' END
+       || 'f' || CAST(event_id AS VARCHAR) || '.html' AS url
+FROM events WHERE event_id < 4000"""
+    robots_sql = """
+SELECT 'h' || CAST(hid AS VARCHAR) || '.example' AS host,
+       'User-agent: *' || chr(10)
+       || CASE WHEN hid % 2 = 0 THEN 'Disallow: /p' ELSE 'DISALLOW: /p' END
+       || CAST(hid % 7 AS VARCHAR) || '/' || chr(10)
+       || 'Allow: /p' || CAST(hid % 7 AS VARCHAR) || '/keep/  # carve-out' || chr(10)
+       || 'Disallow: /q' || CAST(hid % 3 AS VARCHAR) || chr(10)
+       || 'Disallow:' || chr(10) AS robots
+FROM (SELECT DISTINCT user_id % 20 AS hid FROM events)"""
+    return robots_oracle_sql(urls_sql, robots_sql)
+
+
 def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus BPE merge learning (operators/bpe.learn_merges): 6
     iterations of most-frequent-adjacent-pair over the documents word
@@ -6874,7 +6943,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # past 50 to make room for the new web-table extractor family.
         "kg_web_tables": _kg_web_tables,
         "kg_bfs": _kg_bfs,
-        "kg_fact_latest": _kg_fact_latest,
+        # kg_fact_latest (temporal sibling of the in-window kg_fact_asof)
+        # demoted past 50 for the robots admission family.
+        "robots_admission": _robots_admission,
         "kg_neighbor_jaccard": _kg_neighbor_jaccard,
         "kg_functional_conflicts": _kg_functional_conflicts,
         "kg_fact_fusion": _kg_fact_fusion,
@@ -6947,6 +7018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank_seeded": _kg_pagerank_seeded,
         "kg_pagerank_weighted": _kg_pagerank_weighted,
         "kg_co_neighbors": _kg_co_neighbors,
+        "kg_fact_latest": _kg_fact_latest,
         "kg_link_prediction": _kg_link_prediction,
         "kg_community_rank": _kg_community_rank,
         # -- demoted past 50: already driver-green on unchanged code,
@@ -7054,6 +7126,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_web_tables": _KG_WEB_TABLES_SQL,
         "bpe_merges": _bpe_sql.learn_merges_oracle_sql(steps=6),
+        "robots_admission": _robots_admission_sql(),
         "kg_bfs": _graph_sql.bfs_oracle_sql(
             _KG_EDGE_PROJ_SQL, _KG_BFS_SEEDS_SQL, max_hops=3
         ),
