@@ -4325,6 +4325,19 @@ FROM links GROUP BY surface, dst_host HAVING COUNT(*) >= 2
 """
 
 
+def _passage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W/S sliding passage chunking (operators/chunking): 32-token
+    windows, stride 24, clamped tail — the corpus-to-context-window
+    op. Generalizes the reference's fixed max-length sentence cutting
+    (DMCNN_Tensorflow/Dataset_CutOut.py truncation) to overlapping
+    coverage. Zero-shuffle posexplode plan."""
+    from deepee_spark.operators.chunking import passage_windows
+
+    return passage_windows(
+        _t(spark, sf_dir, "documents"), window=32, stride=24
+    )
+
+
 def _robots_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt crawl admission (operators/robots): per-host robots
     bodies are synthesized from the events table (mixed-case
@@ -6926,7 +6939,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist_filter": _url_blocklist,
         "pii_redact": _pii_redact,
         "paragraph_dedup": _paragraph_dedup,
-        "text_doc_frequency": _doc_frequency,
+        # text_doc_frequency (plain groupBy rep of the tf-idf family,
+        # siblings text_tfidf_topk / text_unigram_logprob keep it
+        # covered) demoted past 50 for the chunking family.
+        "passage_windows": _passage_windows,
         "stratified_sample": _stratified_sample,
         "text_unigram_logprob": _unigram_logprob,
         "curation_funnel": _curation_funnel,
@@ -7019,6 +7035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank_weighted": _kg_pagerank_weighted,
         "kg_co_neighbors": _kg_co_neighbors,
         "kg_fact_latest": _kg_fact_latest,
+        "text_doc_frequency": _doc_frequency,
         "kg_link_prediction": _kg_link_prediction,
         "kg_community_rank": _kg_community_rank,
         # -- demoted past 50: already driver-green on unchanged code,
@@ -7080,6 +7097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     # Same insertion order as queries() — see the ordering note there.
     from deepee_spark.operators import bpe as _bpe_sql
+    from deepee_spark.operators import chunking as _chunking_sql
     from deepee_spark.operators import graph as _graph_sql
 
     return {
@@ -7127,6 +7145,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_web_tables": _KG_WEB_TABLES_SQL,
         "bpe_merges": _bpe_sql.learn_merges_oracle_sql(steps=6),
         "robots_admission": _robots_admission_sql(),
+        "passage_windows": _chunking_sql.passage_windows_oracle_sql(
+            "SELECT doc_id, text FROM documents", window=32, stride=24
+        ),
         "kg_bfs": _graph_sql.bfs_oracle_sql(
             _KG_EDGE_PROJ_SQL, _KG_BFS_SEEDS_SQL, max_hops=3
         ),
