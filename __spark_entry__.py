@@ -4325,6 +4325,30 @@ FROM links GROUP BY surface, dst_host HAVING COUNT(*) >= 2
 """
 
 
+def _crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling crawl-budget allocation (operators/budget):
+    per-host demand = event count per user_id%50 host, global budget
+    = 3/5 of total demand, exact max-min fair level via the two-level
+    prefix-sum closed form (per-host rank/prefix windows partitioned by
+    demand band; the only unpartitioned window runs over the ~64
+    band-total rows — plan-gated in tests). Oracle: global-window
+    DuckDB twin with identical integer math."""
+    from deepee_spark.operators.budget import water_fill
+
+    ev = _t(spark, sf_dir, "events")
+    demands = ev.groupBy(
+        F.concat(F.lit("h"), (F.col("user_id") % 50).cast("string")).alias("host")
+    ).agg(F.count(F.lit(1)).cast("long").alias("demand"))
+    return water_fill(demands)
+
+
+_CRAWL_BUDGET_DEMANDS_SQL = """
+SELECT 'h' || CAST(user_id % 50 AS VARCHAR) AS host,
+       CAST(COUNT(*) AS BIGINT) AS demand
+FROM events GROUP BY 1
+"""
+
+
 def _passage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W/S sliding passage chunking (operators/chunking): 32-token
     windows, stride 24, clamped tail — the corpus-to-context-window
@@ -6936,7 +6960,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_doc_fingerprint": _doc_fingerprint,
         "text_repetition_filter": _text_repetition_filter,
         "url_host_stats": _url_host_stats,
-        "url_blocklist_filter": _url_blocklist,
+        # url_blocklist_filter (plain anti-join sibling of
+        # url_host_stats) demoted past 50 for the budget family.
+        "crawl_budget": _crawl_budget,
         "pii_redact": _pii_redact,
         "paragraph_dedup": _paragraph_dedup,
         # text_doc_frequency (plain groupBy rep of the tf-idf family,
@@ -7036,6 +7062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_co_neighbors": _kg_co_neighbors,
         "kg_fact_latest": _kg_fact_latest,
         "text_doc_frequency": _doc_frequency,
+        "url_blocklist_filter": _url_blocklist,
         "kg_link_prediction": _kg_link_prediction,
         "kg_community_rank": _kg_community_rank,
         # -- demoted past 50: already driver-green on unchanged code,
@@ -7097,6 +7124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     # Same insertion order as queries() — see the ordering note there.
     from deepee_spark.operators import bpe as _bpe_sql
+    from deepee_spark.operators import budget as _budget_sql
     from deepee_spark.operators import chunking as _chunking_sql
     from deepee_spark.operators import graph as _graph_sql
 
@@ -7147,6 +7175,9 @@ def oracle_sql() -> dict[str, str]:
         "robots_admission": _robots_admission_sql(),
         "passage_windows": _chunking_sql.passage_windows_oracle_sql(
             "SELECT doc_id, text FROM documents", window=32, stride=24
+        ),
+        "crawl_budget": _budget_sql.water_fill_oracle_sql(
+            _CRAWL_BUDGET_DEMANDS_SQL
         ),
         "kg_bfs": _graph_sql.bfs_oracle_sql(
             _KG_EDGE_PROJ_SQL, _KG_BFS_SEEDS_SQL, max_hops=3
