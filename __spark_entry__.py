@@ -4325,6 +4325,40 @@ FROM links GROUP BY surface, dst_host HAVING COUNT(*) >= 2
 """
 
 
+def _kg_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain collapse via pointer doubling (operators/
+    redirects): a functional redirect graph is synthesized from the
+    distinct user_id%100 values — 4-hop chains down to each multiple
+    of 5, plus a 5-cycle over 95..99 — and resolved in O(log chain)
+    self-join rounds. Oracle: DuckDB recursive-CTE one-hop walker with
+    a hop cap. The other canonical log-step graph primitive beside
+    components.py's star contraction."""
+    from deepee_spark.operators.redirects import resolve_redirects
+
+    hs = (
+        _t(spark, sf_dir, "events")
+        .select((F.col("user_id") % 100).alias("h"))
+        .distinct()
+    )
+    node = lambda c: F.concat(F.lit("n"), c.cast("string"))  # noqa: E731
+    edges = hs.filter((F.col("h") >= 95) | (F.col("h") % 5 != 0)).select(
+        node(F.col("h")).alias("src"),
+        F.when(F.col("h") >= 95, node(F.lit(95) + (F.col("h") - 94) % 5))
+        .otherwise(node(F.col("h") - 1))
+        .alias("dst"),
+    )
+    return resolve_redirects(edges, doublings=4)
+
+
+_KG_REDIRECTS_EDGES_SQL = """
+SELECT 'n' || CAST(h AS VARCHAR) AS src,
+       CASE WHEN h >= 95 THEN 'n' || CAST(95 + (h - 94) % 5 AS VARCHAR)
+            ELSE 'n' || CAST(h - 1 AS VARCHAR) END AS dst
+FROM (SELECT DISTINCT user_id % 100 AS h FROM events)
+WHERE h >= 95 OR h % 5 <> 0
+"""
+
+
 def _crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Water-filling crawl-budget allocation (operators/budget):
     per-host demand = event count per user_id%50 host, global budget
@@ -6956,7 +6990,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bag_truncate_pad": _bag_truncate_pad,
         "text_lang_id": _lang_id,
         "text_quality_score": _quality_score,
-        "text_token_counts": _token_counts,
+        # text_token_counts (simplest of the text-expr siblings; lang/
+        # quality/fingerprint/repetition stay) demoted past 50 for the
+        # redirect-resolution family.
+        "kg_redirects": _kg_redirects,
         "text_doc_fingerprint": _doc_fingerprint,
         "text_repetition_filter": _text_repetition_filter,
         "url_host_stats": _url_host_stats,
@@ -7063,6 +7100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fact_latest": _kg_fact_latest,
         "text_doc_frequency": _doc_frequency,
         "url_blocklist_filter": _url_blocklist,
+        "text_token_counts": _token_counts,
         "kg_link_prediction": _kg_link_prediction,
         "kg_community_rank": _kg_community_rank,
         # -- demoted past 50: already driver-green on unchanged code,
@@ -7127,6 +7165,7 @@ def oracle_sql() -> dict[str, str]:
     from deepee_spark.operators import budget as _budget_sql
     from deepee_spark.operators import chunking as _chunking_sql
     from deepee_spark.operators import graph as _graph_sql
+    from deepee_spark.operators import redirects as _redirects_sql
 
     return {
         "q1_pricing_summary": _Q1_SQL,
@@ -7178,6 +7217,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "crawl_budget": _budget_sql.water_fill_oracle_sql(
             _CRAWL_BUDGET_DEMANDS_SQL
+        ),
+        "kg_redirects": _redirects_sql.resolve_redirects_oracle_sql(
+            _KG_REDIRECTS_EDGES_SQL
         ),
         "kg_bfs": _graph_sql.bfs_oracle_sql(
             _KG_EDGE_PROJ_SQL, _KG_BFS_SEEDS_SQL, max_hops=3

@@ -100,6 +100,12 @@ def main() -> None:
         "bert_trigger_tags",
         "qa_span_args",
         "dedup_embedding_cosine",
+        # round-3 families
+        "kg_web_tables",
+        "bpe_merges",
+        "robots_admission",
+        "passage_windows",
+        "crawl_budget",
     ]
     qs = entry.queries()
     timings: dict[str, float] = {}
