@@ -105,6 +105,48 @@ def _filler_sentence(rng: random.Random) -> list[str]:
     return [rng.choice(_FILLER) for _ in range(n)]
 
 
+def _infobox_entities(i: int) -> list[str]:
+    return [_ENTITIES[i % len(_ENTITIES)], _ENTITIES[(i * 7 + 3) % len(_ENTITIES)]]
+
+
+def _infobox_html(i: int) -> str:
+    """Deterministic entity-attribute infobox on every 4th page — pure
+    in i (rng stream untouched, so event gold is unchanged) and
+    INVISIBLE to extract_text (tables are not keep-elements), so the
+    byte-identical text invariant is unaffected. Harvested by
+    operators/webtables.table_triples; gold twin = gen_table_gold."""
+    if i % 4 != 0:
+        return ""
+    rows = "".join(
+        f"<tr><td>{e}</td><td>{ENTITY_GAZETTEER[e][0]}</td><td>{i % 30}</td></tr>"
+        for e in _infobox_entities(i)
+    )
+    return (
+        '<table class="infobox"><tr><th>entity</th><th>class</th>'
+        f"<th>seen</th></tr>{rows}</table>"
+    )
+
+
+def gen_table_gold(i: int, seed: int = SEED) -> list[dict]:
+    """Gold web-table triples for gen_doc(i): subj = canonical entity id
+    (the infobox surfaces are gazetteer forms, so linking is exact and
+    canonical == entity id), pred namespaced 'attr:'."""
+    if i % 4 != 0:
+        return []
+    rng = random.Random((seed << 20) ^ i)
+    r = rng.random()
+    lang = "en" if r < 0.70 else ("zh" if r < 0.85 else "other")
+    url = f"https://site{i % 97}.example.com/{lang}/page/{i}"
+    out = set()
+    for e in _infobox_entities(i):
+        etype, eid = ENTITY_GAZETTEER[e]
+        out.add((url, eid, "attr:class", etype))
+        out.add((url, eid, "attr:seen", str(i % 30)))
+    return [
+        {"url": u, "subj": s, "pred": p, "obj": o} for u, s, p, o in sorted(out)
+    ]
+
+
 def gen_doc(i: int, seed: int = SEED) -> dict:
     """Pure per-doc generator. Deterministic in (i, seed)."""
     rng = random.Random((seed << 20) ^ i)
@@ -159,7 +201,7 @@ def gen_doc(i: int, seed: int = SEED) -> dict:
         f"<a href='https://site{(i * 7 + 1) % 97}.example.com/en/page/{i * 3 + 1}'>ref {i}</a> | "
         f"<a href='/{lang}/page/{i + 1}'>next</a></nav>"
         "<body>"
-        f"<h1>doc {i}</h1>" + "".join(body_parts) + "</body>"
+        f"<h1>doc {i}</h1>" + "".join(body_parts) + _infobox_html(i) + "</body>"
         "<footer>&copy; 2026 synthetic corp</footer></html>"
     ).encode("utf-8")
     text = extract_text(html)
@@ -247,11 +289,40 @@ def gold_df(spark: SparkSession, n_docs: int, seed: int = SEED) -> DataFrame:
     )
 
 
+GOLD_TABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("subj", T.StringType(), False),
+        T.StructField("pred", T.StringType(), False),
+        T.StructField("obj", T.StringType(), False),
+    ]
+)
+
+
+def gold_table_triples_df(
+    spark: SparkSession, n_docs: int, seed: int = SEED
+) -> DataFrame:
+    """Gold web-table (subj, pred, obj) rows (gen_table_gold twin of
+    the infobox planted by gen_doc)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [r for i in pdf["id"] for r in gen_table_gold(int(i), seed)]
+            yield pd.DataFrame(rows, columns=[f.name for f in GOLD_TABLE_SCHEMA])
+
+    parts = max(4, min(256, n_docs // 2000 + 1))
+    return spark.range(0, n_docs, numPartitions=parts).mapInPandas(
+        run, schema=GOLD_TABLE_SCHEMA
+    )
+
+
 def gold_triples_df(spark: SparkSession, n_docs: int, seed: int = SEED) -> DataFrame:
-    """Gold (subj, pred, obj) per FIXTURES.md §8: subj = event-instance id,
-    pred = 'EventType:Role', obj = canonical entity id."""
+    """Gold (subj, pred, obj) per FIXTURES.md §8: event triples (subj =
+    event-instance id, pred = 'EventType:Role', obj = canonical entity
+    id) UNION web-table attribute triples (subj = canonical entity id,
+    pred = 'attr:<header>') — the full set the pipeline must re-emit."""
     g = gold_df(spark, n_docs, seed)
-    return g.select(
+    events = g.select(
         "url",
         F.concat_ws(
             "#", F.col("event_type"), F.col("url"), F.col("sent_id").cast("string")
@@ -259,3 +330,4 @@ def gold_triples_df(spark: SparkSession, n_docs: int, seed: int = SEED) -> DataF
         F.concat_ws(":", "event_type", "role").alias("pred"),
         F.col("entity_id").alias("obj"),
     ).distinct()
+    return events.unionByName(gold_table_triples_df(spark, n_docs, seed))

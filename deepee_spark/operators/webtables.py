@@ -85,13 +85,20 @@ def extract_cells(
 
 
 def table_triples(
-    docs: DataFrame, url_col: str = "url", html_col: str = "html"
+    docs: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """documents -> (url, table_idx, subj, pred, obj): the WebTables
-    entity-attribute reading of every well-formed table. Zero joins:
-    per exploded table the header-cell and per-row subject arrays ride
-    along as columns, so the plan is one narrow map chain — no
-    Exchange until the caller's first aggregation."""
+    """documents -> (url, table_idx, subj, pred, obj, *carry): the
+    WebTables entity-attribute reading of every well-formed table.
+    Zero joins: per exploded table the header-cell and per-row subject
+    arrays ride along as columns, so the plan is one narrow map chain —
+    no Exchange until the caller's first aggregation. ``carry`` names
+    extra input columns to propagate unchanged (e.g. the crawl
+    timestamp), keeping the chain join-free for callers that need
+    them."""
+    carry = tuple(carry)
     html_str = (
         F.decode(F.col(html_col), "UTF-8")
         if dict(docs.dtypes)[html_col] == "binary"
@@ -99,6 +106,7 @@ def table_triples(
     )
     tables = docs.select(
         F.col(url_col).alias("url"),
+        *carry,
         F.posexplode(
             F.regexp_extract_all(html_str, F.lit(_TABLE_RE), F.lit(1))
         ).alias("table_idx", "_tbl"),
@@ -115,6 +123,7 @@ def table_triples(
     # data rows: posexplode skips row 0 via slice
     rows = tables.select(
         "url",
+        *carry,
         "table_idx",
         "_hdr",
         F.posexplode(
@@ -129,6 +138,7 @@ def table_triples(
     )
     cells = rows.select(
         "url",
+        *carry,
         "table_idx",
         "_subj",
         "_hdr",
@@ -140,6 +150,7 @@ def table_triples(
         cells.select(
             "url",
             "table_idx",
+            *carry,
             F.col("_subj").alias("subj"),
             # header cell aligned with this data cell (offset by the
             # subject column): header index = _cidx + 2 (1-based)

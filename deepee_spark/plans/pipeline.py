@@ -55,6 +55,7 @@ from ..sources.tables import StageCatalog
 STAGES = [
     "documents",
     "extracted",
+    "table_facts",
     "sentences",
     "triggers",
     "arguments",
@@ -241,6 +242,70 @@ def mentions_from_arguments(arguments: DataFrame) -> DataFrame:
     ).distinct()
 
 
+def table_facts_from(documents: DataFrame) -> DataFrame:
+    """Stage A': WebTables relational extraction — the second triple
+    modality beside sentence EE (operators/webtables; reference has no
+    table extractor — DeepEE stops at sentence-level EE). Zero-shuffle
+    narrow chain over the SAME html the prose extractor reads; the
+    crawl timestamp rides through via carry, so no join back to
+    documents is needed. Output: (url, table_idx, surface, pred, obj,
+    day)."""
+    from ..operators.webtables import table_triples
+
+    t = table_triples(documents, carry=("warc_ts",))
+    return t.select(
+        "url",
+        "table_idx",
+        F.col("subj").alias("surface"),
+        "pred",
+        "obj",
+        F.to_date("warc_ts").alias("day"),
+    )
+
+
+def _table_mention_id():
+    # namespaced so it can never collide with the event-mention hash
+    # xxhash64(url, sent_id, arg_pos)
+    return F.xxhash64(
+        F.lit("tbl"), F.col("url"), F.col("table_idx"), F.col("surface")
+    )
+
+
+def mentions_from_tables(facts: DataFrame) -> DataFrame:
+    """(mention_id, surface) rows for table SUBJECT cells — unioned with
+    the event-argument mentions so tables and prose share ONE linking
+    pass and ONE canonicalization (a surface seen only in an infobox
+    still folds into the coreference component its prose aliases
+    build)."""
+    return facts.select(
+        _table_mention_id().alias("mention_id"), "surface"
+    ).distinct()
+
+
+def table_triples_out(
+    facts: DataFrame, linked: DataFrame, canonical: DataFrame
+) -> DataFrame:
+    """Table facts -> final triples: subject surfaces resolve through
+    the SAME linked/canonical tables as event arguments; predicates are
+    namespaced 'attr:'. NIL subjects drop (link_mentions contract)."""
+    f = facts.withColumn("mention_id", _table_mention_id())
+    j = f.join(
+        linked.select("mention_id", "entity_id", "link_score"), "mention_id"
+    ).join(F.broadcast(canonical), "entity_id")
+    return (
+        j.select(
+            "url",
+            F.col("canonical_id").alias("subj"),
+            F.concat(F.lit("attr:"), F.col("pred")).alias("pred"),
+            "obj",
+            F.col("link_score").alias("confidence"),
+            "day",
+        )
+        .groupBy("url", "subj", "pred", "obj", "day")
+        .agg(F.max("confidence").alias("confidence"))
+    )
+
+
 def canonicalize(linked: DataFrame) -> DataFrame:
     """Coreference edges: normalized-surface node <-> linked-entity node;
     connected components collapse alias clusters; canonical id = the
@@ -322,13 +387,24 @@ def nodes_from(triples: DataFrame) -> DataFrame:
     Iceberg triple/node/edge tables"."""
     events = triples.select(
         F.col("subj").alias("node_id"),
-        F.lit("event").alias("kind"),
-        F.split("subj", "#").getItem(0).alias("label"),
+        # event-instance ids carry '#'; attr-triple subjects are
+        # canonical entity ids
+        F.when(F.col("subj").contains("#"), F.lit("event"))
+        .otherwise(F.lit("entity"))
+        .alias("kind"),
+        F.when(
+            F.col("subj").contains("#"), F.split("subj", "#").getItem(0)
+        )
+        .otherwise(F.col("subj"))
+        .alias("label"),
         "day",
     )
     entities = triples.select(
         F.col("obj").alias("node_id"),
-        F.lit("entity").alias("kind"),
+        # attr-triple objects are literal values, not entities
+        F.when(F.col("pred").startswith("attr:"), F.lit("value"))
+        .otherwise(F.lit("entity"))
+        .alias("kind"),
         F.col("obj").alias("label"),
         "day",
     )
@@ -425,7 +501,8 @@ class Pipeline:
         return self.catalog.read(self.spark, name)
 
     def run(self, documents: DataFrame, input_fingerprint: str, resume: bool = True) -> DataFrame:
-        fp = lambda s: f"{input_fingerprint}/{s}/v1"  # noqa: E731
+        # v2: web-table attr triples joined the graph (round 3)
+        fp = lambda s: f"{input_fingerprint}/{s}/v2"  # noqa: E731
         cat, spark = self.catalog, self.spark
         n_parts = self.shuffle_parts or spark.sparkContext.defaultParallelism
 
@@ -440,24 +517,25 @@ class Pipeline:
             # against a current triples snapshot skips all compute, not
             # just the final write.
             def build_triples_flow():
+                docs_rep = documents.repartition(n_parts, F.xxhash64("url"))
                 arguments = arguments_from_triggers(
                     triggers_from_sentences(
                         featurize_sentences(
-                            sentences_stage(
-                                documents_stage(
-                                    documents.repartition(
-                                        n_parts, F.xxhash64("url")
-                                    )
-                                )
-                            )
+                            sentences_stage(documents_stage(docs_rep))
                         )
                     )
                 ).localCheckpoint()
+                facts = table_facts_from(docs_rep).localCheckpoint()
                 linked = link_mentions(
-                    mentions_from_arguments(arguments), alias_df(spark)
+                    mentions_from_arguments(arguments)
+                    .select("mention_id", "surface")
+                    .unionByName(mentions_from_tables(facts)),
+                    alias_df(spark),
                 ).localCheckpoint()
                 canonical = canonicalize(linked).localCheckpoint()
-                return triples_from(arguments, linked, canonical)
+                return triples_from(arguments, linked, canonical).unionByName(
+                    table_triples_out(facts, linked, canonical)
+                )
 
             return self._stage(
                 "triples",
@@ -499,11 +577,17 @@ class Pipeline:
             # fused tail: one commit instead of three; linked/canonical
             # are dimension-scale, pinned in memory across their reuses
             def build_triples():
+                facts = table_facts_from(docs).localCheckpoint()
                 linked = link_mentions(
-                    mentions_from_arguments(arguments), aliases
+                    mentions_from_arguments(arguments)
+                    .select("mention_id", "surface")
+                    .unionByName(mentions_from_tables(facts)),
+                    aliases,
                 ).localCheckpoint()
                 canonical = canonicalize(linked).localCheckpoint()
-                return triples_from(arguments, linked, canonical)
+                return triples_from(arguments, linked, canonical).unionByName(
+                    table_triples_out(facts, linked, canonical)
+                )
 
             return self._stage(
                 "triples", fp("triples"), build_triples, resume,
@@ -515,6 +599,12 @@ class Pipeline:
             lambda: documents_stage(
                 docs.repartition(n_parts, F.xxhash64("url"))
             ),
+            resume,
+        )
+        tfacts = self._stage(
+            "table_facts",
+            fp("table_facts"),
+            lambda: table_facts_from(docs),
             resume,
         )
         sentences = self._stage(
@@ -542,7 +632,12 @@ class Pipeline:
         linked = self._stage(
             "linked",
             fp("linked"),
-            lambda: link_mentions(mentions_from_arguments(arguments), aliases),
+            lambda: link_mentions(
+                mentions_from_arguments(arguments)
+                .select("mention_id", "surface")
+                .unionByName(mentions_from_tables(tfacts)),
+                aliases,
+            ),
             resume,
         )
         canonical = self._stage(
@@ -551,7 +646,9 @@ class Pipeline:
         triples = self._stage(
             "triples",
             fp("triples"),
-            lambda: triples_from(arguments, linked, canonical),
+            lambda: triples_from(arguments, linked, canonical).unionByName(
+                table_triples_out(tfacts, linked, canonical)
+            ),
             resume,
             partition_by=["day"],
         )
@@ -579,32 +676,33 @@ class Pipeline:
         rewrite pattern — see streaming/ingest.py's module docstring);
         the changed-mapping set needed to target that rewrite is exactly
         canonicalize_incremental's touched components."""
-        fp = f"{input_fingerprint}/triples/v1"
+        fp = f"{input_fingerprint}/triples/v2"
         cat, spark = self.catalog, self.spark
         if cat.is_current("triples", fp):
             self.skipped.append("triples")
             return cat.read(spark, "triples")
         n_parts = self.shuffle_parts or spark.sparkContext.defaultParallelism
+        docs_rep = new_documents.repartition(n_parts, F.xxhash64("url"))
         arguments = arguments_from_triggers(
             triggers_from_sentences(
                 featurize_sentences(
-                    sentences_stage(
-                        documents_stage(
-                            new_documents.repartition(
-                                n_parts, F.xxhash64("url")
-                            )
-                        )
-                    )
+                    sentences_stage(documents_stage(docs_rep))
                 )
             )
         ).localCheckpoint()
+        facts = table_facts_from(docs_rep).localCheckpoint()
         linked = link_mentions(
-            mentions_from_arguments(arguments), alias_df(spark)
+            mentions_from_arguments(arguments)
+            .select("mention_id", "surface")
+            .unionByName(mentions_from_tables(facts)),
+            alias_df(spark),
         ).localCheckpoint()
         canonical = self.canonicalize_incremental(
             linked, input_fingerprint
         ).localCheckpoint()
-        delta = triples_from(arguments, linked, canonical)
+        delta = triples_from(arguments, linked, canonical).unionByName(
+            table_triples_out(facts, linked, canonical)
+        )
         import time as _time
 
         t0 = _time.time()
@@ -910,7 +1008,7 @@ class Pipeline:
         aggregate-and-write jobs over the final table, never a kernel
         recompute; same fingerprint contract as any stage, so resume
         skips them when current."""
-        fp = lambda s: f"{input_fingerprint}/{s}/v1"  # noqa: E731
+        fp = lambda s: f"{input_fingerprint}/{s}/v2"  # noqa: E731
         nodes = self._stage(
             "nodes",
             fp("nodes"),

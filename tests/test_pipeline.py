@@ -43,7 +43,7 @@ def test_resume_skips_completed_stages(spark, main_run):
     assert first.skipped == []
     p2 = Pipeline(spark, StageCatalog(cat.root))
     t2 = p2.run(corpus_df(spark, N_DOCS), f"corpus:{N_DOCS}", resume=True)
-    assert p2.ran == [] and len(p2.skipped) == 8
+    assert p2.ran == [] and len(p2.skipped) == 9
     assert t2.count() == t1.count()
 
 
@@ -75,7 +75,9 @@ def test_partial_resume_after_kill(spark, tmp_path):
         cat.drop(stage)
     p = Pipeline(spark, StageCatalog(root))
     t2 = p.run(docs, "corpus:20", resume=True)
-    assert set(p.skipped) == {"documents", "extracted", "sentences", "triggers"}
+    assert set(p.skipped) == {
+        "documents", "extracted", "table_facts", "sentences", "triggers"
+    }
     assert set(p.ran) == {"arguments", "linked", "canonical", "triples"}
     assert t2.count() == n1
 
@@ -107,7 +109,7 @@ def test_empty_corpus_yields_zero_triples(spark, tmp_path):
         pipe = Pipeline(spark, StageCatalog(str(tmp_path / name)))
         t = pipe.run(d, f"corpus:{name}", resume=False)
         assert t.count() == 0
-        assert len(pipe.ran) == 8
+        assert len(pipe.ran) == 9
 
 
 def test_triples_partitioned_by_day(spark, main_run):
@@ -330,11 +332,21 @@ def test_graph_node_edge_tables(spark, main_run):
     nodes, edges = pipe.materialize_graph(triples, f"corpus:{N_DOCS}")
 
     t = triples.select("subj", "pred", "obj", "url", "day").cache()
-    n_subj = t.select("subj").distinct().count()
-    n_obj = t.select("obj").distinct().count()
+    n_event = t.filter("subj LIKE '%#%'").select("subj").distinct().count()
+    n_entity = (
+        t.filter("subj NOT LIKE '%#%'").select(F.col("subj").alias("x"))
+        .unionByName(
+            t.filter("pred NOT LIKE 'attr:%'").select(F.col("obj").alias("x"))
+        )
+        .distinct()
+        .count()
+    )
+    n_value = (
+        t.filter("pred LIKE 'attr:%'").select("obj").distinct().count()
+    )
     kinds = {r["kind"]: r["n"] for r in
              nodes.groupBy("kind").agg(F.count(F.lit(1)).alias("n")).collect()}
-    assert kinds == {"event": n_subj, "entity": n_obj}
+    assert kinds == {"event": n_event, "entity": n_entity, "value": n_value}
 
     # every node's n_triples sums back to 2x the triple count (each
     # triple touches one subj node and one obj node)
@@ -758,3 +770,17 @@ def test_accumulate_degrees_across_drops(spark, tmp_path):
     got = {r.node_id: (r.out_degree, r.in_degree) for r in merged.collect()}
     want = {r.node_id: (r.out_degree, r.in_degree) for r in full.collect()}
     assert got == want
+
+
+def test_table_triples_share_canonicalization(spark, main_run):
+    """Web-table attr triples ride the same linked/canonical stages:
+    they exist, their subjects are canonical entity ids (never
+    event-instance ids), and their objects are the literal cell
+    values."""
+    _cat, _pipe, t = main_run
+    attr = t.filter("pred LIKE 'attr:%'")
+    assert attr.count() > 0
+    assert attr.filter("subj LIKE '%#%'").count() == 0
+    assert attr.filter("subj NOT LIKE 'E:%'").count() == 0
+    preds = {r.pred for r in attr.select("pred").distinct().collect()}
+    assert preds == {"attr:class", "attr:seen"}
