@@ -4325,6 +4325,44 @@ FROM links GROUP BY surface, dst_host HAVING COUNT(*) >= 2
 """
 
 
+def _crawl_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-crawl scheduling (operators/refresh): per-URL change-rate
+    estimation from the events table read as a fetch log (content hash
+    = event_type), Cho/Garcia-Molina-style smoothed rate x staleness
+    priority. Per-url window + one groupBy; integer-exact counts, two
+    float ops — hash-identical to the DuckDB twin."""
+    from deepee_spark.operators.refresh import refresh_priorities
+
+    obs = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("u"), (F.col("user_id") % 200).cast("string")).alias(
+            "url"
+        ),
+        F.col("ts").alias("fetch_ts"),
+        F.col("event_type").alias("content_hash"),
+        F.col("event_id").alias("obs_id"),
+    )
+    return refresh_priorities(obs, "2026-09-01 00:00:00")
+
+
+_CRAWL_REFRESH_OBS_SQL = """
+SELECT 'u' || CAST(user_id % 200 AS VARCHAR) AS url,
+       ts AS fetch_ts, event_type AS content_hash, event_id AS obs_id
+FROM events
+"""
+
+
+def _shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (HRW) shard placement (operators/sharding): every
+    document assigned to one of 8 index shards by argmax of an
+    overflow-safe quadratic mixer on the 2^31-1 ring — bit-identical
+    across engines, zero-shuffle fold plan, minimal-remap on shard-count
+    change (pinned in pytest). Oracle: same mixer via a rank window."""
+    from deepee_spark.operators.sharding import assign_shards
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return assign_shards(docs, 8)
+
+
 def _kg_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain collapse via pointer doubling (operators/
     redirects): a functional redirect graph is synthesized from the
@@ -7006,7 +7044,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # siblings text_tfidf_topk / text_unigram_logprob keep it
         # covered) demoted past 50 for the chunking family.
         "passage_windows": _passage_windows,
-        "stratified_sample": _stratified_sample,
+        # stratified_sample (sampling family, siblings
+        # corpus_weighted_sample / kg_corpus_mixture) demoted past 50
+        # for the placement family.
+        "shard_assignment": _shard_assignment,
         "text_unigram_logprob": _unigram_logprob,
         "curation_funnel": _curation_funnel,
         "decontaminate": _decontaminate,
@@ -7025,7 +7066,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kg_fact_latest (temporal sibling of the in-window kg_fact_asof)
         # demoted past 50 for the robots admission family.
         "robots_admission": _robots_admission,
-        "kg_neighbor_jaccard": _kg_neighbor_jaccard,
+        # kg_neighbor_jaccard (neighbor-set family with co_neighbors /
+        # link_prediction siblings) demoted past 50 for the refresh
+        # scheduling family.
+        "crawl_refresh": _crawl_refresh,
         "kg_functional_conflicts": _kg_functional_conflicts,
         "kg_fact_fusion": _kg_fact_fusion,
         "kg_distinct_sketch": _kg_distinct_sketch,
@@ -7101,6 +7145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_doc_frequency": _doc_frequency,
         "url_blocklist_filter": _url_blocklist,
         "text_token_counts": _token_counts,
+        "stratified_sample": _stratified_sample,
+        "kg_neighbor_jaccard": _kg_neighbor_jaccard,
         "kg_link_prediction": _kg_link_prediction,
         "kg_community_rank": _kg_community_rank,
         # -- demoted past 50: already driver-green on unchanged code,
@@ -7166,6 +7212,8 @@ def oracle_sql() -> dict[str, str]:
     from deepee_spark.operators import chunking as _chunking_sql
     from deepee_spark.operators import graph as _graph_sql
     from deepee_spark.operators import redirects as _redirects_sql
+    from deepee_spark.operators import refresh as _refresh_sql
+    from deepee_spark.operators import sharding as _sharding_sql
 
     return {
         "q1_pricing_summary": _Q1_SQL,
@@ -7220,6 +7268,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_redirects": _redirects_sql.resolve_redirects_oracle_sql(
             _KG_REDIRECTS_EDGES_SQL
+        ),
+        "shard_assignment": _sharding_sql.assign_shards_oracle_sql(
+            "SELECT doc_id FROM documents", 8
+        ),
+        "crawl_refresh": _refresh_sql.refresh_priorities_oracle_sql(
+            _CRAWL_REFRESH_OBS_SQL, "2026-09-01 00:00:00"
         ),
         "kg_bfs": _graph_sql.bfs_oracle_sql(
             _KG_EDGE_PROJ_SQL, _KG_BFS_SEEDS_SQL, max_hops=3
