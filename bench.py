@@ -106,6 +106,9 @@ def main() -> None:
         "robots_admission",
         "passage_windows",
         "crawl_budget",
+        "kg_redirects",
+        "shard_assignment",
+        "crawl_refresh",
     ]
     qs = entry.queries()
     timings: dict[str, float] = {}

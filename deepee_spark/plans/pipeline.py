@@ -11,6 +11,12 @@ Scale design (the part the reference, a single-GPU gallery, never had):
     cross-product, JMEE ee.py:150-172, realized as an explode, SURVEY J6).
   * the html binary column dies at `extracted`; later scans never touch it
     (column pruning verified in tests via ReadSchema).
+  * two extraction modalities read html: prose (`extracted`) and web
+    tables (`table_facts`). Each is its own scan of the documents
+    snapshot — Spark does not share file scans across jobs — so 'all'
+    mode reads the html bytes twice; both scans are narrow and
+    embarrassingly parallel, and in 'kernels'/'final' modes the table
+    chain is fused into the triples job rather than snapshotted.
   * linking joins are broadcast (alias dict is a dimension table);
     mention-surface memoization bounds the fuzzy LSH join; AQE +
     salted_join handle head-entity skew in canonicalization.
