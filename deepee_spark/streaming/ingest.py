@@ -169,7 +169,9 @@ def stream_edges_to_catalog(
     ``obj`` here is the surface mention, not the canonical entity:
     canonicalization is a global fixpoint (module docstring) and stays
     with the periodic batch job, whose edges table supersedes this live
-    one. Same epoch-idempotence contract as stream_arguments_to_catalog:
+    one. Web-table attr triples likewise stay with the batch job (their
+    subjects only exist post-linking); the live table is event-edge
+    support counters only. Same epoch-idempotence contract as stream_arguments_to_catalog:
     a replayed foreachBatch epoch is detected via the stream_batch_id
     stamped into the snapshot meta and re-applies NOTHING — load-bearing
     here, because a merge is not idempotent by construction the way a
