@@ -2041,8 +2041,11 @@ WITH d AS (
            range(1, greatest(len({_TOKENS_SQL}) - 2, 1) + 1),
            i -> {_TOKENS_SQL}[i] || '_' || {_TOKENS_SQL}[i+1] || '_' || {_TOKENS_SQL}[i+2]
          )) AS shingles
-  FROM documents),
-f AS (SELECT * FROM d WHERE len(shingles) >= 3),
+  FROM documents
+  -- token-count guard (matches containment_pairs): short docs with
+  -- few distinct shingles are the fully-quoted case, keep them
+  WHERE len({_TOKENS_SQL}) >= 3),
+f AS (SELECT * FROM d),
 scored AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS inter,

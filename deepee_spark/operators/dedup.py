@@ -397,11 +397,16 @@ def containment_pairs(
             F.slice(toks, j + 1, width),
             lambda a, b: F.concat_ws("_", a, b),
         )
-    d = df.select(
+    # guard on TOKEN count, not shingle count: a doc needs >= n tokens
+    # for its shingles to be well-formed (shorter docs yield zip_with
+    # null-padding artifacts), but a short doc with only 1-2 distinct
+    # shingles is exactly the fully-quoted-snippet case this operator
+    # exists to catch — a >= n shingle guard would silently drop it
+    d = df.filter(F.size(toks) >= n).select(
         F.col(id_col).alias("pid"),
         *block_cols,
         F.array_distinct(acc).alias("shingles"),
-    ).filter(F.size("shingles") >= n)
+    )
     a, b = d.alias("a"), d.alias("b")
     cond = F.col("a.pid") < F.col("b.pid")
     for c in block_cols:

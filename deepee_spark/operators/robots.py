@@ -65,11 +65,22 @@ def robots_decisions(
     join are host-partitioned, so the URL side never sees a window or
     a driver round-trip.
     """
+    # host via urls.host_of — the ONE host definition (case-insensitive
+    # scheme, port stripped, lowercased). A bespoke ^[a-z]+:// regex
+    # here would hand uppercase-scheme URLs an empty host, miss every
+    # rule, and ADMIT them through the no-rule default.
+    from .urls import host_of
+
     u = urls.select(
         F.col(url_col).alias("url"),
-        F.regexp_extract(url_col, r"^[a-z]+://([^/]+)", 1).alias("host"),
+        host_of(F.col(url_col)).alias("host"),
         F.coalesce(
-            F.nullif(F.regexp_extract(url_col, r"^[a-z]+://[^/]+(/.*)$", 1), F.lit("")),
+            F.nullif(
+                F.regexp_extract(
+                    url_col, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]+(/.*)$", 1
+                ),
+                F.lit(""),
+            ),
             F.lit("/"),
         ).alias("path"),
     )
@@ -99,8 +110,8 @@ def robots_oracle_sql(urls_sql: str, robots_sql: str) -> str:
     return f"""
 WITH u AS (
   SELECT url,
-         regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
-         coalesce(nullif(regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1), ''), '/') AS path
+         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host,
+         coalesce(nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]+(/.*)$', 1), ''), '/') AS path
   FROM ({urls_sql})
 ),
 lines AS (

@@ -113,16 +113,25 @@ def mixture_rates(
         raise ValueError("budget_rows must be >= 0")
     per = df.groupBy(stratum_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.sum(F.col(score_col)).cast("long").alias("mass"),
+        # coalesce: a stratum whose scores are all NULL sums to NULL,
+        # which must read as zero mass, not poison the total
+        F.coalesce(F.sum(F.col(score_col)), F.lit(0)).cast("long").alias("mass"),
     )
     total = per.agg(F.sum("mass").alias("_total"))
     # BIGINT DIV throughout — float division would silently lose
-    # exactness once budget * mass passes 2^53 (real at corpus scale)
+    # exactness once budget * mass passes 2^53 (real at corpus scale).
+    # Zero total mass (an all-zero-score slice) allocates nothing: the
+    # DIV would raise DIVIDE_BY_ZERO under ANSI mode, and with ANSI off
+    # the NULL would slip through least(1000, NULL) as 1000 — sampling
+    # EVERYTHING on a zero budget.
     return (
         per.crossJoin(F.broadcast(total))
         .withColumn(
             "_target",
-            F.expr(f"({budget_rows} * mass) DIV _total"),
+            F.when(
+                F.col("_total") > 0,
+                F.expr(f"({budget_rows} * mass) DIV _total"),
+            ).otherwise(F.lit(0)),
         )
         .select(
             F.col(stratum_col).alias("stratum"),

@@ -58,17 +58,24 @@ def assign_shards(
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
     key = F.col(key_col).cast("long")
+    # materialize each shard's weight ONCE via transform, then fold a
+    # pure max over the structs — Catalyst does not common-subexpression
+    # -eliminate inside lambda bodies, so putting _weight in both the
+    # comparison and the kept struct would run the mixer twice per shard
+    # on the per-row hot path. Strict > keeps the FIRST maximum, so ties
+    # still resolve toward the smaller shard id (transform preserves
+    # sequence order).
     best = F.aggregate(
-        F.sequence(F.lit(0), F.lit(n_shards - 1)),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_shards - 1)),
+            lambda s: F.struct(
+                _weight(key, s.cast("long")).alias("w"), s.alias("s")
+            ),
+        ),
         F.struct(
             F.lit(-1).cast("long").alias("w"), F.lit(-1).cast("int").alias("s")
         ),
-        lambda acc, s: F.when(
-            _weight(key, s.cast("long")) > acc["w"],
-            F.struct(
-                _weight(key, s.cast("long")).alias("w"), s.alias("s")
-            ),
-        ).otherwise(acc),
+        lambda acc, x: F.when(x["w"] > acc["w"], x).otherwise(acc),
     )
     return df.withColumn("shard", best["s"]).withColumn(
         "weight", best["w"]

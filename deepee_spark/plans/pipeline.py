@@ -343,7 +343,7 @@ def canonical_mapping(ents: DataFrame, labels: DataFrame) -> DataFrame:
     """ents(node, entity_id) ⋈ labels(node, component) → the
     deterministic (entity_id, canonical_id = min entity_id of the
     component) mapping. Pure; both canonicalize_incremental and the
-    snapshot-diff in canonical_changes derive from it."""
+    superseded-id set in canonical_changes derive from it."""
     ent_labeled = ents.join(labels, "node")
     rep = ent_labeled.groupBy("component").agg(
         F.min("entity_id").alias("canonical_id")
@@ -828,61 +828,53 @@ class Pipeline:
         return canonical_mapping(ents, labels)
 
     def canonical_changes(self) -> DataFrame:
-        """(old_canonical_id, new_canonical_id) pairs produced by the
-        LATEST canonicalize_incremental advance — the exact set the
-        periodic triple-rewrite batch must target.
+        """(old_canonical_id, new_canonical_id) pairs for EVERY id
+        superseded by ANY past advance — the complete set the periodic
+        triple-rewrite batch must target.
 
-        Derived from the snapshot-versioned canon_labels/canon_ents
-        tables (current vs previous snapshot — no extra state is kept).
-        Components only ever MERGE (drops add edges, never remove), so
-        every old canonical id maps to exactly ONE new id: the frame is
-        functional and safe to broadcast-apply. Empty on the first drop
-        or when the drop merged nothing."""
+        Derived from the CURRENT canonical mapping alone: a superseded
+        canonical id is itself an entity_id (canonical = min entity_id
+        in the component), components only ever MERGE (drops add edges,
+        never remove), and connected components already collapse
+        transitivity — so every entity_id whose current canonical_id
+        differs from itself maps to its FINAL target. No snapshot
+        diffing: a current-vs-previous diff would permanently miss
+        merges from intermediate drops whenever the rewrite batch runs
+        less often than drops land (it is explicitly periodic). The
+        frame is functional (one new id per old id) and safe to
+        broadcast-apply; it includes member ids that never served as a
+        canonical id, which inflate the build side but can never match
+        a triple. Empty until some component holds >1 entity."""
         cat, spark = self.catalog, self.spark
-        hist = cat.history("canon_labels")
         cur = canonical_mapping(
             cat.read(spark, "canon_ents").select("node", "entity_id"),
             cat.read(spark, "canon_labels").select("node", "component"),
         )
-        if len(hist) < 2 or len(cat.history("canon_ents")) < 2:
-            return cur.select(
-                F.col("canonical_id").alias("old_canonical_id"),
-                F.col("canonical_id").alias("new_canonical_id"),
-            ).limit(0)
-        prev = canonical_mapping(
-            cat.read(
-                spark,
-                "canon_ents",
-                snapshot=cat.history("canon_ents")[-2]["snapshot"],
-            ).select("node", "entity_id"),
-            cat.read(spark, "canon_labels", snapshot=hist[-2]["snapshot"]).select(
-                "node", "component"
-            ),
-        )
-        return (
-            prev.withColumnRenamed("canonical_id", "old_canonical_id")
-            .join(cur, "entity_id")
-            .filter(F.col("old_canonical_id") != F.col("canonical_id"))
-            .select(
-                "old_canonical_id",
-                F.col("canonical_id").alias("new_canonical_id"),
-            )
-            .distinct()
+        return cur.filter(F.col("entity_id") != F.col("canonical_id")).select(
+            F.col("entity_id").alias("old_canonical_id"),
+            F.col("canonical_id").alias("new_canonical_id"),
         )
 
     def rewrite_stale_canonicals(self, input_fingerprint: str) -> DataFrame:
-        """The periodic rewrite batch: retarget triples whose obj still
-        carries a canonical id superseded by later drops' component
-        merges, committing a new triples snapshot.
+        """The periodic rewrite batch: retarget triples that still carry
+        a canonical id superseded by later drops' component merges,
+        committing a new triples snapshot. Both reference positions are
+        covered — `obj` (event role: triples point at entities there)
+        AND `subj` (web-table attr: triples carry the canonical entity
+        id as subject; event subjects are event-mention ids, which can
+        never collide with entity ids, so the subj join passes them
+        through untouched).
 
-        The changed mapping is touched-component-sized (broadcast); the
-        triples side is one scan + narrow rewrite — no shuffle. The I/O
-        is a full-table rewrite, which is exactly why this is a PERIODIC
-        batch and not part of every drop (with a bucket(obj) layout the
-        scan would prune to affected buckets; day partitioning doesn't
-        help here because merges touch objects across all days).
-        Returns the current triples table; commits nothing when no
-        canonical id changed."""
+        The changed mapping is entity-table-sized (broadcast); the
+        triples side is one scan + two narrow rewrites — no shuffle.
+        The I/O is a full-table rewrite, which is exactly why this is a
+        PERIODIC batch and not part of every drop (with a bucket(obj)
+        layout the scan would prune to affected buckets; day
+        partitioning doesn't help here because merges touch objects
+        across all days). A left-semi pre-check (one scan, no write)
+        skips the rewrite when no triple references a superseded id —
+        canonical_changes is cumulative, so it stays non-empty after
+        the first merge even once every triple is current."""
         cat, spark = self.catalog, self.spark
         fp = f"{input_fingerprint}/triples_rewrite/v1"
         if cat.is_current("triples", fp):
@@ -893,16 +885,32 @@ class Pipeline:
         if changed.limit(1).count() == 0:
             self.skipped.append("triples_rewrite")
             return triples
+        stale_hit = triples.join(
+            F.broadcast(changed),
+            (triples["obj"] == changed["old_canonical_id"])
+            | (triples["subj"] == changed["old_canonical_id"]),
+            "left_semi",
+        )
+        if stale_hit.limit(1).count() == 0:
+            self.skipped.append("triples_rewrite")
+            return triples
+        obj_map = changed.select(
+            F.col("old_canonical_id").alias("_o_old"),
+            F.col("new_canonical_id").alias("_o_new"),
+        )
+        subj_map = changed.select(
+            F.col("old_canonical_id").alias("_s_old"),
+            F.col("new_canonical_id").alias("_s_new"),
+        )
         rewritten = (
             triples.join(
-                F.broadcast(changed),
-                triples["obj"] == changed["old_canonical_id"],
-                "left",
+                F.broadcast(obj_map), triples["obj"] == F.col("_o_old"), "left"
             )
-            .withColumn(
-                "obj", F.coalesce("new_canonical_id", "obj")
-            )
-            .drop("old_canonical_id", "new_canonical_id")
+            .withColumn("obj", F.coalesce("_o_new", "obj"))
+            .drop("_o_old", "_o_new")
+            .join(F.broadcast(subj_map), F.col("subj") == F.col("_s_old"), "left")
+            .withColumn("subj", F.coalesce("_s_new", "subj"))
+            .drop("_s_old", "_s_new")
         )
         cat.write(rewritten, "triples", fp, partition_by=["day"])
         self.ran.append("triples_rewrite")

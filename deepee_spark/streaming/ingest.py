@@ -112,31 +112,19 @@ def stream_arguments_to_catalog(
 
     Exactly-once: Structured Streaming's checkpoint gives at-least-once
     foreachBatch invocations; replays reuse the SAME epoch_id, so the
-    sink dedupes by recording ``stream_batch_id`` in each snapshot's
-    metadata and skipping any epoch it has already committed — the
-    standard idempotent-sink contract (what an Iceberg streaming sink
-    does with its own snapshot properties).
+    sink dedupes by carrying the epoch in the snapshot FINGERPRINT —
+    written inside the snapshot directory before the atomic rename, so
+    the idempotence marker and the data commit are one filesystem
+    operation with no crash window between them (the standard
+    idempotent-sink contract — what an Iceberg streaming sink does with
+    its own snapshot properties).
     """
 
     def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        last = catalog.latest_meta(table) or {}
-        if last.get("stream_batch_id") is not None and epoch_id <= int(
-            last["stream_batch_id"]
-        ):
+        fp = f"stream:{source_dir}:epoch={epoch_id}"
+        if _epoch_done(catalog, table, fp):
             return  # replayed epoch: already committed
-        meta = catalog.append(
-            batch_df, table, f"stream:{source_dir}:epoch={epoch_id}"
-        )
-        # stamp the epoch into the snapshot meta (idempotence marker)
-        import json as _json
-        import os as _os
-
-        meta["stream_batch_id"] = int(epoch_id)
-        snap_dir = _os.path.join(
-            catalog._table_dir(table), f"snapshot={meta['snapshot']}"
-        )
-        with open(_os.path.join(snap_dir, "_meta.json"), "w") as f:
-            _json.dump(meta, f)
+        catalog.append(batch_df, table, fp)
 
     args = stream_arguments(stream_documents(spark, source_dir))
     writer = (
@@ -171,19 +159,19 @@ def stream_edges_to_catalog(
     with the periodic batch job, whose edges table supersedes this live
     one. Web-table attr triples likewise stay with the batch job (their
     subjects only exist post-linking); the live table is event-edge
-    support counters only. Same epoch-idempotence contract as stream_arguments_to_catalog:
-    a replayed foreachBatch epoch is detected via the stream_batch_id
-    stamped into the snapshot meta and re-applies NOTHING — load-bearing
+    support counters only. Same epoch-idempotence contract as
+    stream_arguments_to_catalog: a replayed foreachBatch epoch is
+    detected via the epoch-carrying fingerprint committed ATOMICALLY
+    with the merge snapshot, and re-applies NOTHING — load-bearing
     here, because a merge is not idempotent by construction the way a
-    skipped append is.
+    skipped append is (a marker stamped after the commit would leave a
+    crash window in which the replay double-counts every weight).
     """
     from pyspark.sql import functions as F
 
     def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        last = catalog.latest_meta(table) or {}
-        if last.get("stream_batch_id") is not None and epoch_id <= int(
-            last["stream_batch_id"]
-        ):
+        fp = f"stream-edges:{source_dir}:epoch={epoch_id}"
+        if _epoch_done(catalog, table, fp):
             return  # replayed epoch: the merge already happened
         delta = batch_df.select(
             F.concat_ws(
@@ -203,18 +191,8 @@ def stream_edges_to_catalog(
             table,
             keys=["subj", "pred", "obj"],
             counters=["weight"],
-            fingerprint=f"stream-edges:{source_dir}:epoch={epoch_id}",
+            fingerprint=fp,
         )
-        meta = catalog.latest_meta(table)
-        import json as _json
-        import os as _os
-
-        meta["stream_batch_id"] = int(epoch_id)
-        snap_dir = _os.path.join(
-            catalog._table_dir(table), f"snapshot={meta['snapshot']}"
-        )
-        with open(_os.path.join(snap_dir, "_meta.json"), "w") as f:
-            _json.dump(meta, f)
 
     args = stream_arguments(stream_documents(spark, source_dir))
     writer = (
@@ -249,10 +227,14 @@ def stream_host_sessions(
     """
     from pyspark.sql import functions as F
 
+    from ..operators.urls import host_of
+
     extracted = documents_stage(docs_stream)
-    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
+    # host_of is the one host definition (lowercased, port stripped) —
+    # a local regex here would key sessions on host:port strings that
+    # never line up with url_host_stats / politeness hosts
     return (
-        extracted.withColumn("host", host)
+        extracted.withColumn("host", host_of(F.col("url")))
         .withWatermark("warc_ts", watermark)
         .groupBy(F.session_window("warc_ts", gap), "host")
         .count()
@@ -265,23 +247,18 @@ def stream_host_sessions(
     )
 
 
-def _epoch_done(catalog, table: str, epoch_id: int) -> bool:
-    last = catalog.latest_meta(table) or {}
-    return last.get("stream_batch_id") is not None and epoch_id <= int(
-        last["stream_batch_id"]
+def _epoch_done(catalog, table: str, fingerprint: str) -> bool:
+    """True when ANY committed snapshot of `table` carries this epoch's
+    fingerprint. The fingerprint is written inside the snapshot
+    directory BEFORE the atomic publish rename (StageCatalog.write /
+    append), so commit and idempotence marker are indivisible — a crash
+    at any point leaves either no snapshot (replay re-applies cleanly)
+    or a fingerprinted snapshot (replay skips). Scanning history rather
+    than only the latest snapshot keeps the check correct for sinks
+    that interleave commits to multiple tables within one epoch."""
+    return any(
+        m.get("fingerprint") == fingerprint for m in catalog.history(table)
     )
-
-
-def _stamp_epoch(catalog, table: str, meta: dict, epoch_id: int) -> None:
-    import json as _json
-    import os as _os
-
-    meta["stream_batch_id"] = int(epoch_id)
-    snap_dir = _os.path.join(
-        catalog._table_dir(table), f"snapshot={meta['snapshot']}"
-    )
-    with open(_os.path.join(snap_dir, "_meta.json"), "w") as f:
-        _json.dump(meta, f)
 
 
 def stream_frontier_gate(
@@ -316,7 +293,9 @@ def stream_frontier_gate(
     def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
         keyed = batch_df.withColumn("_cu", canonical_url(F.col("url")))
         urls = keyed.select(F.col("_cu").alias("v"))
-        if not _epoch_done(catalog, admitted_table, epoch_id):
+        fp_admit = f"stream-frontier:{source_dir}:epoch={epoch_id}"
+        fp_bloom = f"stream-frontier:{source_dir}:bloom:epoch={epoch_id}"
+        if not _epoch_done(catalog, admitted_table, fp_admit):
             try:
                 bitmap = catalog.read(spark, bloom_table).select(
                     "word_idx", "word"
@@ -331,21 +310,13 @@ def stream_frontier_gate(
                 ).drop("_cu")
             except FileNotFoundError:
                 admitted = keyed.drop("_cu")
-            meta = catalog.append(
-                admitted,
-                admitted_table,
-                f"stream-frontier:{source_dir}:epoch={epoch_id}",
-            )
-            _stamp_epoch(catalog, admitted_table, meta, epoch_id)
-        if not _epoch_done(catalog, bloom_table, epoch_id):
+            catalog.append(admitted, admitted_table, fp_admit)
+        if not _epoch_done(catalog, bloom_table, fp_bloom):
             catalog.merge_bitmap(
                 spark,
                 bloom_build(urls, "v", m_bits, k),
                 bloom_table,
-                f"stream-frontier:{source_dir}:bloom:epoch={epoch_id}",
-            )
-            _stamp_epoch(
-                catalog, bloom_table, catalog.latest_meta(bloom_table), epoch_id
+                fp_bloom,
             )
 
     docs = stream_documents(spark, source_dir)

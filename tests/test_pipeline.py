@@ -481,9 +481,12 @@ def test_canonicalize_incremental_bridges_across_drops(spark, tmp_path):
 
 def test_canonical_changes_and_stale_rewrite(spark, tmp_path):
     """A later drop merges E1 into E2's component: canonical_changes
-    must surface exactly (E2 -> E1), and the rewrite batch must
-    retarget only the stale objs, commit one new snapshot, and skip on
-    replay / on a merge-free advance."""
+    must surface (E2 -> E1), and the rewrite batch must retarget stale
+    ids in BOTH positions — event-role objs AND web-table attr: subjs —
+    commit one new snapshot, and skip on replay / when nothing is
+    stale. The rewrite runs PERIODICALLY (here: only after drop 3), so
+    it must still catch the merge that happened in drop 2 — the set is
+    derived from the current mapping, not a latest-two-snapshot diff."""
     cat = StageCatalog(str(tmp_path / "cat"))
     pipe = Pipeline(spark, cat)
     drop1 = spark.createDataFrame(
@@ -495,6 +498,8 @@ def test_canonical_changes_and_stale_rewrite(spark, tmp_path):
             [
                 ("u1", "ev1", "p:role", "E2", "2024-01-01"),
                 ("u2", "ev2", "p:role", "E3", "2024-01-02"),
+                # web-table fact: canonical entity id in SUBJ, literal obj
+                ("u3", "E2", "attr:hq", "Berlin", "2024-01-01"),
             ],
             ["url", "subj", "pred", "obj", "day"],
         ),
@@ -502,36 +507,48 @@ def test_canonical_changes_and_stale_rewrite(spark, tmp_path):
         "seed",
         partition_by=["day"],
     )
-    assert pipe.canonical_changes().count() == 0  # single snapshot
+    assert pipe.canonical_changes().count() == 0  # no merges yet
 
     drop2 = spark.createDataFrame(
         [("aa corp", "E1")], ["surface", "entity_id"]
     )
     pipe.canonicalize_incremental(drop2, "drop:2")
+    # a merge-free drop lands BEFORE the periodic rewrite runs: the
+    # drop-2 merge must survive the extra snapshot advance
+    drop3 = spark.createDataFrame(
+        [("DD GmbH", "E9")], ["surface", "entity_id"]
+    )
+    pipe.canonicalize_incremental(drop3, "drop:3")
     ch = {
         (r.old_canonical_id, r.new_canonical_id)
         for r in pipe.canonical_changes().collect()
     }
     assert ch == {("E2", "E1")}
 
-    out = pipe.rewrite_stale_canonicals("drop:2")
+    out = pipe.rewrite_stale_canonicals("drop:3")
     assert pipe.ran[-1] == "triples_rewrite"
-    objs = {r.url: r.obj for r in out.collect()}
-    assert objs == {"u1": "E1", "u2": "E3"}
+    rows = {(r.url, r.subj, r.obj) for r in out.collect()}
+    assert rows == {
+        ("u1", "ev1", "E1"),  # stale obj retargeted
+        ("u2", "ev2", "E3"),  # untouched
+        ("u3", "E1", "Berlin"),  # stale attr: SUBJ retargeted
+    }
     n_snap = len(cat.history("triples"))
 
     # replay with the same fingerprint: skipped, no new snapshot
-    pipe.rewrite_stale_canonicals("drop:2")
+    pipe.rewrite_stale_canonicals("drop:3")
     assert pipe.skipped[-1] == "triples_rewrite"
     assert len(cat.history("triples")) == n_snap
 
-    # a merge-free advance: changes empty, rewrite is a no-op
-    drop3 = spark.createDataFrame(
-        [("DD GmbH", "E9")], ["surface", "entity_id"]
+    # another merge-free advance: changes stay cumulative ({E2->E1})
+    # but every triple is already current -> the left-semi pre-check
+    # skips the rewrite without committing
+    drop4 = spark.createDataFrame(
+        [("EE SA", "E8")], ["surface", "entity_id"]
     )
-    pipe.canonicalize_incremental(drop3, "drop:3")
-    assert pipe.canonical_changes().count() == 0
-    pipe.rewrite_stale_canonicals("drop:3")
+    pipe.canonicalize_incremental(drop4, "drop:4")
+    assert pipe.canonical_changes().count() == 1
+    pipe.rewrite_stale_canonicals("drop:4")
     assert pipe.skipped[-1] == "triples_rewrite"
     assert len(cat.history("triples")) == n_snap
 
