@@ -26,9 +26,11 @@ SCALE * vote with vote <= n_sources * SCALE, so any fan-in below
 2^63 / 1e12 ~ 9.2e6 sources per fact stays exact — beyond that, bump
 to per-fact pre-aggregation or a narrower SCALE.
 
-Scale shape per round: three key-partitioned shuffles — groupBy
-(fact, value) for votes, groupBy fact for the normalizer, groupBy
-source for the trust update — plus hash joins on those same keys.
+Scale shape per round: two key-partitioned shuffles — groupBy
+(fact, value) for votes, groupBy source for the trust update — plus
+one unordered-frame window on fact for the normalizer (the fact-level
+total is one row per fact, never broadcastable at KG scale, so the
+window replaces a groupBy + sort-merge join over the same rows).
 The claims table is persisted once (it is round-invariant); the trust
 table (one row per source, orders of magnitude smaller than claims)
 is localCheckpoint-ed per round so the plan stays O(1) deep
@@ -71,10 +73,16 @@ def _fuse_rounds(
             .groupBy("fact", "value")
             .agg(F.sum("trust").cast("long").alias("vote"))
         )
-        tot = vote.groupBy("fact").agg(
-            F.sum("vote").cast("long").alias("tot")
-        )
-        conf = vote.join(tot, "fact").select(
+        # per-fact normalizer as an unordered-frame window over vote:
+        # the fact-level total is one row per fact — never broadcastable
+        # at KG scale — so a groupBy+join would cost an extra exchange
+        # and a sort-merge join on exactly the rows the window reads in
+        # place. Value fan-out per fact is ontology-bounded, so the
+        # window partition cannot be a skew key.
+        conf = vote.withColumn(
+            "tot",
+            F.sum("vote").over(Window.partitionBy("fact")).cast("long"),
+        ).select(
             "fact",
             "value",
             F.expr(f"({SCALE} * vote) DIV tot").cast("long").alias("conf"),

@@ -594,3 +594,58 @@ def test_politeness_schedule_one_partitioned_exchange(spark):
     plan = formatted_plan(politeness_schedule(req, 5))
     assert "SinglePartition" not in plan, plan
     assert plan.count("Exchange (") == 1, plan
+
+
+def test_fusion_round_replaces_tot_join_with_window(spark):
+    """The per-fact vote normalizer must be an unordered-frame window
+    over the vote rows, NOT a groupBy(fact) + join — the fact-level
+    total is one row per fact (never broadcastable at KG scale), so the
+    join form costs an extra exchange plus a sort-merge join over
+    exactly the rows the window reads in place. Gate: the visible round
+    (earlier rounds hide behind localCheckpoint) plans exactly TWO
+    joins — claims⋈trust for votes and conf⋈n_src for the output — plus
+    windows, and never a cartesian."""
+    import re
+
+    from deepee_spark.operators.fusion import fuse_claims
+
+    claims = spark.createDataFrame(
+        [
+            (f"s{i % 7}", f"f{i % 10}", f"v{i % 3}")
+            for i in range(200)
+        ],
+        "source: string, fact: string, value: string",
+    )
+    plan = formatted_plan(fuse_claims(claims, iters=2))
+    assert "CartesianProduct" not in plan, plan
+    # formatted mode prints each node once in the tree and once as a
+    # numbered detail header — count the headers
+    n_joins = len(re.findall(r"\(\d+\) \w*Join", plan))
+    assert n_joins == 2, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) >= 1, plan
+
+
+def test_sparse_topk_query_side_broadcasts(spark):
+    """Inverted-index retrieval: the query side is orders of magnitude
+    smaller than the postings, so the term probe must plan as a
+    BroadcastHashJoin (never sort-merge over the postings), and the
+    only nested-loop allowed is the 1-row corpus-size cross join."""
+    import re
+
+    from deepee_spark.operators.similarity import sparse_topk
+
+    docs = spark.range(300).select(
+        "id",
+        F.split(
+            F.concat(F.lit("a b c t"), F.col("id").cast("string")), " "
+        ).alias("tokens"),
+    )
+    qs = spark.range(3).select(
+        F.col("id").alias("q_id"),
+        F.array(F.lit("a"), F.lit("b")).alias("tokens"),
+    )
+    plan = formatted_plan(sparse_topk(docs, qs, k=3, max_df=200))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    n_bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
+    assert n_bnlj <= 1, plan
