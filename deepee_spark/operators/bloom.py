@@ -108,6 +108,34 @@ def bloom_probe(
     )
 
 
+def admit_unseen(
+    keyed: DataFrame,
+    bitmap: DataFrame | None,
+    m_bits: int = BLOOM_M,
+    k: int = BLOOM_K,
+    key_col: str = "_cu",
+) -> DataFrame:
+    """Frontier admission verdict, shared by the batch gate
+    (plans.Pipeline.frontier_gate) and the streaming gate
+    (streaming.ingest.stream_frontier_gate) so the two stay
+    semantically identical: keep the rows of ``keyed`` whose
+    ``key_col`` (canonical url) probes NOT-possibly-seen against the
+    Bloom ``bitmap``; ``bitmap=None`` means an empty seen-set (first
+    drop) — everything is admitted. ``key_col`` is dropped from the
+    result either way."""
+    if bitmap is None:
+        return keyed.drop(key_col)
+    probes = keyed.select(F.col(key_col).alias("v"))
+    verdicts = bloom_probe(bitmap, probes, "v", m_bits, k)
+    return keyed.join(
+        verdicts.filter(~F.col("possibly_seen")).select(
+            F.col("v").alias(key_col)
+        ),
+        key_col,
+        "left_semi",
+    ).drop(key_col)
+
+
 def bloom_build_oracle_sql(
     values_sql: str, m_bits: int = BLOOM_M, k: int = BLOOM_K
 ) -> str:

@@ -88,12 +88,14 @@ def run_curation(docs: DataFrame, rates: DataFrame, catalog,
     status: dict[str, str] = {}
 
     def stage(name: str, build) -> DataFrame:
-        if resume and catalog.is_current(name, fp(name)):
-            status[name] = "skipped"
-        else:
-            catalog.write(build(), name, fp(name))
-            status[name] = "ran"
-        return catalog.read(docs.sparkSession, name)
+        # same resume-or-build-and-commit contract as Pipeline._stage
+        # (StageCatalog.stage), so a change to the currency/replay
+        # rules lands in both DAGs at once
+        df, ran, _ = catalog.stage(
+            docs.sparkSession, name, fp(name), build, resume
+        )
+        status[name] = "ran" if ran else "skipped"
+        return df
 
     quality = stage("cur_quality", lambda: _quality_pass(docs, quality_min))
     rep = stage("cur_repetition", lambda: _repetition_pass(quality))

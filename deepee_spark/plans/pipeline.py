@@ -327,16 +327,11 @@ def canonicalize(linked: DataFrame) -> DataFrame:
     ent_nodes = base.select("entity_id").distinct().withColumn(
         "node", F.xxhash64(F.concat(F.lit("e:"), F.col("entity_id")))
     )
-    rep = (
-        ent_nodes.join(comp, "node")
-        .groupBy("component")
-        .agg(F.min("entity_id").alias("canonical_id"))
-    )
-    return (
-        ent_nodes.join(comp, "node")
-        .join(rep, "component")
-        .select("entity_id", "canonical_id")
-    )
+    # the one canonical-id rule (min entity_id per component) lives in
+    # canonical_mapping — batch, incremental, and superseded-id
+    # detection all route through it so a tie-break change cannot
+    # silently diverge them
+    return canonical_mapping(ent_nodes, comp)
 
 
 def canonical_mapping(ents: DataFrame, labels: DataFrame) -> DataFrame:
@@ -495,16 +490,15 @@ class Pipeline:
 
     def _stage(self, name: str, fingerprint: str, build, resume: bool,
                partition_by: list[str] | None = None) -> DataFrame:
-        if resume and self.catalog.is_current(name, fingerprint):
-            self.skipped.append(name)
-        else:
-            import time as _time
-
-            t0 = _time.time()
-            self.catalog.write(build(), name, fingerprint, partition_by)
-            self.stage_seconds[name] = round(_time.time() - t0, 3)
+        df, ran, secs = self.catalog.stage(
+            self.spark, name, fingerprint, build, resume, partition_by
+        )
+        if ran:
+            self.stage_seconds[name] = secs
             self.ran.append(name)
-        return self.catalog.read(self.spark, name)
+        else:
+            self.skipped.append(name)
+        return df
 
     def run(self, documents: DataFrame, input_fingerprint: str, resume: bool = True) -> DataFrame:
         # v2: web-table attr triples joined the graph (round 3)
@@ -684,7 +678,12 @@ class Pipeline:
         canonicalize_incremental's touched components."""
         fp = f"{input_fingerprint}/triples/v2"
         cat, spark = self.catalog, self.spark
-        if cat.is_current("triples", fp):
+        # history scan, NOT is_current: an append is not idempotent, and
+        # a drop replayed after ANY later triples commit (next drop, or
+        # rewrite_stale_canonicals) no longer matches the LATEST
+        # fingerprint — latest-only checking would re-append every one
+        # of its triples as duplicates
+        if cat.was_committed("triples", fp):
             self.skipped.append("triples")
             return cat.read(spark, "triples")
         n_parts = self.shuffle_parts or spark.sparkContext.defaultParallelism
@@ -782,7 +781,13 @@ class Pipeline:
                 .distinct()
             )
             base = base.unionByName(seed).distinct().localCheckpoint()
-        if cat.is_current("canon_labels", fp_labels):
+        # was_committed, not is_current: a drop replayed after later
+        # drops advanced the tables must skip (re-advancing with this
+        # drop's edges is idempotent for CC and union+distinct, but
+        # costs a drop-sized solve and a snapshot commit for nothing);
+        # reading the LATEST tables back is correct — the mapping is
+        # defined as consistent-across-all-drops-so-far
+        if cat.was_committed("canon_labels", fp_labels):
             self.skipped.append("canon_labels")
             labels = cat.read(spark, "canon_labels").select(
                 "node", "component"
@@ -801,7 +806,7 @@ class Pipeline:
             ).localCheckpoint()
             cat.write(labels, "canon_labels", fp_labels)
             self.ran.append("canon_labels")
-        if cat.is_current("canon_ents", fp_ents):
+        if cat.was_committed("canon_ents", fp_ents):
             self.skipped.append("canon_ents")
             ents = cat.read(spark, "canon_ents").select("node", "entity_id")
         else:
@@ -976,8 +981,21 @@ class Pipeline:
         over an anti-join against the ever-growing history table. The
         probe side broadcasts the bitmap (m=2^20 -> 32k words); the
         bitmap update is one bit_or merge (StageCatalog.merge_bitmap),
-        drop-sized compute like the other incremental paths."""
-        from ..operators.bloom import bloom_build, bloom_probe
+        drop-sized compute like the other incremental paths.
+
+        Replay determinism: the returned `admitted` is LAZY — the
+        caller persists it downstream (run_incremental) — while the
+        bitmap merge is eager. If the process dies after the merge
+        but before the caller's commit, a naive replay would probe
+        the post-merge bitmap, see every url of the drop as seen
+        (Bloom has no false negatives), and silently lose the drop
+        forever. So when this drop's merge fingerprint is already in
+        the bitmap's history, verdicts are computed by time travel
+        against the snapshot PRECEDING that commit — replays admit
+        the identical row set, exactly the admitted-append-before-
+        merge ordering stream_frontier_gate gets from its per-epoch
+        markers (streaming/ingest.py)."""
+        from ..operators.bloom import admit_unseen, bloom_build
         from ..operators.urls import canonical_url
 
         cat, spark = self.catalog, self.spark
@@ -988,26 +1006,39 @@ class Pipeline:
         # concern, not the frontier's
         keyed = delta_docs.withColumn("_cu", canonical_url(F.col("url")))
         urls = keyed.select(F.col("_cu").alias("v"))
-        try:
-            bitmap = cat.read(spark, "url_bloom").select(
-                "word_idx", "word"
-            )
-            verdicts = bloom_probe(bitmap, urls, "v", m_bits, k)
-            admitted = keyed.join(
-                verdicts.filter(~F.col("possibly_seen")).select(
-                    F.col("v").alias("_cu")
-                ),
-                "_cu",
-                "left_semi",
-            ).drop("_cu")
-        except FileNotFoundError:
-            admitted = keyed.drop("_cu")
-        cat.merge_bitmap(
-            spark,
-            bloom_build(urls, "v", m_bits, k),
-            "url_bloom",
-            f"{input_fingerprint}/url_bloom/v1",
+        fp_bloom = f"{input_fingerprint}/url_bloom/v1"
+        hist = cat.history("url_bloom")
+        mine = next(
+            (
+                i
+                for i, m in enumerate(hist)
+                if m.get("fingerprint") == fp_bloom
+            ),
+            None,
         )
+        if mine is not None:
+            # replay: probe the pre-merge bitmap (None = this drop was
+            # the first commit, so the seen-set was empty)
+            bitmap = (
+                cat.read(
+                    spark, "url_bloom", snapshot=hist[mine - 1]["snapshot"]
+                ).select("word_idx", "word")
+                if mine > 0
+                else None
+            )
+        else:
+            try:
+                bitmap = cat.read(spark, "url_bloom").select(
+                    "word_idx", "word"
+                )
+            except FileNotFoundError:
+                bitmap = None
+        admitted = admit_unseen(keyed, bitmap, m_bits, k)
+        if mine is None:
+            cat.merge_bitmap(
+                spark, bloom_build(urls, "v", m_bits, k), "url_bloom",
+                fp_bloom,
+            )
         return admitted
 
     def materialize_graph(

@@ -41,6 +41,11 @@ class StageCatalog:
         self.root = root
         self.run_id = run_id or uuid.uuid4().hex[:12]
         os.makedirs(root, exist_ok=True)
+        # published snapshots are immutable, so their _meta.json reads
+        # memoize safely; a long-lived stream's per-epoch idempotence
+        # check then costs one meta read per NEW snapshot instead of
+        # re-opening every retained snapshot's meta each micro-batch
+        self._meta_cache: dict[tuple[str, str], dict] = {}
 
     def _table_dir(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -53,11 +58,16 @@ class StageCatalog:
         return sorted(snaps, key=lambda s: int(s.split("=")[1]))
 
     def _meta_at(self, name: str, snap_dir: str) -> dict | None:
+        hit = self._meta_cache.get((name, snap_dir))
+        if hit is not None:
+            return hit
         p = os.path.join(self._table_dir(name), snap_dir, META)
         if not os.path.exists(p):
             return None
         with open(p) as f:
-            return json.load(f)
+            meta = json.load(f)
+        self._meta_cache[(name, snap_dir)] = meta
+        return meta
 
     def latest_meta(self, name: str) -> dict | None:
         snaps = self._snapshots(name)
@@ -81,6 +91,45 @@ class StageCatalog:
     def is_current(self, name: str, fingerprint: str) -> bool:
         meta = self.latest_meta(name)
         return bool(meta) and meta.get("fingerprint") == fingerprint
+
+    def was_committed(self, name: str, fingerprint: str) -> bool:
+        """True when ANY retained snapshot of ``name`` carries this
+        fingerprint — the replay-idempotence check for merge/append
+        sinks. ``is_current`` inspects only the LATEST snapshot, so it
+        misses a crawl drop replayed after any later commit to the same
+        table (the orchestrator re-run would re-apply a non-idempotent
+        merge/append and double its rows). Scans newest-first — replays
+        overwhelmingly concern recent commits — over memoized meta
+        reads. Caveat shared with every marker scheme: expire_snapshots
+        erases old fingerprints, so retention must outlast the replay
+        horizon."""
+        for s in reversed(self._snapshots(name)):
+            m = self._meta_at(name, s)
+            if m is not None and m.get("fingerprint") == fingerprint:
+                return True
+        return False
+
+    def stage(
+        self,
+        spark: SparkSession,
+        name: str,
+        fingerprint: str,
+        build,
+        resume: bool = True,
+        partition_by: list[str] | None = None,
+    ) -> tuple[DataFrame, bool, float]:
+        """The one resume-or-build-and-commit contract every durable
+        DAG stage follows (Pipeline._stage, curation's funnel): skip
+        the build when the latest snapshot is current for this
+        fingerprint, else call ``build()`` and commit the result.
+        Returns (read-back DataFrame, ran, wall_sec) so callers keep
+        their own ran/skipped bookkeeping without re-implementing the
+        currency check."""
+        if resume and self.is_current(name, fingerprint):
+            return self.read(spark, name), False, 0.0
+        t0 = time.time()
+        self.write(build(), name, fingerprint, partition_by)
+        return self.read(spark, name), True, round(time.time() - t0, 3)
 
     def write(
         self,
@@ -119,7 +168,8 @@ class StageCatalog:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(tmp)
         counters = dict(obs.get)
-        n = sum(int(s.split("=")[1]) + 1 for s in self._snapshots(name)[-1:]) or 0
+        snaps = self._snapshots(name)
+        n = int(snaps[-1].split("=")[1]) + 1 if snaps else 0
         final = os.path.join(tdir, f"snapshot={n}")
         meta = {
             "run_id": self.run_id,
@@ -194,7 +244,15 @@ class StageCatalog:
 
         union + groupBy-sum rather than a full-outer join: additive
         counters shuffle once on the key and get map-side partial
-        aggregation — the shape that survives a billion-key table."""
+        aggregation — the shape that survives a billion-key table.
+
+        A merge is NOT idempotent (replaying the same delta doubles
+        the counters), so a fingerprint already present anywhere in
+        the table's history short-circuits to the current snapshot —
+        the same guard the streaming sinks apply per epoch
+        (streaming/ingest._epoch_done)."""
+        if self.was_committed(name, fingerprint):
+            return self.read(spark, name)
         try:
             cur = self.read(spark, name).select(*keys, *counters)
         except FileNotFoundError:
@@ -218,7 +276,13 @@ class StageCatalog:
         table `name` — merge_accumulate's contract with OR instead of
         SUM (set-bit union is the bitmap's additive operation;
         operators/bloom.py). Same one-shuffle shape: union + keyed
-        groupBy with map-side partials."""
+        groupBy with map-side partials. bit_or IS idempotent, but the
+        replay guard still applies so a replayed epoch skips the merge
+        job and, more importantly, so frontier_gate can locate the
+        pre-merge snapshot by fingerprint for replay-deterministic
+        probing."""
+        if self.was_committed(name, fingerprint):
+            return self.read(spark, name)
         try:
             cur = self.read(spark, name).select("word_idx", "word")
         except FileNotFoundError:
@@ -355,13 +419,17 @@ class StageCatalog:
             f.write(json.dumps(meta) + "\n")
         return meta
 
-    def vacuum(self, name: str | None = None, grace_sec: float = 0.0) -> list[str]:
+    def vacuum(
+        self, name: str | None = None, grace_sec: float = 3600.0
+    ) -> list[str]:
         """Orphan cleanup — the Iceberg `remove_orphan_files` analogue:
         delete `.tmp-*` staging trees left behind by crashed writes
         (a write that died between parquet output and the atomic rename).
         Published snapshots are never touched. ``grace_sec`` spares trees
         younger than the window (a concurrently-running write's staging
-        dir looks identical to an orphan)."""
+        dir looks identical to an orphan — so the default grace must be
+        longer than any plausible in-flight write, not 0; a maintenance
+        job that KNOWS no writer is live may pass 0 explicitly)."""
         names = [name] if name else [
             d for d in os.listdir(self.root)
             if os.path.isdir(os.path.join(self.root, d))

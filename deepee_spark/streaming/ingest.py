@@ -229,12 +229,19 @@ def stream_host_sessions(
 
     from ..operators.urls import host_of
 
-    extracted = documents_stage(docs_stream)
+    # sessions consume only (url, warc_ts) — project them straight off
+    # the raw stream. documents_stage is a pure projection (no row
+    # filter), but it runs HTML extraction inside mapInPandas, which
+    # Catalyst cannot prune columns through: routing the stream through
+    # it would decode every page's html per micro-batch just to count
+    # (host, window) rows, and extraction is the pipeline's dominant
+    # CPU stage.
     # host_of is the one host definition (lowercased, port stripped) —
     # a local regex here would key sessions on host:port strings that
     # never line up with url_host_stats / politeness hosts
     return (
-        extracted.withColumn("host", host_of(F.col("url")))
+        docs_stream.select("url", "warc_ts")
+        .withColumn("host", host_of(F.col("url")))
         .withWatermark("warc_ts", watermark)
         .groupBy(F.session_window("warc_ts", gap), "host")
         .count()
@@ -255,10 +262,12 @@ def _epoch_done(catalog, table: str, fingerprint: str) -> bool:
     at any point leaves either no snapshot (replay re-applies cleanly)
     or a fingerprinted snapshot (replay skips). Scanning history rather
     than only the latest snapshot keeps the check correct for sinks
-    that interleave commits to multiple tables within one epoch."""
-    return any(
-        m.get("fingerprint") == fingerprint for m in catalog.history(table)
-    )
+    that interleave commits to multiple tables within one epoch.
+    Delegates to StageCatalog.was_committed, whose newest-first scan
+    over memoized meta reads keeps the per-epoch cost at one meta read
+    per NEW snapshot instead of re-opening every retained snapshot's
+    meta on every micro-batch of a long-lived stream."""
+    return catalog.was_committed(table, fingerprint)
 
 
 def stream_frontier_gate(
@@ -287,7 +296,7 @@ def stream_frontier_gate(
     identical row set."""
     from pyspark.sql import functions as F
 
-    from ..operators.bloom import bloom_build, bloom_probe
+    from ..operators.bloom import admit_unseen, bloom_build
     from ..operators.urls import canonical_url
 
     def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -300,17 +309,14 @@ def stream_frontier_gate(
                 bitmap = catalog.read(spark, bloom_table).select(
                     "word_idx", "word"
                 )
-                verdicts = bloom_probe(bitmap, urls, "v", m_bits, k)
-                admitted = keyed.join(
-                    verdicts.filter(~F.col("possibly_seen")).select(
-                        F.col("v").alias("_cu")
-                    ),
-                    "_cu",
-                    "left_semi",
-                ).drop("_cu")
             except FileNotFoundError:
-                admitted = keyed.drop("_cu")
-            catalog.append(admitted, admitted_table, fp_admit)
+                bitmap = None
+            # shared probe/admit semantics with Pipeline.frontier_gate
+            catalog.append(
+                admit_unseen(keyed, bitmap, m_bits, k),
+                admitted_table,
+                fp_admit,
+            )
         if not _epoch_done(catalog, bloom_table, fp_bloom):
             catalog.merge_bitmap(
                 spark,

@@ -132,3 +132,36 @@ def test_frontier_gate_is_canonical_url_aware(spark, tmp_path):
     )
     got = {r.url for r in pipe.frontier_gate(d2, "drop:2").collect()}
     assert got == {"https://a.test/z"}
+
+
+def test_frontier_gate_replay_after_merge_admits_same_rows(spark, tmp_path):
+    """Crash between the eager bitmap merge and the caller's downstream
+    commit of the lazily-returned admitted rows: the replayed gate must
+    admit the SAME rows by time-travelling to the pre-merge bitmap
+    snapshot — probing the post-merge bitmap would report the whole
+    drop as seen (Bloom has no false negatives) and silently lose it
+    forever."""
+    from deepee_spark.corpus import corpus_df
+    from deepee_spark.plans.pipeline import Pipeline
+    from deepee_spark.sources.tables import StageCatalog
+
+    cat = StageCatalog(str(tmp_path / "cat"))
+    pipe = Pipeline(spark, cat)
+    docs = corpus_df(spark, 30).cache()
+    d1 = docs.filter("url like '%/page/1%'")
+    d2 = docs  # superset of d1
+    pipe.frontier_gate(d1, "drop:1")
+    want = {r.url for r in pipe.frontier_gate(d2, "drop:2").collect()}
+    assert want  # drop 2 genuinely admits new urls
+
+    # drop:2's merge is already committed — the replay must return the
+    # identical admitted set and must NOT merge the bitmap again
+    n_snaps = len(cat._snapshots("url_bloom"))
+    got = {r.url for r in pipe.frontier_gate(d2, "drop:2").collect()}
+    assert got == want
+    assert len(cat._snapshots("url_bloom")) == n_snaps
+
+    # a replay of the FIRST drop probes the empty pre-merge seen-set
+    got1 = {r.url for r in pipe.frontier_gate(d1, "drop:1").collect()}
+    assert got1 == {r.url for r in d1.select("url").collect()}
+    assert len(cat._snapshots("url_bloom")) == n_snaps

@@ -237,6 +237,19 @@ def test_merge_accumulate_counters(spark, tmp_path):
     }
     assert len(cat._snapshots("eval_counters")) == 3
 
+    # replay guard: re-merging an ALREADY-COMMITTED round's fingerprint
+    # must be a no-op even though later rounds committed since (history
+    # scan, not latest-only) — a counter merge is not idempotent, so
+    # without the guard an orchestrator re-run would double-count
+    replay = spark.createDataFrame(rounds[0], ["event_type", "n_pred", "n_correct"])
+    out2 = cat.merge_accumulate(
+        spark, replay, "eval_counters", ["event_type"],
+        ["n_pred", "n_correct"], "round:0",
+    )
+    got2 = {r["event_type"]: (r["n_pred"], r["n_correct"]) for r in out2.collect()}
+    assert got2 == got
+    assert len(cat._snapshots("eval_counters")) == 3
+
 
 def test_catalog_compaction_preserves_rows_and_resume(spark, tmp_path):
     """compact() rewrites the latest snapshot into few files, keeps the
@@ -378,6 +391,7 @@ def test_append_snapshot_and_vacuum(spark, tmp_path):
     files; readers see the union, history records the append, and
     vacuum clears only orphaned staging dirs."""
     import os
+    import time
 
     cat = StageCatalog(str(tmp_path / "cat"))
     base = spark.range(100).select(
@@ -398,9 +412,15 @@ def test_append_snapshot_and_vacuum(spark, tmp_path):
     assert cat.read(spark, "t", snapshot=0).count() == 100
     assert cat.is_current("t", "fp-plus-delta")
 
-    # vacuum: a crashed write's staging dir is removed, snapshots kept
+    # vacuum: a crashed write's staging dir is removed, snapshots kept;
+    # a YOUNG .tmp dir (possibly a concurrent in-flight write) is spared
+    # by the default grace window until it ages past it
     orphan = os.path.join(cat._table_dir("t"), ".tmp-deadbeef")
     os.makedirs(orphan)
+    assert cat.vacuum() == []
+    assert os.path.exists(orphan)
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
     removed = cat.vacuum()
     assert removed == [os.path.join("t", ".tmp-deadbeef")]
     assert not os.path.exists(orphan)
@@ -435,6 +455,18 @@ def test_incremental_run_appends_delta_triples(spark, tmp_path):
     again = pipe.run_incremental(delta, "drop:1")
     assert pipe.skipped[-1] == "triples"
     assert again.count() == combined.count()
+
+    # replay AFTER a later commit: drop:1 is no longer the latest
+    # triples fingerprint, but a replayed orchestrator run must still
+    # skip (history scan) — re-appending would duplicate every one of
+    # the drop's triples
+    delta2 = corpus_df(spark, 170).join(
+        full.select("url"), "url", "left_anti"
+    )
+    n_after2 = pipe.run_incremental(delta2, "drop:2").count()
+    replayed = pipe.run_incremental(delta, "drop:1")
+    assert pipe.skipped[-1] == "triples"
+    assert replayed.count() == n_after2
 
 
 def test_canonicalize_incremental_bridges_across_drops(spark, tmp_path):
