@@ -66,10 +66,16 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 
 def _signature(e: DataFrame) -> tuple[int, int]:
+    """(row count, full-width xor of per-edge xxhash64) — the fixpoint
+    signature of the star loop. bit_xor keeps all 64 hash bits (edge
+    sets here are distinct, so xor is order/multiplicity-safe and a
+    false fixpoint needs a ~2^-64 collision), where a truncated
+    sum-of-moduli signature made a premature break plausible on large
+    swaps; same scheme as graph._scc_minlabel."""
     row = e.agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(
-            F.sum(F.xxhash64("hi", "lo") % F.lit(1_000_003)), F.lit(0)
+            F.expr("bit_xor(xxhash64(hi, lo))"), F.lit(0)
         ).alias("h"),
     ).collect()[0]
     return int(row["n"]), int(row["h"])
@@ -128,12 +134,22 @@ def connected_components(
         min(spark.sparkContext.defaultParallelism, sig[0] // 50_000 + 1),
     )
     e = e.repartition(target).localCheckpoint()
+    converged = False
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).repartition(target).localCheckpoint()
         new_sig = _signature(e)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # reading a mid-contraction edge set as final stars would
+        # silently split components (downstream: wrong canonical ids),
+        # so non-convergence is an error, matching graph.scc's contract
+        raise RuntimeError(
+            "connected_components star loop did not converge within "
+            f"{max_iter} rounds; raise max_iter"
+        )
     members = e.select(F.col("hi").alias("node"), F.col("lo").alias("component"))
     roots = e.select(F.col("lo").alias("node")).distinct().withColumn(
         "component", F.col("node")

@@ -63,13 +63,24 @@ def co_neighbors(
     into one task (measured: flat 9.5s at both 4 and 16 cores before
     this, 4x spread after). Same guard as operators/dedup.py:253.
     """
-    e = edges.select("src", "dst").distinct()
+    return _co_neighbors_distinct(
+        edges.select("src", "dst").distinct(), max_fanout
+    )
+
+
+def _co_neighbors_distinct(
+    e: DataFrame, max_fanout: int | None = None
+) -> DataFrame:
+    """co_neighbors body for an ALREADY-distinct (src, dst) frame —
+    callers that dedup for their own degree/occurrence dimensions
+    (neighbor_jaccard, co_occurrence_pmi) enter here so the hot path
+    does not pay a second full-distinct exchange."""
     if max_fanout is not None:
         keep = e.groupBy("dst").agg(F.count(F.lit(1)).alias("f")).filter(
             F.col("f") <= max_fanout
         )
         e = e.join(keep.select("dst"), "dst")
-    n_parts = edges.sparkSession.sparkContext.defaultParallelism
+    n_parts = e.sparkSession.sparkContext.defaultParallelism
     e = e.repartition(n_parts, "dst")
     a = e.select(F.col("src").alias("a"), "dst")
     b = e.select(F.col("src").alias("b"), "dst")
@@ -100,7 +111,7 @@ def neighbor_jaccard(
     threshold (capping can only miss pairs, never inflate them)."""
     e = edges.select("src", "dst").distinct()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
-    pairs = co_neighbors(e, max_fanout)
+    pairs = _co_neighbors_distinct(e, max_fanout)
     return (
         pairs.join(
             deg.select(F.col("src").alias("a"), F.col("deg").alias("deg_a")),
@@ -121,6 +132,26 @@ def neighbor_jaccard(
             ).cast("long").alias("jaccard_e6"),
         )
     )
+
+
+def _symmetric(
+    edges: DataFrame, key: str, dedup: bool = True
+) -> DataFrame:
+    """Symmetric (src, dst) expansion, persisted PRE-PARTITIONED on
+    `key` — the iteration-invariant edge input every frontier/peeling
+    loop probes (persist keeps the child's hashpartitioning where
+    localCheckpoint would not, so per-round joins move only the small
+    changing side). ``dedup=False`` skips the distinct for inputs
+    already canonical-deduped (undirect output: the lo<hi frame and
+    its swap are disjoint by construction, so a distinct there would
+    be a pure extra exchange)."""
+    n_parts = edges.sparkSession.sparkContext.defaultParallelism
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    if dedup:
+        sym = sym.distinct()
+    return sym.repartition(n_parts, key).persist()
 
 
 def undirect(edges: DataFrame) -> DataFrame:
@@ -244,6 +275,10 @@ def pagerank_int(
         .persist()
     )
     n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node", F.lit(0).cast("long").alias("rank")
+        )
     r0 = PR_SCALE // n
     teleport = ((100 - damping_pct) * r0) // 100
     outdeg = e.groupBy("src").agg(
@@ -265,11 +300,16 @@ def _pr_iteration(
     links: DataFrame,
     rank: DataFrame,
     nodes: DataFrame,
-    teleport: int,
+    teleport: int | str,
     damping_pct: int,
+    contrib_expr: str = "rank div outdeg",
 ) -> DataFrame:
     """One PageRank iteration, un-checkpointed (split out so the plan
-    gate in tests/test_plans.py can assert its join strategy).
+    gate in tests/test_plans.py can assert its join strategy). The ONE
+    iteration body for all three variants — uniform, weighted
+    (contrib_expr='(rank * w) div outw'), and seeded (teleport names a
+    per-node COLUMN on `nodes` instead of a constant) — so a join-
+    strategy or damping-arithmetic change cannot silently diverge them.
 
     SHUFFLE_HASH on the rank/contrib side: the links⋈rank join would
     otherwise plan as sort-merge and re-sort the full edge list every
@@ -287,16 +327,16 @@ def _pr_iteration(
         )
         .select(
             F.col("dst").alias("node"),
-            F.expr("rank div outdeg").alias("c"),
+            F.expr(contrib_expr).alias("c"),
         )
         .groupBy("node")
         .agg(F.sum("c").alias("s"))
     )
+    tp = F.col(teleport) if isinstance(teleport, str) else F.lit(teleport)
     return nodes.join(contrib.hint("shuffle_hash"), "node", "left").select(
         "node",
         (
-            F.lit(teleport)
-            + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+            tp + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
         ).cast("long").alias("rank"),
     )
 
@@ -323,7 +363,11 @@ def pagerank_int_weighted(
     """
     e = (
         edges.groupBy("src", "dst")
-        .agg(F.sum("weight").cast("long").alias("w"))
+        # bround before the long cast: a float weight column summing to
+        # x.5 would TRUNCATE under a bare cast while the DuckDB twin's
+        # CAST(SUM(weight) AS BIGINT) rounds half-even — bround matches
+        # that convention and is the identity on integer weights
+        .agg(F.bround(F.sum("weight")).cast("long").alias("w"))
     )
     n_parts = edges.sparkSession.sparkContext.defaultParallelism
     nodes = (
@@ -334,37 +378,20 @@ def pagerank_int_weighted(
         .persist()
     )
     n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node", F.lit(0).cast("long").alias("rank")
+        )
     r0 = PR_SCALE // n
     teleport = ((100 - damping_pct) * r0) // 100
     outw = e.groupBy("src").agg(F.sum("w").cast("long").alias("outw"))
     links = e.join(outw, "src").repartition(n_parts, "src").persist()
     rank = nodes.select("node", F.lit(r0).cast("long").alias("rank"))
     for _ in range(iters):
-        contrib = (
-            links.join(
-                rank.select(F.col("node").alias("src"), "rank").hint(
-                    "shuffle_hash"
-                ),
-                "src",
-            )
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("(rank * w) div outw").alias("c"),
-            )
-            .groupBy("node")
-            .agg(F.sum("c").alias("s"))
-        )
-        rank = (
-            nodes.join(contrib.hint("shuffle_hash"), "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
-                ).cast("long").alias("rank"),
-            )
-            .localCheckpoint()
-        )
+        rank = _pr_iteration(
+            links, rank, nodes, teleport, damping_pct,
+            contrib_expr="(rank * w) div outw",
+        ).localCheckpoint()
     nodes.unpersist()
     links.unpersist()
     return rank
@@ -448,23 +475,10 @@ def bfs_distances(
     the frontier (small side broadcast-able when the frontier is),
     never a pass over the full visited set.
     """
-    n_parts = edges.sparkSession.sparkContext.defaultParallelism
-    # hop-invariant edge list persisted PRE-PARTITIONED on the probe
-    # key, same rationale as pagerank_int: localCheckpoint loses the
-    # partitioning in PySpark and sort-merge would re-sort the full
-    # edge list every hop; with the persist + shuffle_hash hints only
-    # the frontier (the small, changing side) moves per hop.
-    sym = (
-        edges.select("src", "dst")
-        .unionByName(
-            edges.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            )
-        )
-        .distinct()
-        .repartition(n_parts, "src")
-        .persist()
-    )
+    # hop-invariant edge list persisted pre-partitioned on the probe
+    # key (_symmetric), same rationale as pagerank_int: only the
+    # frontier (the small, changing side) moves per hop.
+    sym = _symmetric(edges, "src")
     visited = seeds.select(
         F.col(seeds.columns[0]).alias("node"),
         F.lit(0).cast("long").alias("dist"),
@@ -559,13 +573,12 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 20) -> DataFrame:
     if max_rounds < 1:
         raise ValueError("max_rounds must be >= 1")
     lohi = undirect(edges)
-    sym = lohi.select(
-        F.col("lo").alias("src"), F.col("hi").alias("dst")
-    ).unionByName(
-        lohi.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
+    # dedup=False: the lo<hi frame and its swap are disjoint already
+    sym = _symmetric(
+        lohi.select(F.col("lo").alias("src"), F.col("hi").alias("dst")),
+        "src",
+        dedup=False,
     )
-    n_parts = edges.sparkSession.sparkContext.defaultParallelism
-    sym = sym.repartition(n_parts, "src").persist()
     deg = (
         sym.groupBy("src")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
@@ -693,6 +706,12 @@ def pagerank_int_seeded(
         F.col(seeds.columns[0]).alias("node")
     ).distinct()
     n_seeds = nodes_plain.join(seed_nodes, "node", "left_semi").count()
+    if n_seeds == 0:
+        # a stale/mistyped seed list should fail loudly, not as a bare
+        # ZeroDivisionError three layers down
+        raise ValueError(
+            "pagerank_int_seeded: no seed intersects the graph's node set"
+        )
     r0 = PR_SCALE // n_seeds
     tp = ((100 - damping_pct) * r0) // 100
     nodes = (
@@ -719,33 +738,9 @@ def pagerank_int_seeded(
     links = e.join(outdeg, "src").repartition(n_parts, "src").persist()
     rank = nodes.select("node", F.col("r0").alias("rank"))
     for _ in range(iters):
-        contrib = (
-            links.join(
-                rank.select(F.col("node").alias("src"), "rank").hint(
-                    "shuffle_hash"
-                ),
-                "src",
-            )
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("rank div outdeg").alias("c"),
-            )
-            .groupBy("node")
-            .agg(F.sum("c").alias("s"))
-        )
-        rank = (
-            nodes.join(contrib.hint("shuffle_hash"), "node", "left")
-            .select(
-                "node",
-                (
-                    F.col("tp")
-                    + F.expr(
-                        f"({damping_pct} * coalesce(s, 0L)) div 100"
-                    )
-                ).cast("long").alias("rank"),
-            )
-            .localCheckpoint()
-        )
+        rank = _pr_iteration(
+            links, rank, nodes, "tp", damping_pct
+        ).localCheckpoint()
     nodes.unpersist()
     links.unpersist()
     return rank
@@ -853,13 +848,11 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
     round; the edge list never re-shuffles.
     """
     lohi = undirect(edges)
-    sym = lohi.select(
-        F.col("lo").alias("src"), F.col("hi").alias("dst")
-    ).unionByName(
-        lohi.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
+    sym = _symmetric(
+        lohi.select(F.col("lo").alias("src"), F.col("hi").alias("dst")),
+        "dst",
+        dedup=False,
     )
-    n_parts = edges.sparkSession.sparkContext.defaultParallelism
-    sym = sym.repartition(n_parts, "dst").persist()
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
@@ -1067,7 +1060,7 @@ def co_occurrence_pmi(
     joined after aggregation; n_dst rides in as a broadcast scalar.
     """
     e = edges.select("src", "dst").distinct()
-    pairs = co_neighbors(e, max_fanout)
+    pairs = _co_neighbors_distinct(e, max_fanout)
     occ = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("occ"))
     n = e.select("dst").distinct().agg(
         F.count(F.lit(1)).cast("double").alias("_n")
@@ -1114,18 +1107,7 @@ def bfs_per_seed(
     reachable — the operator is built for a SAMPLE of seeds (landmark
     methods), not all-pairs.
     """
-    n_parts = edges.sparkSession.sparkContext.defaultParallelism
-    sym = (
-        edges.select("src", "dst")
-        .unionByName(
-            edges.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            )
-        )
-        .distinct()
-        .repartition(n_parts, "src")
-        .persist()
-    )
+    sym = _symmetric(edges, "src")
     visited = seeds.select(
         F.col(seeds.columns[0]).alias("seed"),
         F.col(seeds.columns[0]).alias("node"),
@@ -1518,7 +1500,11 @@ def sssp_hops(
         raise ValueError("hops must be >= 1")
     n_parts = edges.sparkSession.sparkContext.defaultParallelism
     e = (
-        edges.select("src", "dst", F.col("w").cast("long").alias("w"))
+        # bround first: DuckDB's CAST(w AS BIGINT) rounds half-even
+        # where Spark's bare cast truncates — identity on int weights
+        edges.select(
+            "src", "dst", F.bround(F.col("w")).cast("long").alias("w")
+        )
         .repartition(n_parts, "src")
         .persist()
     )

@@ -69,10 +69,16 @@ def random_walks(
         ).alias("walk"),
         F.col("src").alias("node"),
     )
-    out = state.select(
-        "start", "walk", F.lit(0).cast("long").alias("step"), "node"
-    ).localCheckpoint()
-    cur = out
+    # each step's frontier is checkpointed individually; the frames are
+    # unioned ONCE at the end — re-checkpointing the accumulated corpus
+    # every step would materialize O(length^2) rows for nothing (the
+    # accumulation is never consumed inside the loop)
+    frames = [
+        state.select(
+            "start", "walk", F.lit(0).cast("long").alias("step"), "node"
+        ).localCheckpoint()
+    ]
+    cur = frames[0]
     for step in range(1, length + 1):
         pick = md5_long48(
             F.concat_ws(
@@ -100,9 +106,12 @@ def random_walks(
         )
         if nxt.isEmpty():
             break
-        out = out.unionByName(nxt).localCheckpoint()
+        frames.append(nxt)
         cur = nxt
     idx.unpersist()
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
     return out
 
 
