@@ -2969,13 +2969,17 @@ tot AS (
          (SELECT COUNT(*) * 2 // 5 FROM documents) AS budget
   FROM per),
 rates AS (
+  -- HUGEINT product: budget * mass passes 2^63 at the corpus scale
+  -- the Spark side guards with DECIMAL(38,0)
   SELECT stratum, n_rows, mass,
-         CAST(LEAST(1000, (1000 * ((tot.budget * mass) // tot.total))
-                          // n_rows) AS BIGINT) AS permille
+         CAST(LEAST(1000,
+                    (1000 * ((CAST(tot.budget AS HUGEINT) * mass)
+                             // tot.total))
+                    // n_rows) AS BIGINT) AS permille
   FROM per, tot),
 samp AS (
   SELECT d.source AS stratum, CAST(COUNT(*) AS BIGINT) AS n_sampled
-  FROM documents d JOIN rates r ON r.stratum = d.source
+  FROM documents d JOIN rates r ON r.stratum IS NOT DISTINCT FROM d.source
   WHERE ({{h}}) * 2654435761 % 1000000007 % 1000 < r.permille
   GROUP BY d.source)
 SELECT r.stratum, r.n_rows, r.mass, r.permille,
@@ -3538,7 +3542,7 @@ def _corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted_bottom_k): 20 documents per language, inclusion odds
     proportional to n_chars — the quality-biased training-subset
     draw, reproducible across engines because priority is the integer
-    (1e6*hash) div weight over the shared rolling hash."""
+    (1e9*hash) div weight over the shared rolling hash."""
     from deepee_spark.operators.sampling import weighted_bottom_k
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -3555,7 +3559,7 @@ _CORPUS_WEIGHTED_SAMPLE_SQL = f"""
 WITH pos AS (
   SELECT lang, 'doc#' || CAST(doc_id AS VARCHAR) AS key,
          CAST(n_chars AS BIGINT) AS wt,
-         CAST((1000000 *
+         CAST((1000000000 *
                ((({_HASH_SQL.format(col="'doc#' || CAST(doc_id AS VARCHAR)")})
                  * 2654435761) % 1000000007)) // n_chars AS BIGINT)
            AS priority
@@ -3978,12 +3982,13 @@ GROUP BY pred
 def _kg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog cardinality (operators/sketches.hll_distinct):
     per-predicate distinct-subject estimate from m=64 max-rank
-    registers with the integer-exact estimator (harmonic mean carried
-    as the BIGINT sum of 2^(31-reg); one integer division at the end),
-    so the DuckDB twin is bit-identical. KMV (kg_distinct_sketch) is
-    exact below k and the default; HLL is the scale path where even
-    k hash values stop resolving (10^12-distinct regimes) — registers
-    are bounded state (<= m rows/key) no matter the input size."""
+    registers over the 48-bit md5 hash with the integer-exact
+    estimator (harmonic mean carried as the BIGINT sum of 2^(43-reg);
+    one integer division at the end), so the DuckDB twin is
+    bit-identical. KMV (kg_distinct_sketch) is exact below k and the
+    default; HLL is the scale path where even k hash values stop
+    resolving (the 48-bit space holds to ~2.8e14 distincts) —
+    registers are bounded state (<= m rows/key) whatever the input."""
     from deepee_spark.operators.sketches import hll_distinct
 
     ev = _t(spark, sf_dir, "events")
@@ -3995,12 +4000,13 @@ def _kg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kg_hll_distinct_sql() -> str:
+    from deepee_spark.operators.negatives import md5_long48_sql
     from deepee_spark.operators.sketches import hll_oracle_sql
 
     src = (
         "SELECT event_type AS pred, "
-        f"({_HASH_SQL.format(col=chr(39) + 'user#' + chr(39) + ' || CAST(user_id AS VARCHAR)')}"
-        " * 2654435761) % 1000000007 AS h FROM events"
+        f"{md5_long48_sql(chr(39) + 'user#' + chr(39) + ' || CAST(user_id AS VARCHAR)')}"
+        " AS h FROM events"
     )
     return hll_oracle_sql(src, ["pred"])
 
@@ -4967,7 +4973,7 @@ WITH f AS (
            ROW_NUMBER() OVER (PARTITION BY user_id, floor(epoch(ts))
                               ORDER BY event_id DESC) AS rn
     FROM events WHERE event_type = 'purchase')
-  WHERE rn = 1),
+  WHERE rn = 1 AND obj IS NOT NULL),
 d AS (
   SELECT subj,
          max_by(obj, ts_epoch)
@@ -6766,8 +6772,9 @@ def _ann_pq_topk(spark, sf):
     """PQ-compressed ANN (Jégou et al. 2011): sampled 16-centroid
     codebook per 8-d subspace, corpus stored as 8 codes/vector, query
     scored by ADC against its centroid lookup table
-    (operators/similarity.pq_encode / pq_topk). Distances rounded to
-    6dp before every argmin/order so both engines assign identically."""
+    (operators/similarity.pq_encode / pq_topk). Encode distances round
+    to 6dp before the argmin; ADC sums integer micro-unit subspace
+    distances so both engines assign and rank identically."""
     from deepee_spark.operators.similarity import pq_topk
 
     emb = _t(spark, sf, "embeddings")
@@ -6806,11 +6813,16 @@ q AS (
   SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
   WHERE vec_id < 5),
 lut AS (
+  -- per-subspace distances quantized to integer micro-units so the
+  -- cross-subspace sum is exact BIGINT (order-independent), mirroring
+  -- pq_topk
   SELECT q.q_id, ms.m, cb.c_id,
-         {_PQ_DIST.format(x='q.q_emb', c='cb.c_emb', m='ms.m')} AS pd
+         CAST(ROUND({_PQ_DIST.format(x='q.q_emb', c='cb.c_emb', m='ms.m')}
+                    * 1000000) AS BIGINT) AS pd_e6
   FROM q, ms, cb),
 adc AS (
-  SELECT l.q_id, e.vec_id, ROUND(SUM(l.pd), 6) AS adc
+  SELECT l.q_id, e.vec_id,
+         CAST(SUM(l.pd_e6) AS DOUBLE) / 1000000.0 AS adc
   FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.c_id
   GROUP BY 1, 2)
 SELECT q_id, vec_id, adc FROM (

@@ -49,10 +49,12 @@ SCALE = 1_000_000
 
 def _fuse_rounds(
     claims: DataFrame, iters: int
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Shared core: returns (claims_distinct, conf_final, trust_final)
-    where conf_final is the round-`iters` per-(fact, value) confidence
-    (computed from trust_{iters-1}) and trust_final is trust_{iters}."""
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Shared core: returns (claims_distinct, conf_final, trust_final,
+    n_claims) where conf_final is the round-`iters` per-(fact, value)
+    confidence (computed from trust_{iters-1}), trust_final is
+    trust_{iters}, and n_claims the per-source claim counts (computed
+    once here so callers do not re-aggregate the claims table)."""
     if iters < 1:
         raise ValueError("iters must be >= 1")
     c = (
@@ -100,7 +102,7 @@ def _fuse_rounds(
             )
             .localCheckpoint()
         )
-    return c, conf, trust
+    return c, conf, trust, n_claims
 
 
 def fuse_claims(claims: DataFrame, iters: int = 3) -> DataFrame:
@@ -113,7 +115,7 @@ def fuse_claims(claims: DataFrame, iters: int = 3) -> DataFrame:
     `winner` = true for the fact's highest-confidence value
     (ties break toward the smallest value string).
     """
-    c, conf, _ = _fuse_rounds(claims, iters)
+    c, conf, _, _ = _fuse_rounds(claims, iters)
     n_src = c.groupBy("fact", "value").agg(
         F.count(F.lit(1)).cast("long").alias("n_src")
     )
@@ -130,6 +132,11 @@ def fuse_claims(claims: DataFrame, iters: int = 3) -> DataFrame:
             F.col("conf").alias("conf_e6"),
             (F.col("rk") == 1).alias("winner"),
         )
+        # pin BEFORE dropping the claims cache (graph.py pattern):
+        # unpersisting first would make the final action recompute the
+        # claims scan + distinct from scratch — twice (vote join and
+        # n_src)
+        .localCheckpoint()
     )
     c.unpersist()
     return out
@@ -138,12 +145,11 @@ def fuse_claims(claims: DataFrame, iters: int = 3) -> DataFrame:
 def source_trust(claims: DataFrame, iters: int = 3) -> DataFrame:
     """The dual view: per-source reliability after `iters` rounds.
     Returns (source, n_claims, trust_e6)."""
-    c, _, trust = _fuse_rounds(claims, iters)
-    n_claims = c.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_claims")
-    )
-    out = trust.join(n_claims, "source").select(
-        "source", "n_claims", F.col("trust").alias("trust_e6")
+    c, _, trust, n_claims = _fuse_rounds(claims, iters)
+    out = (
+        trust.join(n_claims, "source")
+        .select("source", "n_claims", F.col("trust").alias("trust_e6"))
+        .localCheckpoint()  # pin before dropping the claims cache
     )
     c.unpersist()
     return out

@@ -66,6 +66,12 @@ def stratified_sample(df: DataFrame, key_col: str, stratum_col: str,
     ``rates`` is a (stratum, permille) dimension, tiny by construction
     (one row per language/source/quality band), so it is broadcast and
     the fact side stays shuffle-free.
+
+    The join is NULL-SAFE: mixture_rates emits a rate row for the NULL
+    stratum when the corpus has one (groupBy keeps NULL groups), and a
+    plain equality would silently drop that whole stratum to
+    ``default_permille`` — undershooting the budget by every
+    NULL-stratum row with no error.
     """
     r = F.broadcast(
         rates.select(
@@ -74,7 +80,7 @@ def stratified_sample(df: DataFrame, key_col: str, stratum_col: str,
         )
     )
     joined = df.join(
-        r, F.col(stratum_col) == F.col("_stratum"), "left"
+        r, F.col(stratum_col).eqNullSafe(F.col("_stratum")), "left"
     ).withColumn(
         "sample_bucket", sample_bucket(F.col(key_col))
     )
@@ -118,19 +124,28 @@ def mixture_rates(
         F.coalesce(F.sum(F.col(score_col)), F.lit(0)).cast("long").alias("mass"),
     )
     total = per.agg(F.sum("mass").alias("_total"))
-    # BIGINT DIV throughout — float division would silently lose
-    # exactness once budget * mass passes 2^53 (real at corpus scale).
-    # Zero total mass (an all-zero-score slice) allocates nothing: the
-    # DIV would raise DIVIDE_BY_ZERO under ANSI mode, and with ANSI off
-    # the NULL would slip through least(1000, NULL) as 1000 — sampling
-    # EVERYTHING on a zero budget.
+    # Exact integer division throughout — float division would silently
+    # lose exactness once budget * mass passes 2^53 (real at corpus
+    # scale). The product itself is computed in DECIMAL(38,0): at the
+    # 10^12-row scale this module targets, budget_rows * mass passes
+    # 2^63 too (4e9 rows x 5e13 total chars = 2e23), where a BIGINT
+    # product would wrap negative under non-ANSI Spark and empty the
+    # stratum; decimal DIV stays exact to 1e38 and returns BIGINT (the
+    # DuckDB twin uses HUGEINT for the same step). Zero total mass (an
+    # all-zero-score slice) allocates nothing: the DIV would raise
+    # DIVIDE_BY_ZERO under ANSI mode, and with ANSI off the NULL would
+    # slip through least(1000, NULL) as 1000 — sampling EVERYTHING on
+    # a zero budget.
     return (
         per.crossJoin(F.broadcast(total))
         .withColumn(
             "_target",
             F.when(
                 F.col("_total") > 0,
-                F.expr(f"({budget_rows} * mass) DIV _total"),
+                F.expr(
+                    f"(CAST({budget_rows} AS DECIMAL(38,0)) * mass)"
+                    " DIV _total"
+                ),
             ).otherwise(F.lit(0)),
         )
         .select(
@@ -153,7 +168,7 @@ def weighted_bottom_k(
     strata_cols: list[str] | None = None,
 ) -> DataFrame:
     """Deterministic weighted sampling without replacement: keep the k
-    rows with the smallest priority = (1e6 * hash(key)) div weight —
+    rows with the smallest priority = (1e9 * hash(key)) div weight —
     the integer formulation of bottom-k / priority sampling (Cohen &
     Kaplan; Duffield, Lund & Thorup, JACM'07 — public), where doubling
     a row's weight halves its expected priority, so inclusion odds
@@ -163,10 +178,15 @@ def weighted_bottom_k(
     retries, reruns, AND the DuckDB oracle pick the identical set.
 
     Weights are POSITIVE BIGINTs (caller scales floats to integer
-    units first); rows with weight <= 0 are dropped, matching the
-    probability-proportional-to-size reading where weight 0 means
-    "never sample". Ties (same priority) break on the key for a total
-    order. With `strata_cols`, the bottom-k runs per stratum (k docs
+    units first) and should stay below ~1e12: the hash spans ~1e9
+    values and the numerator scale is 1e9 (the largest that keeps
+    1e9 * hash under 2^63 in every engine), so a weight of w leaves
+    ~1e18/w distinct priorities — at w ~ 1e12 discrimination is down
+    to ~1e6 levels and beyond that selection degenerates toward the
+    key tie-break rather than weight-proportional sampling. Rows with
+    weight <= 0 are dropped, matching the probability-proportional-
+    to-size reading where weight 0 means "never sample". Ties (same
+    priority) break on the key for a total order. With `strata_cols`, the bottom-k runs per stratum (k docs
     per language, per source, ...) in one partitioned window.
 
     Scale shape: priority is a narrow per-row expression computed in
@@ -188,7 +208,7 @@ def weighted_bottom_k(
         .withColumn("_h", h)
         .withColumn(
             "priority",
-            F.expr(f"(1000000 * _h) DIV {weight_col}").cast("long"),
+            F.expr(f"(1000000000 * _h) DIV {weight_col}").cast("long"),
         )
         .drop("_h")
     )

@@ -204,7 +204,15 @@ def pq_topk(emb: DataFrame, queries: DataFrame, codebook: DataFrame,
     shipping 256 B and 8 B per vector through the shuffle.
 
     queries: (q_id, q_emb). Returns (q_id, id, adc) top-k by
-    (round(adc,6) asc, id asc), self-matches excluded.
+    (adc asc, id asc), self-matches excluded. Each per-subspace
+    distance is quantized to integer MICRO-UNITS in the lookup table
+    and the cross-subspace sum runs in exact BIGINT — a float sum over
+    hash-aggregate partials is partition-order-dependent, and an ADC
+    within one ulp of a 6dp tie boundary would round differently
+    across runs/engines and flip ranks at the k cutoff (the same
+    failure class hyperplane_bucket_exact exists for). adc is the
+    integer sum divided by 1e6 — one IEEE division of identical
+    integers, bit-identical everywhere.
     """
     sub_dim = dim // n_sub
     codes = pq_encode(emb, codebook, id_col, vec_col, dim, n_sub)
@@ -216,23 +224,32 @@ def pq_topk(emb: DataFrame, queries: DataFrame, codebook: DataFrame,
         .crossJoin(F.broadcast(codebook))
         .select(
             "q_id", "m", "c_id",
-            sub_sqdist(F.col("q_emb"), F.col("c_emb"), F.col("m"),
-                       sub_dim).alias("pd"),
+            F.round(
+                sub_sqdist(F.col("q_emb"), F.col("c_emb"), F.col("m"),
+                           sub_dim) * F.lit(1_000_000.0)
+            ).cast("long").alias("pd_e6"),
         )
     )
     parts = codes.join(
         F.broadcast(lut),
         (codes["m"] == lut["m"]) & (codes["code"] == lut["c_id"]),
-    ).select(codes[id_col], "q_id", "pd")
+    ).select(codes[id_col], "q_id", "pd_e6")
     adc = parts.groupBy("q_id", id_col).agg(
-        F.round(F.sum("pd"), 6).alias("adc")
+        F.sum("pd_e6").cast("long").alias("_adc_e6")
     )
-    w = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc(id_col))
+    w = Window.partitionBy("q_id").orderBy(
+        F.asc("_adc_e6"), F.asc(id_col)
+    )
     return (
         adc.filter(F.col("q_id") != F.col(id_col))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("q_id", id_col, "adc")
+        .select(
+            "q_id",
+            id_col,
+            (F.col("_adc_e6").cast("double") / F.lit(1_000_000.0))
+            .alias("adc"),
+        )
     )
 
 
@@ -345,6 +362,15 @@ def sparse_topk(
     cluster scale the skew fix: without it the 'the' posting list is
     a hot key that one task pays for; with it the join key
     distribution is capped by construction. Ties break on doc id.
+
+    Overflow bound (BIGINT scoring): the largest addend is
+    tf * idf_e6 = tf * (1e6 * N) div df, maximized by a df=1 hapax —
+    so exactness requires tf * N < 9.2e12 (e.g. N = 1e9 docs with
+    per-doc tf up to ~9000). Beyond that, a rare-term hit overflows
+    2^63: raise the effective df floor (pre-filter hapaxes), lower the
+    idf scale, or move the sum to DECIMAL before deploying at larger N
+    — the linear idf makes the bound explicit where log-idf would hide
+    it until it bites.
 
     Scale shape: postings = one (doc, term) agg; df = one term agg;
     the probe is query-terms ⋈ postings on term (query side tiny —

@@ -284,22 +284,27 @@ GROUP BY pp.v
 # a float harmonic mean whose summation order is engine-dependent).
 # This variant removes both obstacles while keeping the algorithm:
 #
-#   * registers come from the shared diffused rolling hash (kmv_hash),
-#     bucket = h % m, and the rank is the leading-zero count of the
-#     NONLINEAR second diffusion v = h^2 % MOD read as a 30-bit word:
-#     rho = 31 - bitlength(v) = 31 - LENGTH(bin(v)) — `bin` is
-#     integer-exact in both Spark and DuckDB, and h^2 < 1e18 is
-#     BIGINT-safe. Squaring matters: any LINEAR second mix c*h % MOD
-#     keeps the polynomial structure of the rolling hash, and the
-#     max-rank statistic is so structure-sensitive that sequential
-#     keys ("v0".."v9999") measured 40% low; mod-p squaring breaks
-#     the affine structure and measures inside the ±13% band;
+#   * the hash is the shared 48-bit md5 (negatives.md5_long48 — real
+#     avalanche, so no structure-breaking second diffusion is needed,
+#     and byte-identical in any engine with md5). 48 bits matter at
+#     the cardinality this sketch exists for: the earlier 30-bit
+#     rolling-hash variant saturated at MOD ~ 2^30 distinct hash
+#     values, undercounting 21% at 5e8 and plateauing near 1e9 — the
+#     exact regime HLL is the scale path FOR. A 48-bit space resolves
+#     to ~2.8e14 distincts;
+#   * standard bit split: bucket = h % m (low 6 bits), rank from the
+#     remaining 42-bit word w = h div m: rho = 43 - bitlength(w) =
+#     43 - LENGTH(bin(w)) — `bin` is minimal-length integer-exact in
+#     both Spark and DuckDB; w == 0 (probability 2^-42 per value)
+#     maps to the max rank 43;
 #   * the harmonic mean sum(2^-M_j) is carried as the INTEGER
-#     S = sum_j 2^(31 - M_j)  (so sum(2^-M_j) = S / 2^31), and the
+#     S = sum_j 2^(43 - M_j)  (so sum(2^-M_j) = S / 2^43), and the
 #     estimate alpha_64 * m^2 / sum(2^-M_j) becomes ONE integer
-#     division  (709 * m^2 * 2^31) div (1000 * S)  using Flajolet's
-#     exact published alpha_64 = 0.709. Peak magnitudes: numerator
-#     6.24e15, denominator <= 1.37e14 — BIGINT-safe in both engines.
+#     division  (709 * m^2 * 2^40) div (125 * S)  using Flajolet's
+#     exact published alpha_64 = 0.709 (numerator and denominator of
+#     (709 m^2 2^43)/(1000 S) both divided by 8 to stay BIGINT-safe).
+#     Peak magnitudes: numerator 3.20e18, denominator <= 7.1e16 —
+#     exact 64-bit in both engines.
 #
 # No small-range (LinearCounting) correction: it needs ln(). Below
 # ~2.5m distincts use kmv_distinct, which is EXACT there; HLL's niche
@@ -307,16 +312,17 @@ GROUP BY pp.v
 # Registers merge by max — lossless, same contract as kmv_merge.
 
 HLL_M = 64  # 6-bit bucket index; alpha_64 = 0.709 exactly (paper)
-_HLL_NUM = 709 * HLL_M * HLL_M * (1 << 31)  # 6236429952745472
+_HLL_RANK_MAX = 43  # rank word is 48 - 6 = 42 bits; w == 0 -> 43
+_HLL_NUM = 709 * HLL_M * HLL_M * (1 << 40)  # 3193248257552220160
+_HLL_DEN = 125  # 1000 / 8, matching the 2^43 -> 2^40 reduction
 
 
 def _hll_rho(col):
-    """Rank of the 30-bit word v = h^2 % MOD: leading zeros + 1,
-    exactly 31 - bitlength(v); v == 0 (only when h == 0, i.e. the
-    empty string) maps to the max rank 31."""
-    v = (col * col) % F.lit(MOD)
-    return F.when(v == 0, F.lit(31)).otherwise(
-        F.lit(31) - F.length(F.bin(v))
+    """Rank of the 42-bit word w = h div m: leading zeros + 1, exactly
+    43 - bitlength(w); w == 0 maps to the max rank 43."""
+    w = F.shiftright(col.cast("long"), 6)  # div 64: bucket bits off
+    return F.when(w == 0, F.lit(_HLL_RANK_MAX)).otherwise(
+        F.lit(_HLL_RANK_MAX) - F.length(F.bin(w))
     ).cast("long")
 
 
@@ -328,7 +334,9 @@ def hll_registers(
     per key survive, so the register table is broadcastable state no
     matter how large the input — the property that makes HLL the
     scale path for 10^12-row cardinality questions."""
-    h = kmv_hash(F.col(value_col))
+    from .negatives import md5_long48
+
+    h = md5_long48(F.col(value_col))
     return (
         df.select(
             *key_cols,
@@ -344,27 +352,31 @@ def hll_estimate(
     registers: DataFrame, key_cols: list[str]
 ) -> DataFrame:
     """Fold registers into (key..., n_buckets, reg_sum, distinct_est),
-    all BIGINT. reg_sum is S = sum_j 2^(31 - M_j) over ALL m buckets
-    (absent buckets contribute 2^31 each); distinct_est is the raw
-    HLL estimate NUM div (1000 * S). Bit-identical in any engine with
+    all BIGINT. reg_sum is S = sum_j 2^(43 - M_j) over ALL m buckets
+    (absent buckets contribute 2^43 each); distinct_est is the raw
+    HLL estimate NUM div (125 * S). Bit-identical in any engine with
     exact 64-bit integers."""
     per_key = registers.groupBy(*key_cols).agg(
         F.count(F.lit(1)).cast("long").alias("n_buckets"),
-        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 31 - reg)"))
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RANK_MAX} - reg)")
+        )
         .cast("long")
         .alias("_s_present"),
     )
     s = (
         F.col("_s_present")
-        + (F.lit(HLL_M) - F.col("n_buckets")) * F.lit(1 << 31)
+        + (F.lit(HLL_M) - F.col("n_buckets"))
+        * F.lit(1 << _HLL_RANK_MAX)
     ).cast("long")
     return per_key.select(
         *key_cols,
         "n_buckets",
         s.alias("reg_sum"),
         F.expr(
-            f"CAST({_HLL_NUM} AS BIGINT) div (1000 * "
-            f"(_s_present + ({HLL_M} - n_buckets) * CAST({1 << 31} AS BIGINT)))"
+            f"CAST({_HLL_NUM} AS BIGINT) div ({_HLL_DEN} * "
+            f"(_s_present + ({HLL_M} - n_buckets)"
+            f" * CAST({1 << _HLL_RANK_MAX} AS BIGINT)))"
         ).cast("long").alias("distinct_est"),
     )
 
@@ -389,23 +401,25 @@ def hll_merge(parts: DataFrame, key_cols: list[str]) -> DataFrame:
 
 def hll_oracle_sql(source_sql: str, key_cols: list[str]) -> str:
     """DuckDB twin of hll_distinct over `source_sql`, a SELECT yielding
-    the key columns plus `h` computed with the shared kmv hash."""
+    the key columns plus `h` computed with the shared 48-bit md5 hash
+    (negatives.md5_long48_sql)."""
     keys = ", ".join(key_cols)
+    r = _HLL_RANK_MAX
     return f"""
 WITH hll_src AS (SELECT {keys}, h FROM ({source_sql})),
 hll_regs AS (
   SELECT {keys}, h % {HLL_M} AS bucket,
-         MAX(CASE WHEN (h * h) % {MOD} = 0 THEN 31
-                  ELSE 31 - LENGTH(bin((h * h) % {MOD}))
+         MAX(CASE WHEN h // {HLL_M} = 0 THEN {r}
+                  ELSE {r} - LENGTH(bin(h // {HLL_M}))
              END) AS reg
   FROM hll_src GROUP BY {keys}, h % {HLL_M})
 SELECT {keys},
        CAST(COUNT(*) AS BIGINT) AS n_buckets,
-       CAST(SUM(1::BIGINT << (31 - reg))
-            + ({HLL_M} - COUNT(*)) * {1 << 31}::BIGINT AS BIGINT)
+       CAST(SUM(1::BIGINT << ({r} - reg))
+            + ({HLL_M} - COUNT(*)) * {1 << r}::BIGINT AS BIGINT)
          AS reg_sum,
-       CAST({_HLL_NUM}::BIGINT // (1000 * (SUM(1::BIGINT << (31 - reg))
-            + ({HLL_M} - COUNT(*)) * {1 << 31}::BIGINT)) AS BIGINT)
+       CAST({_HLL_NUM}::BIGINT // ({_HLL_DEN} * (SUM(1::BIGINT << ({r} - reg))
+            + ({HLL_M} - COUNT(*)) * {1 << r}::BIGINT)) AS BIGINT)
          AS distinct_est
 FROM hll_regs
 GROUP BY {keys}

@@ -52,6 +52,15 @@ def asof_join(
     fact with the same `keys` and fact.ts <= probe.ts (inclusive).
     Probes with no prior fact keep NULL values (left-asof semantics).
 
+    Whole-ROW semantics: the latest fact's values are attached as one
+    unit (a struct carried by the window), exactly like a native ASOF
+    join attaches the matched row. Carrying each value column
+    independently with last(ignorenulls) would (a) resurrect an older
+    non-NULL value when the latest fact's value is genuinely NULL and
+    (b) stitch columns from DIFFERENT facts when one fact has a NULL
+    field — rows that never existed, and a divergence from the DuckDB
+    native-ASOF oracle.
+
     Probe columns other than keys/ts pass through unchanged; they must
     not collide with `value_cols`. One shuffle (the window partition);
     at same-ts ties the fact sorts before the probe, so a fact is
@@ -64,13 +73,17 @@ def asof_join(
     probe_extra = [
         c for c in probes.columns if c not in keys and c != ts_col
     ]
-    fact_types = {f.name: f.dataType for f in facts.schema.fields}
     probe_types = {f.name: f.dataType for f in probes.schema.fields}
 
+    vstruct = F.struct(*[F.col(c).alias(c) for c in value_cols])
+    vtype = facts.select(vstruct.alias("_v")).schema[0].dataType
     f_side = facts.select(
         *keys,
         ts_col,
-        *value_cols,
+        # non-NULL struct per fact row, even when every field is NULL —
+        # that is what makes last(ignorenulls) pick the latest FACT
+        # rather than the latest non-NULL value per column
+        vstruct.alias("_vals"),
         *[
             F.lit(None).cast(probe_types[c]).alias(c)
             for c in probe_extra
@@ -80,10 +93,7 @@ def asof_join(
     p_side = probes.select(
         *keys,
         ts_col,
-        *[
-            F.lit(None).cast(fact_types[c]).alias(c)
-            for c in value_cols
-        ],
+        F.lit(None).cast(vtype).alias("_vals"),
         *probe_extra,
         F.lit(1).alias(_TAG),
     )
@@ -92,10 +102,15 @@ def asof_join(
         .orderBy(F.col(ts_col).asc(), F.col(_TAG).asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    out = f_side.unionByName(p_side)
-    for c in value_cols:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return out.filter(F.col(_TAG) == 1).drop(_TAG)
+    out = f_side.unionByName(p_side).withColumn(
+        "_vals", F.last("_vals", ignorenulls=True).over(w)
+    )
+    return out.filter(F.col(_TAG) == 1).select(
+        *keys,
+        ts_col,
+        *[F.col(f"_vals.{c}").alias(c) for c in value_cols],
+        *probe_extra,
+    )
 
 
 def fact_validity_intervals(
@@ -159,12 +174,15 @@ def fact_diff(
     t_old ('added' by t_new). There is no 'removed': facts never expire
     in this model, they are superseded, so a key with obj_new NULL has
     obj_old NULL too (t_old < t_new) and is filtered out as unchanged.
-    Same at-most-one-fact-per-(key, ts) requirement as asof_join
-    (resolve ties upstream, kg_fact_latest's rule).
+    A NULL obj is NOT an assertion — such rows are dropped before the
+    aggregate (otherwise a NULL asserted between t_old and t_new would
+    surface as change='changed' with obj_new NULL, violating the
+    invariant above). Same at-most-one-fact-per-(key, ts) requirement
+    as asof_join (resolve ties upstream, kg_fact_latest's rule).
     """
     if not t_old < t_new:
         raise ValueError("t_old must be < t_new")
-    out = facts.groupBy(*keys).agg(
+    out = facts.filter(F.col(obj_col).isNotNull()).groupBy(*keys).agg(
         F.expr(
             f"max_by({obj_col}, {ts_col})"
             f" FILTER (WHERE {ts_col} <= {t_old})"

@@ -803,13 +803,12 @@ def test_hll_duckdb_twin_bit_identical(spark):
     (~13% relative std; assert a generous 3-sigma)."""
     import duckdb
 
-    from deepee_spark.operators.dedup import MOD
-    from deepee_spark.operators.sampling import DIFFUSION
+    from deepee_spark.operators.negatives import md5_long48_sql
     from deepee_spark.operators.sketches import hll_distinct, hll_oracle_sql
 
     df = spark.range(30_000).select(
         (F.col("id") % 3).cast("string").alias("g"),
-        # empty string for id 0 exercises the h == 0 -> rho = 31 branch
+        # the empty string keeps the degenerate-input path covered
         F.when(F.col("id") == 0, F.lit("")).otherwise(
             F.concat(F.lit("v"), F.col("id"))
         ).alias("v"),
@@ -820,12 +819,9 @@ def test_hll_duckdb_twin_bit_identical(spark):
     }
     con = duckdb.connect()
     con.register("t", df.toPandas())
-    hash_sql = (
-        "(list_reduce(list_prepend(0::BIGINT, list_transform("
-        "string_split(v, ''), c -> ascii(c)::BIGINT)), "
-        f"(a, b) -> (a * 31 + b) % {MOD}) * {DIFFUSION}) % {MOD}"
+    sql = hll_oracle_sql(
+        f"SELECT g, {md5_long48_sql('v')} AS h FROM t", ["g"]
     )
-    sql = hll_oracle_sql(f"SELECT g, {hash_sql} AS h FROM t", ["g"])
     want = {g: (n, s, est) for g, n, s, est in con.execute(sql).fetchall()}
     assert got == want
     for _, (_, _, est) in got.items():
@@ -1136,7 +1132,9 @@ def test_weighted_bottom_k_bruteforce_bias_and_guards(spark):
     for s, kk, wt in rows:
         if wt <= 0:
             continue
-        per.setdefault(s, []).append(((1_000_000 * py_hash(kk)) // wt, kk, wt))
+        per.setdefault(s, []).append(
+            ((1_000_000_000 * py_hash(kk)) // wt, kk, wt)
+        )
     for s, lst in per.items():
         for i, (pri, kk, wt) in enumerate(sorted(lst)[:10]):
             want[(s, kk)] = (wt, pri, i + 1)
