@@ -105,7 +105,9 @@ def _fuse_rounds(
     return c, conf, trust, n_claims
 
 
-def fuse_claims(claims: DataFrame, iters: int = 3) -> DataFrame:
+def fuse_claims(
+    claims: DataFrame, iters: int = 3, pin: bool = True
+) -> DataFrame:
     """Fuse conflicting claims into per-(fact, value) confidences.
 
     `claims` carries (source, fact, value); duplicates are collapsed.
@@ -114,6 +116,11 @@ def fuse_claims(claims: DataFrame, iters: int = 3) -> DataFrame:
     integer confidence (micro-units, sums to <= 1e6 per fact),
     `winner` = true for the fact's highest-confidence value
     (ties break toward the smallest value string).
+
+    `pin=False` skips the final localCheckpoint (which truncates the
+    plan to an RDD scan) so callers — the plan-shape tests — can
+    inspect the final round's physical plan; the logical plan is the
+    same one the pinned default materializes.
     """
     c, conf, _, _ = _fuse_rounds(claims, iters)
     n_src = c.groupBy("fact", "value").agg(
@@ -122,22 +129,22 @@ def fuse_claims(claims: DataFrame, iters: int = 3) -> DataFrame:
     w = Window.partitionBy("fact").orderBy(
         F.desc("conf"), F.asc("value")
     )
-    out = (
-        conf.join(n_src, ["fact", "value"])
-        .withColumn("rk", F.row_number().over(w))
-        .select(
-            "fact",
-            "value",
-            "n_src",
-            F.col("conf").alias("conf_e6"),
-            (F.col("rk") == 1).alias("winner"),
-        )
-        # pin BEFORE dropping the claims cache (graph.py pattern):
-        # unpersisting first would make the final action recompute the
-        # claims scan + distinct from scratch — twice (vote join and
-        # n_src)
-        .localCheckpoint()
+    out = conf.join(n_src, ["fact", "value"]).withColumn(
+        "rk", F.row_number().over(w)
+    ).select(
+        "fact",
+        "value",
+        "n_src",
+        F.col("conf").alias("conf_e6"),
+        (F.col("rk") == 1).alias("winner"),
     )
+    if not pin:
+        return out
+    # pin BEFORE dropping the claims cache (graph.py pattern):
+    # unpersisting first would make the final action recompute the
+    # claims scan + distinct from scratch — twice (vote join and
+    # n_src)
+    out = out.localCheckpoint()
     c.unpersist()
     return out
 

@@ -616,7 +616,7 @@ def test_fusion_round_replaces_tot_join_with_window(spark):
         ],
         "source: string, fact: string, value: string",
     )
-    plan = formatted_plan(fuse_claims(claims, iters=2))
+    plan = formatted_plan(fuse_claims(claims, iters=2, pin=False))
     assert "CartesianProduct" not in plan, plan
     # formatted mode prints each node once in the tree and once as a
     # numbered detail header — count the headers
