@@ -1224,7 +1224,7 @@ ORDER BY revenue_e4 DESC, l_orderkey ASC LIMIT 10
 # ---------------------------------------------------------------------------
 
 def _a1_vocab(spark, sf):
-    from pyspark.sql import Window as W
+    from deepee_spark.operators.vocab import rank_count_token
 
     docs = _t(spark, sf, "documents")
     counts = (
@@ -1232,8 +1232,9 @@ def _a1_vocab(spark, sf):
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    w = W.orderBy(F.desc("cnt"), F.asc("token"))  # exact A1 tie-break
-    return counts.withColumn("id", F.row_number().over(w).cast("long"))
+    # exact A1 tie-break (cnt DESC, token ASC) as a TWO-LEVEL rank —
+    # no single task ever sees the whole token space (vocab.py)
+    return rank_count_token(counts).withColumnRenamed("rk", "id")
 
 
 _A1_SQL = f"""

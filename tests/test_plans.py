@@ -649,3 +649,54 @@ def test_sparse_topk_query_side_broadcasts(spark):
     assert "BroadcastHashJoin" in plan, plan
     n_bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
     assert n_bnlj <= 1, plan
+
+
+def test_vocab_rank_two_level_window(spark):
+    """rank_count_token must never feed the raw token space through a
+    single-partition window (the s4/f4 scale-killer class): the
+    row_number window is keyed on (cnt, prefix), the only
+    SinglePartition exchange carries the aggregated per-bucket totals
+    (no token column), and the offsets come back as a broadcast join."""
+    from deepee_spark.operators.vocab import rank_count_token
+
+    counts = spark.createDataFrame(
+        [(f"tok{i % 17}", (i % 5) + 1) for i in range(100)],
+        "token: string, cnt: long",
+    )
+    plan = formatted_plan(rank_count_token(counts))
+    # the big-side rank window is bucket-keyed
+    assert "row_number() windowspecdefinition(cnt#" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # every SinglePartition exchange feeds aggregate rows, never tokens
+    for block in plan.split("Arguments: SinglePartition")[:-1]:
+        input_line = [
+            ln for ln in block.splitlines() if ln.startswith("Input")
+        ][-1]
+        assert "token#" not in input_line, input_line
+
+
+def test_vocab_rank_matches_global_window(spark):
+    """The two-level rank must be bit-identical to
+    row_number() OVER (ORDER BY cnt DESC, token ASC) — ties, shared
+    prefixes, multi-codepoint chars, and short/empty tokens included."""
+    from pyspark.sql import Window as W
+
+    from deepee_spark.operators.vocab import rank_count_token
+
+    toks = (
+        [("", 3), ("a", 3), ("ab", 3), ("abc", 3), ("abd", 3), ("b", 3)]
+        + [(f"w{i}", 1) for i in range(40)]
+        + [("école", 2), ("école", 2), ("zz", 2), ("中文", 2)]
+    )
+    counts = spark.createDataFrame(toks, "token: string, cnt: long")
+    got = {
+        r["token"]: r["rk"] for r in rank_count_token(counts).collect()
+    }
+    w = W.orderBy(F.desc("cnt"), F.asc("token"))
+    want = {
+        r["token"]: r["rk"]
+        for r in counts.withColumn(
+            "rk", F.row_number().over(w).cast("long")
+        ).collect()
+    }
+    assert got == want
