@@ -1349,7 +1349,7 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 def _w1_pr_curve(spark, sf):
-    from pyspark.sql import Window as W
+    from deepee_spark.operators.metrics import ranked_cumsum
 
     ev = _t(spark, sf, "events").select(
         "event_id",
@@ -1357,17 +1357,14 @@ def _w1_pr_curve(spark, sf):
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("gold"),
     )
     total_gold = ev.agg(F.sum("gold").cast("long").alias("tg"))
-    w = W.orderBy(F.desc("score_cents"), F.asc("event_id")).rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    curve = ev.withColumn("cum_correct", F.sum("gold").over(w).cast("long")).withColumn(
-        "rank",
-        F.row_number()
-        .over(W.orderBy(F.desc("score_cents"), F.asc("event_id")))
-        .cast("long"),
-    )
+    # rank + cumulative correct over (score DESC, event_id ASC) as the
+    # TWO-LEVEL decomposition (metrics.ranked_cumsum) — the prediction
+    # stream never funnels through one task
+    curve = ranked_cumsum(
+        ev, "score_cents", ["event_id"], ["gold"]
+    ).withColumnRenamed("cum_gold", "cum_correct")
     return (
-        curve.crossJoin(total_gold)
+        curve.crossJoin(F.broadcast(total_gold))
         .filter(F.col("rank") % 100 == 0)
         .select(
             "rank",
@@ -1445,37 +1442,34 @@ FROM events GROUP BY 1
 
 
 def _w5_thresh_sweep(spark, sf):
-    from pyspark.sql import Window as W
-
     ev = _t(spark, sf, "events").select(
         "event_id",
         F.round(F.col("value") * 100).cast("long").alias("score_cents"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("gold"),
     )
     tg = ev.agg(F.sum("gold").cast("long").alias("tg"))
-    w = W.orderBy(F.desc("score_cents"), F.asc("event_id"))
+    # running (n_pred, correct) over (score DESC, event_id ASC) via the
+    # two-level ranked_cumsum — no global single-task window (s4/f4
+    # pattern); the best-F1 pick is then a plain max(struct) aggregate
+    # (partial-agged, parallel): the (f1 DESC, score DESC) maximum, and
+    # the event_id tie-break cannot change either projected value.
+    from deepee_spark.operators.metrics import ranked_cumsum
+
     cum = (
-        ev.withColumn("n_pred", F.row_number().over(w).cast("long"))
-        .withColumn(
-            "correct",
-            F.sum("gold")
-            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-            .cast("long"),
-        )
-        .crossJoin(tg)
+        ranked_cumsum(ev, "score_cents", ["event_id"], ["gold"])
+        .withColumnRenamed("rank", "n_pred")
+        .withColumnRenamed("cum_gold", "correct")
+        .crossJoin(F.broadcast(tg))
         .withColumn(
             "f1",
             F.round(2 * F.col("correct") / (F.col("n_pred") + F.col("tg")), 6),
         )
     )
-    best = W.orderBy(F.desc("f1"), F.desc("score_cents"), F.asc("event_id"))
-    return (
-        cum.withColumn("rn", F.row_number().over(best))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col("score_cents").alias("best_threshold_cents"),
-            F.col("f1").alias("best_f1"),
-        )
+    return cum.agg(
+        F.max(F.struct("f1", "score_cents")).alias("_b")
+    ).select(
+        F.col("_b.score_cents").alias("best_threshold_cents"),
+        F.col("_b.f1").alias("best_f1"),
     )
 
 

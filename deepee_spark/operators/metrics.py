@@ -83,6 +83,86 @@ def identification_classification_prf(
     }
 
 
+def _subbucket_expr(df: DataFrame, col: str, width: int):
+    """Order-preserving coarsening of a tie-break column, used to split
+    a heavy equal-score bucket: string -> 2-codepoint prefix (UTF-8
+    binary order = code-point order), integral -> floor(col/width)
+    computed in exact integer arithmetic (monotone for negatives too,
+    unlike DIV's truncation toward zero). Other types: None (no split;
+    the score bucket alone carries the tie mass)."""
+    dt = dict(df.dtypes)[col]
+    if dt == "string":
+        return F.substring(col, 1, 2)
+    if dt in ("tinyint", "smallint", "int", "bigint"):
+        return F.expr(f"(({col}) - pmod(({col}), {width})) DIV {width}")
+    return None
+
+
+def ranked_cumsum(
+    df: DataFrame,
+    score_col: str,
+    tie_keys: list[str],
+    sum_cols: list[str],
+    bucket_width: int = 100_000,
+) -> DataFrame:
+    """Add ``rank`` (row_number) and ``cum_<c>`` running sums over the
+    total order (score DESC, *tie_keys ASC) WITHOUT a single-partition
+    window over the data (the s4/f4/vocab two-level pattern).
+
+    Level 1 partitions on (exact score value, order-preserving
+    sub-bucket of the first tie key) — running sums there are parallel
+    and consistent with the total order. Level 2 prefix-sums the
+    per-bucket totals (a table bounded by |distinct scores| x
+    |sub-buckets|, broadcast back). ``bucket_width`` widens/narrows the
+    integral sub-bucket when equal-score runs skew."""
+    from pyspark.sql import Window as W
+
+    order = [F.desc(score_col)] + [F.asc(k) for k in tie_keys]
+    sub = (
+        _subbucket_expr(df, tie_keys[0], bucket_width) if tie_keys else None
+    )
+    bcols = ["_cb"] + (["_sb"] if sub is not None else [])
+    b = df.withColumn("_cb", F.col(score_col))
+    if sub is not None:
+        b = b.withColumn("_sb", sub)
+    w_in = W.partitionBy(*bcols).orderBy(*order).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    for c in sum_cols:
+        b = b.withColumn(f"_run_{c}", F.sum(c).over(w_in).cast("long"))
+    b = b.withColumn("_run_n", F.count(F.lit(1)).over(w_in).cast("long"))
+    totals = b.groupBy(*bcols).agg(
+        *[F.sum(c).cast("long").alias(f"_bt_{c}") for c in sum_cols],
+        F.count(F.lit(1)).cast("long").alias("_bt_n"),
+    )
+    w_off = W.orderBy(
+        F.desc("_cb"), *[F.asc(x) for x in bcols[1:]]
+    ).rowsBetween(W.unboundedPreceding, -1)
+    off = totals.select(
+        *bcols,
+        *[
+            F.coalesce(F.sum(f"_bt_{c}").over(w_off), F.lit(0))
+            .cast("long")
+            .alias(f"_off_{c}")
+            for c in sum_cols
+        ],
+        F.coalesce(F.sum("_bt_n").over(w_off), F.lit(0))
+        .cast("long")
+        .alias("_off_n"),
+    )
+    out = b.join(F.broadcast(off), bcols)
+    for c in sum_cols:
+        out = out.withColumn(
+            f"cum_{c}", (F.col(f"_off_{c}") + F.col(f"_run_{c}")).cast("long")
+        )
+    out = out.withColumn(
+        "rank", (F.col("_off_n") + F.col("_run_n")).cast("long")
+    )
+    drop = bcols + [f"_run_{c}" for c in sum_cols] + ["_run_n"]
+    drop += [f"_off_{c}" for c in sum_cols] + ["_off_n"]
+    return out.drop(*drop)
+
+
 def pr_curve(
     pred: DataFrame,
     gold: DataFrame,
@@ -93,10 +173,9 @@ def pr_curve(
     dataProcess_trigger_bag_preinfo.py:56-113). Predictions ordered by
     score desc (ties broken by the tuple key for determinism); at every
     prefix: P = correct-so-far / preds-so-far, R = correct-so-far /
-    |gold|, F1 derived. One window pass — the reference's running-count
-    loop as a running-sum window over the score ordering."""
-    from pyspark.sql import Window as W
-
+    |gold|, F1 derived. The running counts are the two-level
+    ``ranked_cumsum`` — no single task ever sees the whole prediction
+    set, so the curve survives an eval set of any size."""
     g = gold.select(*keys).distinct().withColumn("_hit", F.lit(1))
     n_gold = g.count()
     scored = (
@@ -104,14 +183,12 @@ def pr_curve(
         .groupBy(*keys)
         .agg(F.max(score_col).alias(score_col))
         .join(g, keys, "left")
+        .withColumn("_hit", F.coalesce("_hit", F.lit(0)))
     )
-    w = W.orderBy(F.desc(score_col), *[F.asc(k) for k in keys]).rowsBetween(
-        W.unboundedPreceding, 0
-    )
-    curve = scored.select(
+    curve = ranked_cumsum(scored, score_col, keys, ["_hit"]).select(
         score_col,
-        F.sum(F.coalesce("_hit", F.lit(0))).over(w).alias("n_correct"),
-        F.count(F.lit(1)).over(w).alias("n_pred"),
+        F.col("cum__hit").alias("n_correct"),
+        F.col("rank").alias("n_pred"),
     )
     p = F.col("n_correct") / F.col("n_pred")
     r = F.col("n_correct") / F.lit(n_gold)

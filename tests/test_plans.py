@@ -700,3 +700,56 @@ def test_vocab_rank_matches_global_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_ranked_cumsum_two_level_window(spark):
+    """ranked_cumsum must keep the data-sized running-sum window keyed
+    on (score, sub-bucket); only the aggregated per-bucket totals may
+    cross a SinglePartition exchange, and the offsets return broadcast."""
+    from deepee_spark.operators.metrics import ranked_cumsum
+
+    ev = spark.createDataFrame(
+        [(i, (i * 7) % 23, i % 2) for i in range(300)],
+        "event_id: long, score: long, gold: long",
+    )
+    df = ranked_cumsum(ev, "score", ["event_id"], ["gold"])
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    for block in plan.split("Arguments: SinglePartition")[:-1]:
+        input_line = [
+            ln for ln in block.splitlines() if ln.startswith("Input")
+        ][-1]
+        assert "event_id#" not in input_line, input_line
+
+
+def test_ranked_cumsum_matches_global_window(spark):
+    """Two-level running sums must be bit-identical to the global
+    (score DESC, id ASC) window — heavy score ties and negative ids
+    included (the integral sub-bucket uses floor, not DIV)."""
+    from pyspark.sql import Window as W
+
+    from deepee_spark.operators.metrics import ranked_cumsum
+
+    rows = [(i - 50, (i * 3) % 5, i % 2) for i in range(200)]
+    ev = spark.createDataFrame(
+        rows, "event_id: long, score: long, gold: long"
+    )
+    got = {
+        r["event_id"]: (r["rank"], r["cum_gold"])
+        for r in ranked_cumsum(
+            ev, "score", ["event_id"], ["gold"], bucket_width=16
+        ).collect()
+    }
+    w = W.orderBy(F.desc("score"), F.asc("event_id"))
+    want = {
+        r["event_id"]: (r["rank"], r["cum_gold"])
+        for r in ev.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum_gold",
+            F.sum("gold")
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("long"),
+        )
+        .collect()
+    }
+    assert got == want
