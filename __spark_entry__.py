@@ -3482,6 +3482,17 @@ def _kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_int(_kg_edge_proj(spark, sf_dir), iters=3)
 
 
+def _kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration HITS hubs/authorities (operators/graph.hits_int)
+    over the bipartite user→item KG edges — users score as hubs, items
+    as authorities, the web-native centrality pair next to
+    kg_pagerank. Max-normalized exact-BIGINT recurrence, so the
+    unrolled-CTE DuckDB oracle hash-matches bit-for-bit."""
+    from deepee_spark.operators.graph import hits_int
+
+    return hits_int(_kg_edge_proj(spark, sf_dir), iters=3)
+
+
 def _kg_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Support-weighted PageRank (operators/graph.pagerank_int_weighted):
     rank mass splits proportionally to observation counts — the natural
@@ -7212,6 +7223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_vocab_lookup": _j1_vocab_lookup,
         "sc9_pad_truncate": _sc9_pad,
         "sc12_lexical_window": _sc12_lexwin,
+        "kg_hits": _kg_hits,
     }
 
 
@@ -7264,6 +7276,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _graph_sql.pagerank_oracle_sql(
             _KG_EDGE_PROJ_SQL, iters=3
         ),
+        "kg_hits": _graph_sql.hits_oracle_sql(_KG_EDGE_PROJ_SQL, iters=3),
         "kg_pagerank_weighted": _graph_sql.pagerank_weighted_oracle_sql(
             _KG_WEDGES_SQL, iters=3
         ),

@@ -1571,3 +1571,155 @@ r(node, dist, hop) AS (
 )
 SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM r GROUP BY node
 """
+
+
+# HITS hub/authority scale. 1e6 (not PR_SCALE's 1e9) because the
+# normalization step multiplies a raw sum (bounded by max-in-degree *
+# SCALE) by SCALE again before the integer divide: exactness needs
+# max_degree * SCALE^2 < 2^63, i.e. degree <= ~9.2e6 at 1e6. Beyond
+# that (planet-scale hubs), swap the multiply-divide to DECIMAL(38,0)
+# — the recurrence itself is unchanged.
+HITS_SCALE = 1_000_000
+
+
+def hits_int(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) in exact integer units —
+    the hub/authority complement to pagerank_int for web-shaped graphs
+    (crawl frontiers, user→item interactions): authorities are pointed
+    to by good hubs, hubs point to good authorities.
+
+        h_0(v)     = SCALE
+        raw_a_i(v) = sum_{u->v} h_{i-1}(u)
+        a_i(v)     = (SCALE * raw_a_i(v)) div max_v raw_a_i   (max-norm)
+        raw_h_i(u) = sum_{u->v} a_i(v)
+        h_i(u)     = (SCALE * raw_h_i(u)) div max_u raw_h_i
+
+    Max-normalization (instead of the textbook L2) keeps every step in
+    BIGINT: the result is independent of shuffle/partition order and
+    bit-identical across engines, so it gets a hard cross-engine oracle
+    (hits_oracle_sql) — float HITS could not. Power iteration is
+    normalization-invariant in the limit, and at a FIXED iteration
+    count both engines unroll the same recurrence, so the choice is
+    free as long as both sides agree (they share this definition).
+
+    Scale shape: per iteration exactly two keyed shuffles (groupBy dst
+    for authorities, groupBy src for hubs) over the edge list — both
+    against edge copies persisted PRE-PARTITIONED on their join key so
+    only the node-sized score side moves — plus two scalar max
+    aggregates broadcast back. Lineage is cut per iteration; the plan
+    depth is O(1) in iters. Dangling behavior: a node with no in-edges
+    has authority 0, no out-edges hub 0 — both stay in the output via
+    the left joins (mirrored in the oracle).
+
+    Returns (node, hub, authority), both in SCALE units (long).
+    """
+    e = edges.select("src", "dst").distinct()
+    spark = edges.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .repartition(n_parts, "node")
+        .persist()
+    )
+    if nodes.isEmpty():
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("hub"),
+            F.lit(0).cast("long").alias("authority"),
+        )
+    e_by_src = e.repartition(n_parts, "src").persist()
+    e_by_dst = e.repartition(n_parts, "dst").persist()
+    h = nodes.select(
+        "node", F.lit(HITS_SCALE).cast("long").alias("score")
+    )
+    a = None
+    for _ in range(iters):
+        a = _hits_half_step(
+            e_by_src, h, nodes, in_key="src", out_key="dst"
+        ).localCheckpoint()
+        h = _hits_half_step(
+            e_by_dst, a, nodes, in_key="dst", out_key="src"
+        ).localCheckpoint()
+    out = (
+        h.select("node", F.col("score").alias("hub"))
+        .join(a.select("node", F.col("score").alias("authority")), "node")
+    )
+    nodes.unpersist()
+    e_by_src.unpersist()
+    e_by_dst.unpersist()
+    return out
+
+
+def _hits_half_step(
+    edges: DataFrame, score: DataFrame, nodes: DataFrame,
+    in_key: str, out_key: str,
+) -> DataFrame:
+    """One HITS half-step: propagate `score` along edges from `in_key`
+    to `out_key`, left-join onto the full node set (absent -> 0), then
+    max-normalize with a broadcast scalar. Shared by both directions so
+    the arithmetic cannot diverge between them."""
+    raw = (
+        edges.join(
+            score.withColumnRenamed("node", in_key), in_key
+        )
+        .groupBy(out_key)
+        .agg(F.sum("score").cast("long").alias("raw"))
+    )
+    full = nodes.join(
+        raw.withColumnRenamed(out_key, "node"), "node", "left"
+    ).select("node", F.coalesce("raw", F.lit(0)).cast("long").alias("raw"))
+    mx = full.agg(F.max("raw").alias("mx"))
+    return full.crossJoin(F.broadcast(mx)).select(
+        "node",
+        F.expr(f"CAST(({HITS_SCALE} * raw) DIV mx AS BIGINT)").alias(
+            "score"
+        ),
+    )
+
+
+def hits_oracle_sql(edges_sql: str, iters: int = 3) -> str:
+    """DuckDB twin of hits_int: the same integer recurrence unrolled as
+    chained CTEs over `edges_sql` (a SELECT yielding src, dst). The
+    raw-sum CTEs are MATERIALIZED — each is referenced by both the max
+    scalar and the normalized score."""
+    s = HITS_SCALE
+    parts = [
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        f"h0 AS (SELECT node, CAST({s} AS BIGINT) AS score FROM nodes)",
+    ]
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"ar{i} AS MATERIALIZED (SELECT nodes.node,"
+            f" CAST(COALESCE(SUM({prev_h}.score), 0) AS BIGINT) AS raw"
+            f" FROM nodes LEFT JOIN e ON e.dst = nodes.node"
+            f" LEFT JOIN {prev_h} ON {prev_h}.node = e.src"
+            " GROUP BY nodes.node)"
+        )
+        parts.append(
+            f"a{i} AS (SELECT node, CAST(({s} * raw) //"
+            f" (SELECT MAX(raw) FROM ar{i}) AS BIGINT) AS score"
+            f" FROM ar{i})"
+        )
+        parts.append(
+            f"hr{i} AS MATERIALIZED (SELECT nodes.node,"
+            f" CAST(COALESCE(SUM(a{i}.score), 0) AS BIGINT) AS raw"
+            f" FROM nodes LEFT JOIN e ON e.src = nodes.node"
+            f" LEFT JOIN a{i} ON a{i}.node = e.dst"
+            " GROUP BY nodes.node)"
+        )
+        parts.append(
+            f"h{i} AS (SELECT node, CAST(({s} * raw) //"
+            f" (SELECT MAX(raw) FROM hr{i}) AS BIGINT) AS score"
+            f" FROM hr{i})"
+        )
+        prev_h = f"h{i}"
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT h{iters}.node, h{iters}.score AS hub,"
+        f" a{iters}.score AS authority"
+        f" FROM h{iters} JOIN a{iters} ON a{iters}.node = h{iters}.node"
+    )

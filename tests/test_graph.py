@@ -1014,3 +1014,71 @@ def test_sssp_bruteforce_and_oracle(spark):
         assert dict(con.execute(sql).fetchall()) == want, f"cap={cap}"
     with pytest.raises(ValueError):
         sssp_hops(df, seeds, hops=0)
+
+
+def _hits_py(rows, iters=3):
+    from deepee_spark.operators.graph import HITS_SCALE as S
+
+    e = sorted(set(rows))
+    nodes = sorted({a for a, _ in e} | {b for _, b in e})
+    h = {v: S for v in nodes}
+    a = {}
+    for _ in range(iters):
+        raw_a = {v: 0 for v in nodes}
+        for u, v in e:
+            raw_a[v] += h[u]
+        m = max(raw_a.values())
+        a = {v: (S * raw_a[v]) // m for v in nodes}
+        raw_h = {v: 0 for v in nodes}
+        for u, v in e:
+            raw_h[u] += a[v]
+        m = max(raw_h.values())
+        h = {v: (S * raw_h[v]) // m for v in nodes}
+    return {v: (h[v], a[v]) for v in nodes}
+
+
+def test_hits_exact_integer(spark, edges):
+    from deepee_spark.operators.graph import HITS_SCALE, hits_int
+
+    rows = [(r.src, r.dst) for r in edges.collect()]
+    want = _hits_py(rows)
+    got = {
+        r.node: (r.hub, r.authority)
+        for r in hits_int(edges, iters=3).collect()
+    }
+    assert got == want  # EXACT: integer recurrence end to end
+    # max-normalization: the best hub and best authority sit at SCALE
+    assert max(v[0] for v in got.values()) == HITS_SCALE
+    assert max(v[1] for v in got.values()) == HITS_SCALE
+
+
+def test_hits_duckdb_oracle_matches(spark, edges):
+    from deepee_spark.operators.graph import hits_int, hits_oracle_sql
+
+    got = {
+        r.node: (r.hub, r.authority)
+        for r in hits_int(edges, iters=3).collect()
+    }
+    con = duckdb.connect()
+    con.register("edges_tbl", edges.toPandas())
+    sql = hits_oracle_sql("SELECT src, dst FROM edges_tbl", iters=3)
+    want = {n: (hb, au) for n, hb, au in con.execute(sql).fetchall()}
+    assert got == want
+
+
+def test_hits_star_graph(spark):
+    """u1..u4 all point at c: c is the sole authority (SCALE), the
+    spokes are equal maximal hubs (SCALE), c's hub and the spokes'
+    authorities are 0 (dangling conventions)."""
+    from deepee_spark.operators.graph import HITS_SCALE as S
+    from deepee_spark.operators.graph import hits_int
+
+    e = spark.createDataFrame(
+        [(f"u{i}", "c") for i in range(1, 5)], "src: string, dst: string"
+    )
+    got = {
+        r.node: (r.hub, r.authority) for r in hits_int(e, iters=2).collect()
+    }
+    assert got["c"] == (0, S)
+    for i in range(1, 5):
+        assert got[f"u{i}"] == (S, 0)
