@@ -4626,6 +4626,148 @@ def _kg_bloom_frontier_sql() -> str:
     )
 
 
+# Public-suffix rules for the domain queries: a deterministic synthetic
+# PSL slice covering every rule type (plain, wildcard, exception) — the
+# production dimension would be the published publicsuffix.org snapshot.
+_PSL_RULES = [
+    "com", "org", "net", "io", "uk", "co.uk", "gov.uk", "github.io",
+    "*.ck", "!www.ck",
+]
+
+# Hosts synthesized from doc_id so both engines derive the identical
+# corpus: one arm per matching regime (plain 1/2-label suffixes,
+# wildcard, exception, apex-suffix host, unknown TLD -> default rule).
+_DOMAIN_HOST_CASE = """CASE CAST({d} % 7 AS INT)
+  WHEN 0 THEN 'www.site' || CAST({d} % 97 AS {str_t}) || '.com'
+  WHEN 1 THEN 'blog.site' || CAST({d} % 97 AS {str_t}) || '.co.uk'
+  WHEN 2 THEN 'site' || CAST({d} % 97 AS {str_t}) || '.github.io'
+  WHEN 3 THEN 'a.b.site' || CAST({d} % 97 AS {str_t}) || '.org'
+  WHEN 4 THEN 'site' || CAST({d} % 97 AS {str_t}) || '.wat.ck'
+  WHEN 5 THEN 'www.ck'
+  ELSE 'weird.site' || CAST({d} % 97 AS {str_t}) || '.unknowntld'
+END"""
+
+
+def _domain_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    case = _DOMAIN_HOST_CASE.format(d="doc_id", str_t="STRING")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.expr(case).alias("host")
+    )
+
+
+def _psl_rules_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([(r,) for r in _PSL_RULES], "rule: string")
+
+
+def _domain_registrable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain (eTLD+1) rollup (operators/domains.apply_psl):
+    publicsuffix.org longest-match semantics — plain, wildcard and
+    exception rules plus the default '*' — via K broadcast joins, so
+    the corpus never shuffles for the match itself; the only shuffle is
+    the final rollup aggregate. The per-publisher grouping key every
+    curation quota/dedup policy (RefinedWeb/FineWeb/CCNet, all public)
+    hangs off."""
+    from deepee_spark.operators.domains import apply_psl
+
+    d = apply_psl(_domain_hosts(spark, sf_dir), _psl_rules_df(spark))
+    return d.groupBy(
+        "public_suffix",
+        F.coalesce("registrable_domain", F.lit("(apex)")).alias(
+            "registrable_domain"
+        ),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+
+def _domain_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style per-publisher cap (operators/domains.domain_quota):
+    keep the best 3 docs per registrable domain by (n_chars DESC,
+    doc_id ASC). The window is domain-partitioned — parallel across the
+    publisher space, no global ordering anywhere; apex-suffix rows
+    (NULL domain) pass through by contract."""
+    from deepee_spark.operators.domains import apply_psl, domain_quota
+
+    d = apply_psl(_domain_hosts(spark, sf_dir), _psl_rules_df(spark))
+    kept = domain_quota(
+        d, quota=3, score_col="n_chars", id_col="doc_id"
+    )
+    return kept.select(
+        "doc_id",
+        F.coalesce("registrable_domain", F.lit("(apex)")).alias(
+            "registrable_domain"
+        ),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+def _domain_oracle_cte() -> str:
+    """Shared DuckDB CTE chain: host synthesis + PSL longest-match via
+    LIKE label-boundary suffix tests (the oracle does not need the
+    broadcast-join shape, only identical semantics)."""
+    case = _DOMAIN_HOST_CASE.format(d="doc_id", str_t="VARCHAR")
+    rules = ", ".join(f"('{r}')" for r in _PSL_RULES)
+    return f"""
+rules(rule) AS (VALUES {rules}),
+hosts AS (SELECT doc_id, n_chars, {case} AS host FROM documents),
+lab AS (SELECT doc_id, n_chars, host,
+               string_split(host, '.') AS ls,
+               len(string_split(host, '.')) AS n
+        FROM hosts),
+pm AS (SELECT l.host, MAX(len(string_split(r.rule, '.'))) AS plen
+       FROM (SELECT DISTINCT host FROM lab) l
+       JOIN rules r ON r.rule NOT LIKE '!%' AND r.rule NOT LIKE '*.%'
+        AND (l.host = r.rule OR l.host LIKE '%.' || r.rule)
+       GROUP BY l.host),
+wm AS (SELECT l.host,
+              MAX(len(string_split(substring(r.rule, 3), '.')) + 1) AS wlen
+       FROM (SELECT DISTINCT host, n FROM lab) l
+       JOIN rules r ON r.rule LIKE '*.%'
+        AND l.host LIKE '%.' || substring(r.rule, 3)
+        AND l.n >= len(string_split(substring(r.rule, 3), '.')) + 1
+       GROUP BY l.host),
+em AS (SELECT l.host,
+              MAX(len(string_split(substring(r.rule, 2), '.')) - 1) AS elen
+       FROM (SELECT DISTINCT host FROM lab) l
+       JOIN rules r ON r.rule LIKE '!%'
+        AND (l.host = substring(r.rule, 2)
+             OR l.host LIKE '%.' || substring(r.rule, 2))
+       GROUP BY l.host),
+res AS (SELECT l.doc_id, l.n_chars, l.host, l.ls, l.n,
+               COALESCE(em.elen,
+                        GREATEST(COALESCE(pm.plen, 1),
+                                 COALESCE(wm.wlen, 1), 1)) AS pslen
+        FROM lab l
+        LEFT JOIN pm ON pm.host = l.host
+        LEFT JOIN wm ON wm.host = l.host
+        LEFT JOIN em ON em.host = l.host),
+dom AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+               array_to_string(ls[n - pslen + 1 : n], '.') AS public_suffix,
+               CASE WHEN n > pslen
+                    THEN array_to_string(ls[n - pslen : n], '.')
+                    ELSE '(apex)' END AS registrable_domain
+        FROM res)
+"""
+
+
+_DOMAIN_REGISTRABLE_SQL = (
+    "WITH " + _domain_oracle_cte() + """
+SELECT public_suffix, registrable_domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM dom GROUP BY 1, 2
+"""
+)
+
+_DOMAIN_QUOTA_SQL = (
+    "WITH " + _domain_oracle_cte() + """,
+ranked AS (SELECT doc_id, registrable_domain, n_chars,
+                  ROW_NUMBER() OVER (PARTITION BY registrable_domain
+                                     ORDER BY n_chars DESC, doc_id) AS rk
+           FROM dom)
+SELECT doc_id, registrable_domain, n_chars
+FROM ranked WHERE registrable_domain = '(apex)' OR rk <= 3
+"""
+)
+
+
 def _kg_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl scheduling capstone — three op families composed: the
     link harvest's host graph (operators/links) feeds exact-integer
@@ -7224,6 +7366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sc9_pad_truncate": _sc9_pad,
         "sc12_lexical_window": _sc12_lexwin,
         "kg_hits": _kg_hits,
+        "domain_registrable": _domain_registrable,
+        "domain_quota_cap": _domain_quota_cap,
     }
 
 
@@ -7277,6 +7421,8 @@ def oracle_sql() -> dict[str, str]:
             _KG_EDGE_PROJ_SQL, iters=3
         ),
         "kg_hits": _graph_sql.hits_oracle_sql(_KG_EDGE_PROJ_SQL, iters=3),
+        "domain_registrable": _DOMAIN_REGISTRABLE_SQL,
+        "domain_quota_cap": _DOMAIN_QUOTA_SQL,
         "kg_pagerank_weighted": _graph_sql.pagerank_weighted_oracle_sql(
             _KG_WEDGES_SQL, iters=3
         ),
