@@ -4518,6 +4518,30 @@ FROM (SELECT DISTINCT user_id % 20 AS hid FROM events)"""
     return robots_oracle_sql(urls_sql, robots_sql)
 
 
+# Fixed merge table for the BPE inference (encode) query: applied in
+# order, building multi-char pieces ('ta'->'tab'->'tabl'->'table') so
+# the chained greedy application is actually exercised.
+_BPE_FIXED_MERGES = [
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("a", "l"), ("v", "al"),
+]
+
+
+def _bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING (operators/bpe.segment_words) — the inference half
+    of the tokenizer: a fixed learned merge table applied in order to
+    the corpus vocabulary, each rule one greedy-leftmost pure-Catalyst
+    fold. Runs on the (word, cnt) vocab, not the corpus rows, so the
+    cost is bounded by distinct word forms at any corpus size. The
+    oracle replays the same merges through the learner oracle's
+    run-parity application blocks."""
+    from deepee_spark.operators.bpe import segment_words
+
+    return segment_words(
+        _t(spark, sf_dir, "documents"), _BPE_FIXED_MERGES
+    ).select("word", "cnt", F.concat_ws(" ", "pieces").alias("pieces"))
+
+
 def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus BPE merge learning (operators/bpe.learn_merges): 6
     iterations of most-frequent-adjacent-pair over the documents word
@@ -7368,6 +7392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hits": _kg_hits,
         "domain_registrable": _domain_registrable,
         "domain_quota_cap": _domain_quota_cap,
+        "bpe_segment": _bpe_segment,
     }
 
 
@@ -7428,6 +7453,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_web_tables": _KG_WEB_TABLES_SQL,
         "bpe_merges": _bpe_sql.learn_merges_oracle_sql(steps=6),
+        "bpe_segment": _bpe_sql.segment_oracle_sql(_BPE_FIXED_MERGES),
         "robots_admission": _robots_admission_sql(),
         "passage_windows": _chunking_sql.passage_windows_oracle_sql(
             "SELECT doc_id, text FROM documents", window=32, stride=24

@@ -154,10 +154,24 @@ def segment_words(
     return words.select("word", "cnt", F.col("syms").alias("pieces"))
 
 
-def _one_iteration_sql(k: int) -> str:
+def _one_iteration_sql(k: int, fixed: tuple[str, str] | None = None) -> str:
     """CTE block computing merge k from words_{k-1} and applying it to
-    produce words_k. Greedy application via candidate-run parity."""
+    produce words_k. Greedy application via candidate-run parity.
+    With `fixed`, merge k is the given (l, r) rule instead of the
+    corpus-derived winner — the application half alone, shared by the
+    segment (inference) oracle."""
     i, o = k - 1, k
+    if fixed is not None:
+        l, r = fixed
+        m_cte = (
+            f"m{o} AS (SELECT '{l}' AS l, '{r}' AS r,"
+            " CAST(0 AS BIGINT) AS n)"
+        )
+    else:
+        m_cte = f"""m{o} AS (
+  SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS n FROM pc{o} WHERE r IS NOT NULL
+  GROUP BY l, r ORDER BY n DESC, l, r LIMIT 1
+)"""
     return f"""
 pos{o} AS (
   SELECT word, cnt, unnest(syms) AS sym, unnest(range(1, len(syms)+1)) AS pos
@@ -167,10 +181,7 @@ pc{o} AS (
   SELECT sym AS l, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS r, cnt
   FROM pos{o}
 ),
-m{o} AS (
-  SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS n FROM pc{o} WHERE r IS NOT NULL
-  GROUP BY l, r ORDER BY n DESC, l, r LIMIT 1
-),
+{m_cte},
 cand{o} AS (
   SELECT p.word, p.cnt, p.pos, p.sym, m.l, m.r,
          (p.sym = m.l AND lead(p.sym) OVER (PARTITION BY p.word ORDER BY p.pos) = m.r) AS c
@@ -215,3 +226,31 @@ def learn_merges_oracle_sql(steps: int = 3, table: str = "documents") -> str:
         for k in range(1, steps + 1)
     ]
     return ",\n".join(blocks) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def segment_oracle_sql(
+    merges: list[tuple[str, str]], table: str = "documents"
+) -> str:
+    """DuckDB twin of segment_words: the SAME greedy run-parity
+    application blocks as the learner's oracle, but with each merge
+    FIXED to the supplied table (inference, not training). Output:
+    (word, cnt, pieces) with pieces space-joined for canonical
+    comparison."""
+    blocks = [
+        f"""WITH words0 AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+         list_transform(range(1, length(word)+1), i -> word[i]) AS syms
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '{_WORD_RE}')) AS word
+        FROM {table})
+  GROUP BY word
+)"""
+    ]
+    blocks += [
+        _one_iteration_sql(k, fixed=m) for k, m in enumerate(merges, 1)
+    ]
+    last = len(merges)
+    return (
+        ",\n".join(blocks)
+        + f"\nSELECT word, cnt, array_to_string(syms, ' ') AS pieces"
+        f" FROM words{last}"
+    )

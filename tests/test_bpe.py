@@ -114,3 +114,30 @@ def test_overlap_chain_is_greedy(spark):
     docs = spark.createDataFrame([("aaaaa",)], "text string")
     seg = {r.word: list(r.pieces) for r in segment_words(docs, [("a", "a")]).collect()}
     assert seg == {"aaaaa": ["aa", "aa", "a"]}
+
+
+def test_segment_oracle_sql_matches(spark):
+    """The fixed-merge DuckDB application twin (segment_oracle_sql)
+    must reproduce segment_words bit-for-bit, overlap chains included."""
+    import duckdb
+
+    from deepee_spark.operators.bpe import segment_oracle_sql
+
+    texts = ["aaaaa table value tab", "tab table aaaa lab"]
+    merges = [("t", "a"), ("ta", "b"), ("a", "a"), ("a", "l")]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        r.word: (r.cnt, " ".join(r.pieces))
+        for r in segment_words(docs, merges).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{t}')" for t in texts)
+        + ") t(text)"
+    )
+    want = {
+        w: (c, p)
+        for w, c, p in con.execute(segment_oracle_sql(merges)).fetchall()
+    }
+    assert got == want
