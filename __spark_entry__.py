@@ -4518,6 +4518,32 @@ FROM (SELECT DISTINCT user_id % 20 AS hid FROM events)"""
     return robots_oracle_sql(urls_sql, robots_sql)
 
 
+def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/dsir, Xie et al. 2023): every
+    document scored by sum(cnt[b] * (log p_target(b) - log p_raw(b)))
+    over hashed unigram+bigram buckets. The target slice is a
+    deterministic 1/17 sample standing in for the user's domain corpus.
+    The bucket model is 256 rows — broadcast at any corpus size; the
+    only corpus shuffle is the per-doc aggregate. Float logs follow the
+    repo's 6dp-round oracle convention (unigram_logprob precedent)."""
+    from deepee_spark.operators.dsir import (
+        bucket_logratio,
+        hashed_feature_counts,
+        importance_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dc = hashed_feature_counts(docs)
+    # pin: dc feeds the target slice, the raw totals AND the final
+    # per-doc weighting — three consumers of one explode+agg
+    dc = dc.localCheckpoint()
+    target = dc.join(
+        docs.filter(F.col("doc_id") % 17 == 0).select("doc_id"), "doc_id"
+    )
+    lr = bucket_logratio(target, dc)
+    return importance_weights(dc, lr)
+
+
 # Fixed merge table for the BPE inference (encode) query: applied in
 # order, building multi-char pieces ('ta'->'tab'->'tabl'->'table') so
 # the chained greedy application is actually exercised.
@@ -7393,12 +7419,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_registrable": _domain_registrable,
         "domain_quota_cap": _domain_quota_cap,
         "bpe_segment": _bpe_segment,
+        "dsir_weights": _dsir_weights,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     # Same insertion order as queries() — see the ordering note there.
     from deepee_spark.operators import bpe as _bpe_sql
+    from deepee_spark.operators import dsir as _dsir_sql
     from deepee_spark.operators import budget as _budget_sql
     from deepee_spark.operators import chunking as _chunking_sql
     from deepee_spark.operators import graph as _graph_sql
@@ -7454,6 +7482,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_web_tables": _KG_WEB_TABLES_SQL,
         "bpe_merges": _bpe_sql.learn_merges_oracle_sql(steps=6),
         "bpe_segment": _bpe_sql.segment_oracle_sql(_BPE_FIXED_MERGES),
+        "dsir_weights": _dsir_sql.dsir_oracle_sql(
+            "documents", "doc_id % 17 = 0", _TOKENS_SQL
+        ),
         "robots_admission": _robots_admission_sql(),
         "passage_windows": _chunking_sql.passage_windows_oracle_sql(
             "SELECT doc_id, text FROM documents", window=32, stride=24
