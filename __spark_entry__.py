@@ -3493,6 +3493,17 @@ def _kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits_int(_kg_edge_proj(spark, sf_dir), iters=3)
 
 
+def _kg_wl_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weisfeiler-Lehman structural fingerprints (operators/graph.
+    wl_fingerprints) over the user→item KG edges: nodes with identical
+    2-hop neighborhood structure share a fingerprint — the mirror-site
+    / link-farm-template grouping key. md5 relabeling over canonically
+    sorted neighbor multisets, so the DuckDB twin hash-matches."""
+    from deepee_spark.operators.graph import wl_fingerprints
+
+    return wl_fingerprints(_kg_edge_proj(spark, sf_dir), iters=2)
+
+
 def _kg_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Support-weighted PageRank (operators/graph.pagerank_int_weighted):
     rank mass splits proportionally to observation counts — the natural
@@ -7420,6 +7431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quota_cap": _domain_quota_cap,
         "bpe_segment": _bpe_segment,
         "dsir_weights": _dsir_weights,
+        "kg_wl_roles": _kg_wl_roles,
     }
 
 
@@ -7474,6 +7486,7 @@ def oracle_sql() -> dict[str, str]:
             _KG_EDGE_PROJ_SQL, iters=3
         ),
         "kg_hits": _graph_sql.hits_oracle_sql(_KG_EDGE_PROJ_SQL, iters=3),
+        "kg_wl_roles": _graph_sql.wl_oracle_sql(_KG_EDGE_PROJ_SQL, iters=2),
         "domain_registrable": _DOMAIN_REGISTRABLE_SQL,
         "domain_quota_cap": _DOMAIN_QUOTA_SQL,
         "kg_pagerank_weighted": _graph_sql.pagerank_weighted_oracle_sql(

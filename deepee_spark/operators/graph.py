@@ -1723,3 +1723,146 @@ def hits_oracle_sql(edges_sql: str, iters: int = 3) -> str:
         f" a{iters}.score AS authority"
         f" FROM h{iters} JOIN a{iters} ON a{iters}.node = h{iters}.node"
     )
+
+
+def wl_fingerprints(edges: DataFrame, iters: int = 2) -> DataFrame:
+    """Weisfeiler-Lehman structural fingerprints (1-WL color refinement
+    — Weisfeiler & Leman 1968; the graph-dedup / role-discovery form is
+    standard public material, e.g. Shervashidze et al. JMLR 2011).
+    Nodes whose k-hop neighborhood STRUCTURE is identical get identical
+    fingerprints, regardless of their ids — the grouping key for
+    mirror-site detection, link-farm templates, and structural-role
+    rollups over the web graph, where whole subgraphs repeat.
+
+        label_0(v) = md5(outdeg(v) || '/' || indeg(v))
+        label_i(v) = md5(label_{i-1}(v)
+                         || '>' || sorted-join of out-neighbor labels
+                         || '<' || sorted-join of in-neighbor labels)
+
+    Engine-exact: labels are md5 hex strings; neighbor multisets are
+    canonically sorted BEFORE hashing (sort_array on the collected
+    list / string_agg ORDER BY in the oracle), so the fingerprint is
+    independent of shuffle order and hash-matches across engines.
+
+    Scale shape: per iteration, two keyed shuffles (groupBy src for the
+    out-multiset, groupBy dst for the in-multiset) against edge copies
+    persisted pre-partitioned on their join key — same discipline as
+    pagerank_int/hits_int; per-iteration lineage cut. A hub node's
+    sorted label list is degree-sized — at true web scale you would cap
+    or sketch hub multisets (documented trade; the exact form is what
+    the oracle certifies).
+
+    Returns (node, wl) with wl the final 32-hex fingerprint.
+    """
+    e = edges.select("src", "dst").distinct()
+    spark = edges.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("od")
+    )
+    indeg = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("id_")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .repartition(n_parts, "node")
+        .persist()
+    )
+    lbl = (
+        nodes.join(outdeg, "node", "left")
+        .join(indeg, "node", "left")
+        .select(
+            "node",
+            F.md5(
+                F.concat_ws(
+                    "/",
+                    F.coalesce("od", F.lit(0)).cast("string"),
+                    F.coalesce("id_", F.lit(0)).cast("string"),
+                )
+            ).alias("wl"),
+        )
+        .localCheckpoint()
+    )
+    e_by_src = e.repartition(n_parts, "src").persist()
+    e_by_dst = e.repartition(n_parts, "dst").persist()
+    for _ in range(iters):
+        outs = (
+            e_by_dst.join(lbl.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(
+                F.array_join(
+                    F.sort_array(F.collect_list("wl")), ","
+                ).alias("outs")
+            )
+        )
+        ins = (
+            e_by_src.join(lbl.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.array_join(
+                    F.sort_array(F.collect_list("wl")), ","
+                ).alias("ins")
+            )
+        )
+        lbl = (
+            lbl.join(outs, "node", "left")
+            .join(ins, "node", "left")
+            .select(
+                "node",
+                F.md5(
+                    F.concat(
+                        F.col("wl"),
+                        F.lit(">"),
+                        F.coalesce("outs", F.lit("")),
+                        F.lit("<"),
+                        F.coalesce("ins", F.lit("")),
+                    )
+                ).alias("wl"),
+            )
+            .localCheckpoint()
+        )
+    nodes.unpersist()
+    e_by_src.unpersist()
+    e_by_dst.unpersist()
+    return lbl
+
+
+def wl_oracle_sql(edges_sql: str, iters: int = 2) -> str:
+    """DuckDB twin of wl_fingerprints: identical md5 relabeling with
+    string_agg(... ORDER BY ...) as the canonical multiset join."""
+    parts = [
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "od AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d"
+        " FROM e GROUP BY src)",
+        "idg AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS d"
+        " FROM e GROUP BY dst)",
+        "l0 AS (SELECT n.node,"
+        " md5(CAST(COALESCE(od.d, 0) AS VARCHAR) || '/' ||"
+        " CAST(COALESCE(idg.d, 0) AS VARCHAR)) AS wl"
+        " FROM nodes n LEFT JOIN od ON od.node = n.node"
+        " LEFT JOIN idg ON idg.node = n.node)",
+    ]
+    prev = "l0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"o{i} AS MATERIALIZED (SELECT e.src AS node,"
+            f" string_agg(p.wl, ',' ORDER BY p.wl) AS s"
+            f" FROM e JOIN {prev} p ON p.node = e.dst GROUP BY e.src)"
+        )
+        parts.append(
+            f"i{i} AS MATERIALIZED (SELECT e.dst AS node,"
+            f" string_agg(p.wl, ',' ORDER BY p.wl) AS s"
+            f" FROM e JOIN {prev} p ON p.node = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"l{i} AS (SELECT p.node,"
+            f" md5(p.wl || '>' || COALESCE(o{i}.s, '')"
+            f" || '<' || COALESCE(i{i}.s, '')) AS wl"
+            f" FROM {prev} p LEFT JOIN o{i} ON o{i}.node = p.node"
+            f" LEFT JOIN i{i} ON i{i}.node = p.node)"
+        )
+        prev = f"l{i}"
+    return ",\n".join(parts) + f"\nSELECT node, wl FROM {prev}"

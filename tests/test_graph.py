@@ -1082,3 +1082,75 @@ def test_hits_star_graph(spark):
     assert got["c"] == (0, S)
     for i in range(1, 5):
         assert got[f"u{i}"] == (S, 0)
+
+
+def _wl_py(rows, iters=2):
+    import hashlib
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    e = sorted(set(rows))
+    nodes = sorted({a for a, _ in e} | {b for _, b in e})
+    outs = defaultdict(list)
+    ins = defaultdict(list)
+    for a, b in e:
+        outs[a].append(b)
+        ins[b].append(a)
+    lbl = {
+        v: md5(f"{len(outs[v])}/{len(ins[v])}") for v in nodes
+    }
+    for _ in range(iters):
+        lbl = {
+            v: md5(
+                lbl[v]
+                + ">"
+                + ",".join(sorted(lbl[u] for u in outs[v]))
+                + "<"
+                + ",".join(sorted(lbl[u] for u in ins[v]))
+            )
+            for v in nodes
+        }
+    return lbl
+
+
+def test_wl_matches_reference(spark, edges):
+    from deepee_spark.operators.graph import wl_fingerprints
+
+    rows = [(r.src, r.dst) for r in edges.collect()]
+    got = {r.node: r.wl for r in wl_fingerprints(edges, iters=2).collect()}
+    assert got == _wl_py(rows)
+
+
+def test_wl_duckdb_oracle_matches(spark, edges):
+    from deepee_spark.operators.graph import wl_fingerprints, wl_oracle_sql
+
+    got = {r.node: r.wl for r in wl_fingerprints(edges, iters=2).collect()}
+    con = duckdb.connect()
+    con.register("edges_tbl", edges.toPandas())
+    want = dict(
+        con.execute(
+            wl_oracle_sql("SELECT src, dst FROM edges_tbl", iters=2)
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_wl_structural_twins(spark):
+    """Two disjoint copies of the same directed subgraph must yield
+    identical fingerprints position-for-position; breaking one copy's
+    structure must break the match."""
+    from deepee_spark.operators.graph import wl_fingerprints
+
+    base = [("a1", "a2"), ("a2", "a3"), ("a1", "a3")]
+    twin = [("b1", "b2"), ("b2", "b3"), ("b1", "b3")]
+    e = spark.createDataFrame(base + twin, "src: string, dst: string")
+    fp = {r.node: r.wl for r in wl_fingerprints(e, iters=2).collect()}
+    assert fp["a1"] == fp["b1"]
+    assert fp["a2"] == fp["b2"]
+    assert fp["a3"] == fp["b3"]
+    e2 = spark.createDataFrame(
+        base + twin + [("b3", "b1")], "src: string, dst: string"
+    )
+    fp2 = {r.node: r.wl for r in wl_fingerprints(e2, iters=2).collect()}
+    assert fp2["a1"] != fp2["b1"]
