@@ -4555,6 +4555,17 @@ def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return importance_weights(dc, lr)
 
 
+def _dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection (operators/dsir.gumbel_topk): Gumbel-top-k
+    resampling over the importance weights — sampling-without-
+    replacement ∝ exp(logw), with the Gumbel draws derived from a doc-id
+    hash so both engines pick the identical 100 docs. TakeOrdered
+    top-k, never a global sort."""
+    from deepee_spark.operators.dsir import gumbel_topk
+
+    return gumbel_topk(_dsir_weights(spark, sf_dir), k=100)
+
+
 # Fixed merge table for the BPE inference (encode) query: applied in
 # order, building multi-char pieces ('ta'->'tab'->'tabl'->'table') so
 # the chained greedy application is actually exercised.
@@ -7432,6 +7443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_segment": _bpe_segment,
         "dsir_weights": _dsir_weights,
         "kg_wl_roles": _kg_wl_roles,
+        "dsir_select": _dsir_select,
     }
 
 
@@ -7497,6 +7509,12 @@ def oracle_sql() -> dict[str, str]:
         "bpe_segment": _bpe_sql.segment_oracle_sql(_BPE_FIXED_MERGES),
         "dsir_weights": _dsir_sql.dsir_oracle_sql(
             "documents", "doc_id % 17 = 0", _TOKENS_SQL
+        ),
+        "dsir_select": _dsir_sql.gumbel_topk_oracle_sql(
+            _dsir_sql.dsir_oracle_sql(
+                "documents", "doc_id % 17 = 0", _TOKENS_SQL
+            ),
+            k=100,
         ),
         "robots_admission": _robots_admission_sql(),
         "passage_windows": _chunking_sql.passage_windows_oracle_sql(

@@ -109,6 +109,13 @@ def main() -> None:
         "kg_redirects",
         "shard_assignment",
         "crawl_refresh",
+        # round-3 late additions
+        "kg_hits",
+        "kg_wl_roles",
+        "domain_registrable",
+        "domain_quota_cap",
+        "dsir_weights",
+        "bpe_segment",
     ]
     qs = entry.queries()
     timings: dict[str, float] = {}

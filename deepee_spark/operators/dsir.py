@@ -24,9 +24,9 @@ integers, so both engines compute ln on bit-identical doubles; the
 final sum is rounded to 6dp (the repo's float-oracle convention, same
 as textstats.unigram_logprob — driver-green precedent).
 
-Selection itself (the paper's Gumbel-top-k) is a one-line composition
-downstream: ORDER BY logw + a deterministic hash tie-break; see the
-dsir_weights contract query.
+Selection itself is gumbel_topk below — the paper's Gumbel-top-k
+resampling with hash-derived (hence reproducible, engine-exact)
+Gumbel noise.
 """
 
 from __future__ import annotations
@@ -172,4 +172,58 @@ SELECT dc.{doc_col}, CAST(SUM(dc.cnt) AS BIGINT) AS n_feats,
        ROUND(SUM(dc.cnt * lr.logr), 6) AS logw
 FROM dc JOIN lr ON lr.bucket = dc.bucket
 GROUP BY dc.{doc_col}
+"""
+
+
+def gumbel_topk(
+    weights: DataFrame,
+    k: int,
+    doc_col: str = "doc_id",
+    logw_col: str = "logw",
+) -> DataFrame:
+    """The paper's actual selection step: Gumbel-top-k resampling.
+    Adding independent Gumbel noise g = -ln(-ln(u)) to each log weight
+    and taking the top-k is EXACTLY sampling k docs without replacement
+    with probability proportional to exp(logw) (the Gumbel-max trick —
+    standard public result). Here u is a deterministic hash of the doc
+    id, so the "random" draw is reproducible and engine-exact: both
+    engines build u as the same exact-integer ratio, hence feed ln()
+    bit-identical doubles.
+
+    Scale: orderBy + limit compiles to TakeOrderedAndProject —
+    per-partition k-heaps merged at the driver, never a global sort
+    (same rationale as operators/skew.py's top-k).
+
+    Returns (doc_col, sel_key) for the k selected docs, sel_key
+    rounded to 6dp."""
+    u = (
+        (
+            md5_long48(F.concat(F.col(doc_col).cast("string"), F.lit("|g")))
+            % 1_000_000
+            + 1
+        ).cast("double")
+        / 1_000_001.0
+    )
+    key = F.col(logw_col) - F.log(-F.log(u))
+    return (
+        weights.withColumn("_key", key)
+        .orderBy(F.desc("_key"), F.asc(doc_col))
+        .limit(k)
+        .select(doc_col, F.round("_key", 6).alias("sel_key"))
+    )
+
+
+def gumbel_topk_oracle_sql(
+    weights_sql: str, k: int, doc_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of gumbel_topk over a (doc, logw) subquery."""
+    h = md5_long48_sql(f"CAST({doc_col} AS VARCHAR) || '|g'")
+    return f"""
+SELECT {doc_col},
+       ROUND(logw - ln(-ln((({h}) % 1000000 + 1) / 1000001.0)), 6)
+         AS sel_key
+FROM ({weights_sql})
+ORDER BY logw - ln(-ln((({h}) % 1000000 + 1) / 1000001.0)) DESC,
+         {doc_col}
+LIMIT {k}
 """

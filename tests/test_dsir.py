@@ -94,3 +94,19 @@ def test_dsir_logratio_is_broadcast(spark):
     # the B-row model joins the corpus side as a broadcast, never a
     # corpus-wide sort-merge
     assert "BroadcastHashJoin" in plan
+
+
+def test_gumbel_topk_is_weight_biased_and_deterministic(spark):
+    """High-logw docs must be selected far more often than low-logw
+    ones, and two invocations must pick the identical set."""
+    from deepee_spark.operators.dsir import gumbel_topk
+
+    rows = [(i, 5.0 if i < 50 else -5.0) for i in range(1000)]
+    w = spark.createDataFrame(rows, "doc_id: long, logw: double")
+    sel = gumbel_topk(w, k=60).collect()
+    ids = {r.doc_id for r in sel}
+    assert len(ids) == 60
+    # logw gap of 10 nats dwarfs Gumbel noise: all 50 heavy docs chosen
+    assert sum(1 for i in ids if i < 50) == 50
+    again = {r.doc_id for r in gumbel_topk(w, k=60).collect()}
+    assert ids == again
