@@ -6708,6 +6708,59 @@ SELECT node, MIN(r) AS component FROM reach GROUP BY node
 """
 
 
+def _dedup_cluster_keep(spark, sf):
+    """Dedup RESOLUTION: after near-dup clustering, pick each cluster's
+    canonical survivor — the member with the highest quantized squared
+    norm (an engine-exact BIGINT quality proxy), node-id ascending on
+    ties — plus the member count. One keyed aggregate over the cluster
+    assignment (max_by on a composite total order), so resolution adds
+    a single component-keyed shuffle at any scale. The oracle replays
+    the recursive-closure clusters and takes the same argmax via a
+    component-partitioned window."""
+    cc = _dedup_cluster_assign(spark, sf)
+    emb = _t(spark, sf, "embeddings").select(
+        F.col("vec_id").cast("bigint").alias("node"),
+        F.aggregate(
+            "embedding",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + F.round(x * 1000).cast("long") * F.round(x * 1000).cast("long"),
+        ).alias("norm_q"),
+    )
+    j = cc.join(emb, "node")
+    return j.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max_by(
+            "node", F.struct(F.col("norm_q"), (-F.col("node")).alias("_n"))
+        ).alias("keep_id"),
+        F.max("norm_q").cast("long").alias("keep_norm_q"),
+    )
+
+
+_NORM_Q_SQL = (
+    "list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 65), "
+    "i -> CAST(ROUND({e}[i] * 1000) AS BIGINT)"
+    " * CAST(ROUND({e}[i] * 1000) AS BIGINT))), (x, y) -> x + y)"
+)
+
+_DEDUP_CLUSTER_KEEP_SQL = f"""
+WITH cc AS ({_DEDUP_CLUSTER_SQL}),
+nq AS (
+  SELECT CAST(vec_id AS BIGINT) AS node,
+         {_NORM_Q_SQL.format(e='embedding')} AS norm_q
+  FROM embeddings),
+j AS (
+  SELECT cc.component, cc.node, nq.norm_q,
+         ROW_NUMBER() OVER (PARTITION BY cc.component
+                            ORDER BY nq.norm_q DESC, cc.node) AS rk
+  FROM cc JOIN nq ON nq.node = cc.node)
+SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MAX(CASE WHEN rk = 1 THEN node END) AS BIGINT) AS keep_id,
+       CAST(MAX(norm_q) AS BIGINT) AS keep_norm_q
+FROM j GROUP BY component
+"""
+
+
 # ---------------------------------------------------------------------------
 # J8/JSON codec: property extraction (the reference's schema-on-read JSON
 # ingestion S1-S3 + entity-id resolution J8, over the events.props column)
@@ -7444,6 +7497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _dsir_weights,
         "kg_wl_roles": _kg_wl_roles,
         "dsir_select": _dsir_select,
+        "dedup_cluster_keep": _dedup_cluster_keep,
     }
 
 
@@ -7499,6 +7553,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_hits": _graph_sql.hits_oracle_sql(_KG_EDGE_PROJ_SQL, iters=3),
         "kg_wl_roles": _graph_sql.wl_oracle_sql(_KG_EDGE_PROJ_SQL, iters=2),
+        "dedup_cluster_keep": _DEDUP_CLUSTER_KEEP_SQL,
         "domain_registrable": _DOMAIN_REGISTRABLE_SQL,
         "domain_quota_cap": _DOMAIN_QUOTA_SQL,
         "kg_pagerank_weighted": _graph_sql.pagerank_weighted_oracle_sql(
