@@ -502,3 +502,100 @@ def test_sessionize_property(spark, pairs):
         for r in sessionize(df, ["user"], "ts", gap=5).collect()
     }
     assert got == _brute_sessions(rows, 5)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(
+                ["www", "a", "b", "site", "x", "ck", "uk", "co", "io",
+                 "gov", "github", "com", "wat"]
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_psl_property(spark, label_lists):
+    """apply_psl on arbitrary hosts assembled from rule-colliding labels
+    (apex hits, wildcard tails, exception hosts all arise by chance)
+    must match the pure-python PSL reference row for row."""
+    from deepee_spark.operators.domains import apply_psl
+    from tests.test_domains import RULES, _psl_py
+
+    hosts = sorted({".".join(ls) for ls in label_lists})
+    df = spark.createDataFrame([(h,) for h in hosts], "host: string")
+    rules = spark.createDataFrame([(r,) for r in RULES], "rule: string")
+    got = {
+        r.host: (r.public_suffix, r.registrable_domain)
+        for r in apply_psl(df, rules).collect()
+    }
+    assert got == {h: _psl_py(h, RULES) for h in hosts}
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.integers(min_value=0, max_value=11),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_wl_rename_invariance(spark, raw_edges):
+    """WL fingerprints are STRUCTURAL: renaming every node (an
+    order-scrambling bijection) must map each node's fingerprint to its
+    renamed twin's fingerprint."""
+    from deepee_spark.operators.graph import wl_fingerprints
+
+    edges = sorted({(a, b) for a, b in raw_edges if a != b})
+    if not edges:
+        return
+    ren = {v: f"z{99 - v}" for v in range(12)}  # reverses sort order
+    e1 = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in edges], "src: string, dst: string"
+    )
+    e2 = spark.createDataFrame(
+        [(ren[a], ren[b]) for a, b in edges], "src: string, dst: string"
+    )
+    fp1 = {r.node: r.wl for r in wl_fingerprints(e1, iters=2).collect()}
+    fp2 = {r.node: r.wl for r in wl_fingerprints(e2, iters=2).collect()}
+    nodes = {a for a, _ in edges} | {b for _, b in edges}
+    assert all(fp1[f"n{v}"] == fp2[ren[v]] for v in nodes)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=8),
+        min_size=1,
+        max_size=30,
+    ),
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "aa", "ab", "ba", "bb"]),
+            st.sampled_from(["a", "b", "aa", "ab", "ba", "bb"]),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_bpe_segment_reassembles(spark, words, merges):
+    """Applying ANY merge table to ANY corpus must yield pieces that
+    reassemble each word exactly (no symbol lost or duplicated by the
+    greedy fold), with every piece buildable from the merge table."""
+    from deepee_spark.operators.bpe import segment_words
+
+    docs = spark.createDataFrame([(" ".join(words),)], "text string")
+    got = {
+        r.word: list(r.pieces)
+        for r in segment_words(docs, merges).collect()
+    }
+    assert set(got) == set(words)
+    for w, pieces in got.items():
+        assert "".join(pieces) == w
