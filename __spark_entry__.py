@@ -6708,6 +6708,28 @@ SELECT node, MIN(r) AS component FROM reach GROUP BY node
 """
 
 
+def _heavy_hitters(spark, sf):
+    """Exact heavy hitters (operators/sketches.heavy_hitters): tokens
+    occurring >= 600 times, found by probing every row against the
+    broadcast CMS (no shuffle) and exact-counting only the survivors —
+    the sketch-verify composition whose oracle is the naive GROUP
+    BY/HAVING definition."""
+    from deepee_spark.operators.sketches import heavy_hitters
+
+    toks = _t(spark, sf, "documents").select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    return heavy_hitters(toks, "token", 600)
+
+
+_HEAVY_HITTERS_SQL = """
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t != ''))
+        AS token FROM documents)
+GROUP BY token HAVING COUNT(*) >= 600
+"""
+
+
 def _dedup_cluster_keep(spark, sf):
     """Dedup RESOLUTION: after near-dup clustering, pick each cluster's
     canonical survivor — the member with the highest quantized squared
@@ -7498,6 +7520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_wl_roles": _kg_wl_roles,
         "dsir_select": _dsir_select,
         "dedup_cluster_keep": _dedup_cluster_keep,
+        "heavy_hitters": _heavy_hitters,
     }
 
 
@@ -7554,6 +7577,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_hits": _graph_sql.hits_oracle_sql(_KG_EDGE_PROJ_SQL, iters=3),
         "kg_wl_roles": _graph_sql.wl_oracle_sql(_KG_EDGE_PROJ_SQL, iters=2),
         "dedup_cluster_keep": _DEDUP_CLUSTER_KEEP_SQL,
+        "heavy_hitters": _HEAVY_HITTERS_SQL,
         "domain_registrable": _DOMAIN_REGISTRABLE_SQL,
         "domain_quota_cap": _DOMAIN_QUOTA_SQL,
         "kg_pagerank_weighted": _graph_sql.pagerank_weighted_oracle_sql(

@@ -424,3 +424,49 @@ SELECT {keys},
 FROM hll_regs
 GROUP BY {keys}
 """
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    threshold: int,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """EXACT heavy hitters ("every value occurring >= threshold times")
+    via the sketch-verify composition — the way the query survives a
+    keyspace too large to exact-count wholesale:
+
+      pass 1  build the CMS (one partial-agged shuffle whose key space
+              is at most width*depth cells, not |distinct values|);
+      pass 2  probe every ROW against the broadcast sketch — `depth`
+              broadcast joins, one per sketch row, NO shuffle — and
+              keep rows whose min-cell estimate clears the threshold.
+              CMS estimates only over-count, so no true heavy hitter
+              is ever dropped here;
+      pass 3  exact-count ONLY the survivors: the one value-keyed
+              shuffle runs over candidate rows, whose key count is
+              bounded by the sketch's false-positive set, not the
+              corpus's distinct count. The final HAVING removes the
+              false positives.
+
+    Result is therefore EXACT (the DuckDB oracle is the naive
+    GROUP BY/HAVING definition), while the expensive aggregation never
+    touches the long tail. Returns (value_col, n)."""
+    cms = cms_build(df, value_col, width, depth)
+    out = df.select(value_col)
+    ests = []
+    for d in range(1, depth + 1):
+        cd = cms.filter(F.col("row") == d).select(
+            F.col("col").alias(f"_c{d}"), F.col("cnt").alias(f"_n{d}")
+        )
+        out = out.withColumn(
+            f"_c{d}", _cms_col(F.col(value_col), d, width)
+        ).join(F.broadcast(cd), f"_c{d}", "left")
+        ests.append(F.coalesce(F.col(f"_n{d}"), F.lit(0)))
+    cand = out.filter(F.least(*ests) >= threshold)
+    return (
+        cand.groupBy(value_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= threshold)
+    )

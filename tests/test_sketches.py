@@ -71,3 +71,43 @@ def test_cms_never_undercounts_and_oracle(spark):
     assert {
         (r.row, r.col, r.cnt) for r in merged.collect()
     } == {(r.row, r.col, r.cnt) for r in cms.collect()}
+
+
+def test_heavy_hitters_exact(spark):
+    """Sketch-prefiltered heavy hitters must equal the brute-force
+    definition on a skewed corpus (heads far above, tail far below,
+    and values straddling the threshold)."""
+    from collections import Counter
+
+    from deepee_spark.operators.sketches import heavy_hitters
+
+    vals = (
+        ["hot"] * 50
+        + ["warm"] * 10
+        + ["edge"] * 5
+        + ["cool"] * 4
+        + [f"tail{i}" for i in range(200)]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "token: string")
+    got = {(r.token, r.n) for r in heavy_hitters(df, "token", 5).collect()}
+    want = {
+        (v, c) for v, c in Counter(vals).items() if c >= 5
+    }
+    assert got == want
+
+
+def test_heavy_hitters_probe_is_broadcast(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    from deepee_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame(
+        [(f"v{i % 7}",) for i in range(100)], "token: string"
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        heavy_hitters(df, "token", 10).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
