@@ -171,16 +171,18 @@ def domain_quota(
     with pathological row counts costs only its own partition's sort.
     Rows with NULL domain (host == its public suffix) are kept: they
     are apex-suffix oddities a curation run wants surfaced, not
-    silently dropped."""
+    silently dropped — and they BYPASS the window entirely, so the
+    one partition a skewed corpus could actually blow up (every
+    unmatched apex host shares the NULL key) is never sorted."""
     from pyspark.sql import Window as W
 
     w = W.partitionBy(domain_col).orderBy(
         F.col(score_col).desc(), F.col(id_col).asc()
     )
-    ranked = df.withColumn("_rk", F.row_number().over(w))
-    return (
-        ranked.filter(
-            F.col(domain_col).isNull() | (F.col("_rk") <= quota)
-        )
+    keyed = df.filter(F.col(domain_col).isNotNull())
+    ranked = (
+        keyed.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= quota)
         .drop("_rk")
     )
+    return ranked.unionByName(df.filter(F.col(domain_col).isNull()))
