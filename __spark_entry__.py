@@ -6708,6 +6708,77 @@ SELECT node, MIN(r) AS component FROM reach GROUP BY node
 """
 
 
+def _dedup_minhash_resolve(spark, sf):
+    """END-TO-END textual dedup resolution: MinHash signatures →
+    portable banded-LSH candidate pairs → exact token-Jaccard verify
+    (>= 0.8) → connected components over the verified pairs →
+    keep-FIRST survivor per duplicate group (Lee et al. 2022's policy)
+    with the member count. Every stage is the documented scale shape
+    (bucketed candidates, never all-pairs; distributed CC); the oracle
+    replays signatures, banding, verification and a recursive closure
+    in DuckDB — possible because the band keys are plain signature
+    concatenations, not engine-native hashes."""
+    from deepee_spark.operators.components import connected_components
+    from deepee_spark.operators.dedup import minhash_dup_pairs
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", _tokens().alias("tokens")
+    )
+    pairs = minhash_dup_pairs(
+        docs, "doc_id", "tokens", bands=4, min_jaccard=0.8,
+        portable_bands=True, k=MINHASH_K,
+    )
+    edges = pairs.select(
+        F.col("id_a").cast("bigint").alias("src"),
+        F.col("id_b").cast("bigint").alias("dst"),
+    )
+    return (
+        connected_components(edges)
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("node").cast("bigint").alias("keep_id"),
+        )
+    )
+
+
+_MINHASH_RESOLVE_SQL = f"""
+WITH RECURSIVE sigs AS ({_MINHASH_SQL}),
+banded AS (
+  SELECT doc_id, band,
+         CASE band
+{chr(10).join(f"           WHEN {b} THEN CAST(sig{b * 2} AS VARCHAR) || '_' || CAST(sig{b * 2 + 1} AS VARCHAR)" for b in range(4))}
+         END AS band_key
+  FROM sigs, unnest(range(0, 4)) AS t(band)),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.band_key = y.band_key
+   AND x.doc_id < y.doc_id),
+sets AS (
+  SELECT doc_id, list_distinct({_TOKENS_SQL}) AS tok_set FROM documents),
+verified AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN sets sa ON sa.doc_id = cand.id_a
+  JOIN sets sb ON sb.doc_id = cand.id_b
+  WHERE len(list_intersect(sa.tok_set, sb.tok_set))::DOUBLE
+          / len(list_distinct(sa.tok_set || sb.tok_set)) >= 0.8),
+edges AS (
+  SELECT CAST(id_a AS BIGINT) AS u, CAST(id_b AS BIGINT) AS v FROM verified
+  UNION
+  SELECT CAST(id_b AS BIGINT), CAST(id_a AS BIGINT) FROM verified),
+reach(node, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node),
+cc AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(node) AS BIGINT) AS keep_id
+FROM cc GROUP BY component
+"""
+
+
 def _heavy_hitters(spark, sf):
     """Exact heavy hitters (operators/sketches.heavy_hitters): tokens
     occurring >= 600 times, found by probing every row against the
@@ -7521,6 +7592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": _dsir_select,
         "dedup_cluster_keep": _dedup_cluster_keep,
         "heavy_hitters": _heavy_hitters,
+        "dedup_minhash_resolve": _dedup_minhash_resolve,
     }
 
 
@@ -7578,6 +7650,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_wl_roles": _graph_sql.wl_oracle_sql(_KG_EDGE_PROJ_SQL, iters=2),
         "dedup_cluster_keep": _DEDUP_CLUSTER_KEEP_SQL,
         "heavy_hitters": _HEAVY_HITTERS_SQL,
+        "dedup_minhash_resolve": _MINHASH_RESOLVE_SQL,
         "domain_registrable": _DOMAIN_REGISTRABLE_SQL,
         "domain_quota_cap": _DOMAIN_QUOTA_SQL,
         "kg_pagerank_weighted": _graph_sql.pagerank_weighted_oracle_sql(

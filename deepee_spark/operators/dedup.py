@@ -79,21 +79,38 @@ def minhash_dup_pairs(
     tokens_col: str,
     bands: int = 8,
     min_jaccard: float = 0.5,
+    portable_bands: bool = False,
+    k: int = MINHASH_K,
 ) -> DataFrame:
     """Banded-LSH near-duplicate pairs verified by exact token Jaccard.
 
     -> (id_a, id_b, jaccard) with id_a < id_b.
+
+    `portable_bands` switches the band bucket key from xxhash64 (fast,
+    engine-native — fine when both join sides live in this engine) to
+    the plain concatenation of the band's signature values: wider keys,
+    but reproducible in ANY engine, which is what lets the end-to-end
+    resolve pipeline carry a hard cross-engine oracle. Candidate SETS
+    are identical either way (same signatures bucket together) modulo
+    xxhash64 collisions.
     """
-    k = MINHASH_K
     rows = k // bands
     sigs = minhash_signatures(df, id_col, tokens_col, k)
+    if portable_bands:
+        def _key(b):
+            return F.concat_ws(
+                "_", *[F.col(f"sig{b * rows + r}") for r in range(rows)]
+            )
+    else:
+        def _key(b):
+            return F.xxhash64(
+                *[F.col(f"sig{b * rows + r}") for r in range(rows)]
+            )
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(f"sig{b * rows + r}") for r in range(rows)]).alias(
-                    "band_key"
-                ),
+                _key(b).cast("string").alias("band_key"),
             )
             for b in range(bands)
         ]
