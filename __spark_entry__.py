@@ -2662,6 +2662,40 @@ marked AS (
 rem AS (SELECT doc_id, pos FROM marked WHERE n_occ >= 2 AND rk > 1)
 """
 
+def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (operators/substrings.winnow_fingerprints,
+    MOSS SIGMOD'03): leftmost-min of every 4 consecutive 8-token window
+    hashes — the position-aware partial-overlap sketch at 1/4 the index
+    size of full window hashing. Doc-partitioned selection window; the
+    oracle reuses the shared occurrence CTE plus a struct window MIN."""
+    from deepee_spark.operators.substrings import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    out = winnow_fingerprints(docs, "doc_id", "text", w=8, g=4)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("pos").cast("long").alias("pos"),
+        F.col("fp").cast("long").alias("fp"),
+    )
+
+
+_WINNOW_SQL = f"""
+WITH {_SUBSTR_OCC_SQL},
+nw AS (SELECT doc_id, n_win FROM th),
+sel AS (
+  SELECT o.doc_id,
+         MIN(struct_pack(whash := o.whash, pos := o.pos)) OVER (
+           PARTITION BY o.doc_id ORDER BY o.pos
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+         o.pos AS start_pos, nw.n_win
+  FROM occ o JOIN nw ON nw.doc_id = o.doc_id)
+SELECT DISTINCT doc_id,
+       CAST((m).pos AS BIGINT) AS pos,
+       CAST((m).whash AS BIGINT) AS fp
+FROM sel WHERE start_pos <= n_win - 3
+"""
+
+
 _SUBSTR_DEDUP_SQL = f"""
 WITH {_SUBSTR_OCC_SQL}
 SELECT t.doc_id,
@@ -7593,6 +7627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_keep": _dedup_cluster_keep,
         "heavy_hitters": _heavy_hitters,
         "dedup_minhash_resolve": _dedup_minhash_resolve,
+        "winnow_fingerprints": _winnow_fps,
     }
 
 
@@ -7651,6 +7686,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_keep": _DEDUP_CLUSTER_KEEP_SQL,
         "heavy_hitters": _HEAVY_HITTERS_SQL,
         "dedup_minhash_resolve": _MINHASH_RESOLVE_SQL,
+        "winnow_fingerprints": _WINNOW_SQL,
         "domain_registrable": _DOMAIN_REGISTRABLE_SQL,
         "domain_quota_cap": _DOMAIN_QUOTA_SQL,
         "kg_pagerank_weighted": _graph_sql.pagerank_weighted_oracle_sql(

@@ -161,3 +161,53 @@ def substring_dup_spans(
         )
         .drop("island")
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = WINDOW_TOKENS,
+    g: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): from the stream of w-token
+    window hashes, select in every run of g consecutive hashes the
+    minimum one (ties -> leftmost, i.e. min on (whash, pos); the
+    paper's rightmost rule is an equally valid convention — what
+    matters is both engines share it). The selected (pos, fp) set is a
+    position-aware sketch with the paper's guarantee: any two docs
+    sharing a verbatim run of >= g+w-1 tokens share at least one
+    fingerprint — the local/approximate complement to the exact
+    substring dedup above, at ~1/g the index size of full window
+    hashing.
+
+    Scale: the selection window is PARTITIONED by document (parallel
+    across the corpus, no global ordering); the fingerprint index this
+    feeds groups on fp — one partial-agged shuffle, same shape as the
+    whash aggregation. Docs with fewer than g window hashes emit no
+    fingerprints (the guarantee needs a full guard window; documented,
+    mirrored in the oracle).
+
+    -> (id, pos, fp) distinct selected fingerprints, pos = position of
+    the selected window."""
+    from pyspark.sql import Window as W
+
+    occ = window_occurrences(df, id_col, text_col, w).filter(
+        F.col("whash").isNotNull()
+    )
+    win = W.partitionBy("id").orderBy("pos").rowsBetween(
+        W.currentRow, g - 1
+    )
+    return (
+        occ.withColumn(
+            "_m", F.min(F.struct(F.col("whash"), F.col("pos"))).over(win)
+        )
+        .filter(F.col("pos") <= F.col("n_windows") - (g - 1))
+        .select(
+            "id",
+            F.col("_m.pos").alias("pos"),
+            F.col("_m.whash").alias("fp"),
+        )
+        .distinct()
+    )

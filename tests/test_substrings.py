@@ -137,3 +137,54 @@ def test_spans_cover_exactly_the_dup_tokens(spark):
     assert all(s.id != "d5" for s in spans)
     for s in spans:
         assert 1 <= s.start_pos <= s.end_pos
+
+
+def _winnow_py(texts, w=8, g=4):
+    MOD = 1000000007
+
+    def sh(tok):
+        a = 0
+        for ch in tok:
+            a = (a * 31 + ord(ch)) % MOD
+        return a
+
+    out = set()
+    for doc_id, text in texts:
+        th = [sh(t) for t in text.split(" ") if t]
+        wh = []
+        for i in range(len(th) - w + 1):
+            a = 0
+            for h in th[i : i + w]:
+                a = (a * 131 + h) % MOD
+            wh.append(a)
+        for j in range(len(wh) - g + 1):
+            window = [(wh[j + d], j + d + 1) for d in range(g)]
+            mf, mp = min(window)
+            out.add((doc_id, mp, mf))
+    return out
+
+
+def test_winnow_matches_reference(spark):
+    from deepee_spark.operators.substrings import winnow_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    texts = [
+        (1, base),
+        (2, base + " with a different tail of extra tokens here"),
+        (3, "completely unrelated content made of other words entirely "
+            "for this third document body"),
+        (4, "short doc"),  # fewer than w tokens -> no windows
+    ]
+    df = spark.createDataFrame(texts, "doc_id: long, text: string")
+    got = {
+        (r.id, r.pos, r.fp)
+        for r in winnow_fingerprints(df, "doc_id", "text").collect()
+    }
+    assert got == _winnow_py(texts)
+    # guarantee: docs 1 and 2 share a long verbatim prefix -> share fps
+    fp1 = {f for d, p, f in got if d == 1}
+    fp2 = {f for d, p, f in got if d == 2}
+    fp3 = {f for d, p, f in got if d == 3}
+    assert fp1 & fp2
+    assert not (fp1 & fp3)
+    assert not any(d == 4 for d, p, f in got)
