@@ -116,6 +116,9 @@ def main() -> None:
         "domain_quota_cap",
         "dsir_weights",
         "bpe_segment",
+        "heavy_hitters",
+        "dedup_minhash_resolve",
+        "winnow_fingerprints",
     ]
     qs = entry.queries()
     timings: dict[str, float] = {}

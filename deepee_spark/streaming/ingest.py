@@ -336,3 +336,60 @@ def stream_frontier_gate(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def stream_cms_to_catalog(
+    spark: SparkSession,
+    source_dir: str,
+    catalog,
+    checkpoint_dir: str,
+    table: str = "cms_live",
+    available_now: bool = True,
+):
+    """Streaming SKETCH MAINTENANCE: each micro-batch's document tokens
+    are folded into count-min cell deltas (operators/sketches.cms_build
+    over the batch) and MERGED into a live sketch table by summing on
+    (row, col) — CMS cells are additive, so the merged table IS the
+    sketch of everything ingested so far, and approximate token
+    frequencies stay query-able mid-crawl without re-scanning the
+    corpus (cms_estimate / heavy_hitters read the live table
+    directly). State is bounded by width*depth cells regardless of
+    ingest volume.
+
+    Same epoch-idempotence contract as stream_edges_to_catalog: the
+    epoch-carrying fingerprint commits atomically with the merge, so a
+    replayed foreachBatch epoch re-applies nothing — load-bearing for
+    a merge of additive counters, where a replay would double-count
+    every cell."""
+    from pyspark.sql import functions as F
+
+    from deepee_spark.operators.sketches import cms_build
+
+    def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        fp = f"stream-cms:{source_dir}:epoch={epoch_id}"
+        if _epoch_done(catalog, table, fp):
+            return
+        toks = documents_stage(batch_df).select(
+            F.explode(F.split(F.col("text"), r"\s+")).alias("token")
+        ).filter(F.col("token") != "")
+        delta = cms_build(toks, "token")
+        catalog.merge_accumulate(
+            spark,
+            delta,
+            table,
+            keys=["row", "col"],
+            counters=["cnt"],
+            fingerprint=fp,
+        )
+
+    docs = stream_documents(spark, source_dir)
+    writer = (
+        docs.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return None
+    return writer.start()

@@ -500,3 +500,60 @@ def test_stream_politeness_matches_batch_and_carries_state(spark, tmp_path):
     }
     assert got2["u5"] == (130, 27)
     assert got2["u6"] == (200, 0)
+
+
+def test_stream_cms_merge_maintains_live_sketch(spark, tmp_path):
+    """Streaming sketch maintenance: per-batch CMS cell deltas MERGE
+    into a live sketch; after two drops the cells equal the batch-built
+    CMS over the full input (cells are additive), estimates read off
+    the live table upper-bound true counts, and a no-new-input replay
+    changes nothing."""
+    from pyspark.sql import functions as F
+
+    from deepee_spark.corpus import corpus_df
+    from deepee_spark.extract import documents_stage
+    from deepee_spark.operators.sketches import cms_build, cms_estimate
+    from deepee_spark.sources.tables import StageCatalog
+    from deepee_spark.streaming.ingest import stream_cms_to_catalog
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    cat = StageCatalog(str(tmp_path / "cat"))
+
+    docs = corpus_df(spark, 40)
+    even = "CAST(regexp_extract(url, '([0-9]+)$', 1) AS INT) % 2 = 0"
+    docs.filter(even).write.mode("append").parquet(src)
+    stream_cms_to_catalog(spark, src, cat, ckpt)
+    assert cat.read(spark, "cms_live").count() > 0
+
+    docs.filter(f"NOT ({even})").write.mode("append").parquet(src)
+    stream_cms_to_catalog(spark, src, cat, ckpt)
+    live = {
+        (r.row, r.col): r.cnt for r in cat.read(spark, "cms_live").collect()
+    }
+
+    toks = documents_stage(spark.read.parquet(src)).select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    want = {
+        (r.row, r.col): r.cnt for r in cms_build(toks, "token").collect()
+    }
+    assert live == want
+
+    # estimates off the live sketch upper-bound the true counts
+    truth = {r.token: r.n for r in toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n")).collect()}
+    est = {
+        r.token: r.est
+        for r in cms_estimate(
+            cat.read(spark, "cms_live"), toks, "token"
+        ).collect()
+    }
+    assert all(est[t] >= n for t, n in truth.items())
+
+    snaps = len(cat._snapshots("cms_live"))
+    stream_cms_to_catalog(spark, src, cat, ckpt)  # replay, no new input
+    assert len(cat._snapshots("cms_live")) == snaps
+    assert {
+        (r.row, r.col): r.cnt for r in cat.read(spark, "cms_live").collect()
+    } == want
