@@ -3538,6 +3538,27 @@ def _kg_wl_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wl_fingerprints(_kg_edge_proj(spark, sf_dir), iters=2)
 
 
+def _kg_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall harmonic centrality (operators/graph.hyperball_harmonic,
+    Boldi & Vigna 2013) over the REVERSED user→item edges — incoming-
+    distance harmonic, the web-scale centrality estimator: per-node HLL
+    ball counters max-merged along edges, increments div-t accumulated
+    in exact BIGINT, so the unrolled DuckDB twin hash-matches."""
+    from deepee_spark.operators.graph import hyperball_harmonic
+
+    rev = _kg_edge_proj(spark, sf_dir).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return hyperball_harmonic(rev, radius=3)
+
+
+_KG_EDGE_PROJ_REV_SQL = """
+SELECT DISTINCT 'item#' || json_extract_string(props, '$.k') AS src,
+       'user#' || CAST(user_id AS VARCHAR) AS dst
+FROM events
+"""
+
+
 def _kg_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Support-weighted PageRank (operators/graph.pagerank_int_weighted):
     rank mass splits proportionally to observation counts — the natural
@@ -7628,6 +7649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _heavy_hitters,
         "dedup_minhash_resolve": _dedup_minhash_resolve,
         "winnow_fingerprints": _winnow_fps,
+        "kg_hyperball": _kg_hyperball,
     }
 
 
@@ -7687,6 +7709,9 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": _HEAVY_HITTERS_SQL,
         "dedup_minhash_resolve": _MINHASH_RESOLVE_SQL,
         "winnow_fingerprints": _WINNOW_SQL,
+        "kg_hyperball": _graph_sql.hyperball_oracle_sql(
+            _KG_EDGE_PROJ_REV_SQL, radius=3
+        ),
         "domain_registrable": _DOMAIN_REGISTRABLE_SQL,
         "domain_quota_cap": _DOMAIN_QUOTA_SQL,
         "kg_pagerank_weighted": _graph_sql.pagerank_weighted_oracle_sql(

@@ -1866,3 +1866,156 @@ def wl_oracle_sql(edges_sql: str, iters: int = 2) -> str:
         )
         prev = f"l{i}"
     return ",\n".join(parts) + f"\nSELECT node, wl FROM {prev}"
+
+
+def hyperball_harmonic(edges: DataFrame, radius: int = 3) -> DataFrame:
+    """HyperBall (Boldi & Vigna, 2013 — "In-core computation of
+    geometric centralities with HyperBall", the published algorithm
+    behind web-graph centrality at billions of nodes): per-node HLL
+    counters of the ball B(v, t) = {v} ∪ ⋃_{v→u} B(u, t-1), advanced
+    by max-merging each node's registers with its successors', then
+    harmonic-style centrality from the ball-size increments:
+
+        harmonic_e6(v) = Σ_{t=1..radius} (|B(v,t)| - |B(v,t-1)|)
+                          * 1_000_000 div t
+
+    Balls follow OUT-edges (nodes reachable FROM v); pass the REVERSED
+    edge list for the textbook harmonic centrality (incoming
+    distances), which is how Boldi & Vigna run it.
+
+    Engine-exact: registers come from the repo's integer HLL
+    (operators/sketches — md5_long48 hash, exact BIGINT estimator) and
+    max-merge is bitwise deterministic, so ball estimates and the
+    div-t accumulation hash-match the unrolled DuckDB twin. The
+    low-cardinality bias of the raw HLL estimator is irrelevant here:
+    both engines compute the identical biased value, and the estimate
+    is monotone under register merges so increments stay >= 0.
+
+    Scale shape: state is <= HLL_M registers per node (the paper's
+    point — constant per node regardless of ball size); each iteration
+    is one (node, bucket)-keyed max-merge shuffle against an edge copy
+    persisted pre-partitioned on its join key. radius is small (web
+    distances are short); lineage is cut per iteration.
+
+    Returns (node, ball_r, harmonic_e6), ball_r = |B(v, radius)| est.
+    """
+    from .negatives import md5_long48
+    from .sketches import HLL_M, _hll_rho, hll_estimate
+
+    e = edges.select("src", "dst").distinct()
+    spark = edges.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .repartition(n_parts, "node")
+        .persist()
+    )
+    h = md5_long48(F.col("node").cast("string"))
+    regs = nodes.select(
+        "node",
+        (h % F.lit(HLL_M)).cast("long").alias("bucket"),
+        _hll_rho(h).alias("reg"),
+    ).localCheckpoint()
+    e_by_dst = e.repartition(n_parts, "dst").persist()
+
+    def est_of(r):
+        return hll_estimate(r, ["node"]).select(
+            "node", F.col("distinct_est").alias("est")
+        )
+
+    harm = None
+    prev = est_of(regs)
+    for t in range(1, radius + 1):
+        nbr = e_by_dst.join(
+            regs.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "bucket", "reg")
+        regs = (
+            regs.unionByName(nbr)
+            .groupBy("node", "bucket")
+            .agg(F.max("reg").cast("long").alias("reg"))
+            .localCheckpoint()
+        )
+        cur = est_of(regs)
+        inc = (
+            cur.withColumnRenamed("est", "cur")
+            .join(prev.withColumnRenamed("est", "prev"), "node")
+            .select(
+                "node",
+                F.expr(f"((cur - prev) * 1000000) div {t}").alias("_i"),
+            )
+        )
+        harm = (
+            inc.withColumnRenamed("_i", "harm")
+            if harm is None
+            else harm.join(inc, "node").select(
+                "node", (F.col("harm") + F.col("_i")).alias("harm")
+            )
+        )
+        prev = cur
+    out = prev.join(harm, "node").select(
+        "node",
+        F.col("est").cast("long").alias("ball_r"),
+        F.col("harm").cast("long").alias("harmonic_e6"),
+    )
+    nodes.unpersist()
+    e_by_dst.unpersist()
+    return out
+
+
+def hyperball_oracle_sql(edges_sql: str, radius: int = 3) -> str:
+    """DuckDB twin of hyperball_harmonic: unrolled register max-merges
+    + the same exact-BIGINT HLL estimator per radius."""
+    from .negatives import md5_long48_sql
+    from .sketches import _HLL_DEN, _HLL_NUM, _HLL_RANK_MAX, HLL_M
+
+    r = _HLL_RANK_MAX
+    h = md5_long48_sql("CAST(node AS VARCHAR)")
+    parts = [
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        f"""r0 AS (
+  SELECT node, ({h}) % {HLL_M} AS bucket,
+         CASE WHEN ({h}) // {HLL_M} = 0 THEN {r}
+              ELSE {r} - LENGTH(bin(({h}) // {HLL_M})) END AS reg
+  FROM nodes)""",
+    ]
+
+    def est(tag, src_cte):
+        return f"""{tag} AS (
+  SELECT node,
+         CAST({_HLL_NUM}::BIGINT // ({_HLL_DEN} *
+              (SUM(1::BIGINT << ({r} - reg))
+               + ({HLL_M} - COUNT(*)) * {1 << r}::BIGINT)) AS BIGINT)
+           AS est
+  FROM {src_cte} GROUP BY node)"""
+
+    parts.append(est("e0", "r0"))
+    for t in range(1, radius + 1):
+        parts.append(
+            f"""r{t} AS MATERIALIZED (
+  SELECT node, bucket, MAX(reg) AS reg FROM (
+    SELECT node, bucket, reg FROM r{t - 1}
+    UNION ALL
+    SELECT e.src AS node, p.bucket, p.reg
+    FROM e JOIN r{t - 1} p ON p.node = e.dst)
+  GROUP BY node, bucket)"""
+        )
+        parts.append(est(f"e{t}", f"r{t}"))
+    harm = " + ".join(
+        f"((e{t}.est - e{t - 1}.est) * 1000000) // {t}"
+        for t in range(1, radius + 1)
+    )
+    joins = "\n".join(
+        f"JOIN e{t} ON e{t}.node = e0.node" for t in range(1, radius + 1)
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT e0.node,
+       CAST(e{radius}.est AS BIGINT) AS ball_r,
+       CAST({harm} AS BIGINT) AS harmonic_e6
+FROM e0
+{joins}"""
+    )

@@ -1154,3 +1154,109 @@ def test_wl_structural_twins(spark):
     )
     fp2 = {r.node: r.wl for r in wl_fingerprints(e2, iters=2).collect()}
     assert fp2["a1"] != fp2["b1"]
+
+
+def _hyperball_py(rows, radius=3):
+    import hashlib
+
+    HLL_M, RMAX = 64, 43
+    NUM, DEN = 709 * 64 * 64 * (1 << 40), 125
+
+    def h48(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    e = sorted(set(rows))
+    nodes = sorted({a for a, _ in e} | {b for _, b in e})
+    out_adj = defaultdict(set)
+    for a, b in e:
+        out_adj[a].add(b)
+
+    def regs_of(ball):
+        regs = {}
+        for v in ball:
+            h = h48(str(v))
+            b, w = h % HLL_M, h // HLL_M
+            rho = RMAX if w == 0 else RMAX - len(bin(w)) - (-2)  # len(bin)-2
+            rho = RMAX if w == 0 else RMAX - (len(bin(w)) - 2)
+            regs[b] = max(regs.get(b, 0), rho)
+        return regs
+
+    def est(regs):
+        s = sum(1 << (RMAX - r) for r in regs.values())
+        s += (HLL_M - len(regs)) * (1 << RMAX)
+        return NUM // (DEN * s)
+
+    balls = {v: {v} for v in nodes}
+    prev = {v: est(regs_of(balls[v])) for v in nodes}
+    harm = {v: 0 for v in nodes}
+    final = prev
+    for t in range(1, radius + 1):
+        balls = {
+            v: balls[v] | set().union(*(balls[u] for u in out_adj[v]))
+            if out_adj[v]
+            else balls[v]
+            for v in nodes
+        }
+        cur = {v: est(regs_of(balls[v])) for v in nodes}
+        for v in nodes:
+            harm[v] += ((cur[v] - prev[v]) * 1_000_000) // t
+        prev = cur
+        final = cur
+    return {v: (final[v], harm[v]) for v in nodes}
+
+
+def test_hyperball_matches_reference(spark, edges):
+    from deepee_spark.operators.graph import hyperball_harmonic
+
+    rows = [(r.src, r.dst) for r in edges.collect()]
+    got = {
+        r.node: (r.ball_r, r.harmonic_e6)
+        for r in hyperball_harmonic(edges, radius=3).collect()
+    }
+    assert got == _hyperball_py(rows, 3)
+
+
+def test_hyperball_duckdb_oracle_matches(spark, edges):
+    from deepee_spark.operators.graph import (
+        hyperball_harmonic,
+        hyperball_oracle_sql,
+    )
+
+    got = {
+        r.node: (r.ball_r, r.harmonic_e6)
+        for r in hyperball_harmonic(edges, radius=3).collect()
+    }
+    con = duckdb.connect()
+    con.register("edges_tbl", edges.toPandas())
+    want = {
+        n: (b, h)
+        for n, b, h in con.execute(
+            hyperball_oracle_sql("SELECT src, dst FROM edges_tbl", 3)
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_hyperball_chain_monotone(spark):
+    """On the chain a->b->c->d with reversed edges, balls grow along
+    the chain and harmonic increments weight closer nodes more."""
+    from deepee_spark.operators.graph import hyperball_harmonic
+
+    e = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("d", "c")], "src: string, dst: string"
+    )  # reversed: ball(x) = nodes that reach x in the original chain
+    got = {
+        r.node: (r.ball_r, r.harmonic_e6)
+        for r in hyperball_harmonic(e, radius=3).collect()
+    }
+    # nobody reaches a in the original chain (its reversed ball never
+    # grows) -> harmonic 0; everyone else collects something
+    assert got["a"][1] == 0
+    assert got["b"][1] > 0 and got["c"][1] > 0 and got["d"][1] > 0
+    # balls are nested subsets along the chain, and the HLL estimate is
+    # monotone under register-set growth (the exact harmonic VALUES at
+    # 4-node cardinalities carry HLL small-range bias — pinned instead
+    # by the brute-force parity test above)
+    assert (
+        got["d"][0] >= got["c"][0] >= got["b"][0] >= got["a"][0]
+    )
