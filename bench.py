@@ -119,6 +119,7 @@ def main() -> None:
         "heavy_hitters",
         "dedup_minhash_resolve",
         "winnow_fingerprints",
+        "kg_hyperball",
     ]
     qs = entry.queries()
     timings: dict[str, float] = {}
