@@ -1949,6 +1949,44 @@ FROM agg
 """
 
 
+def _simhash_pairs(spark, sf):
+    """SimHash Hamming-ball pairs (operators/dedup.simhash_dup_pairs,
+    Manku et al. WWW'07 blocking): fingerprints agreeing on >= 1 of 4
+    bit blocks meet in buckets; exact xor+bit_count distance keeps
+    pairs <= hamming 2. Rolled up to (hamming, n_pairs) — the dup-rate
+    histogram a curation run reads — so the contract row count stays
+    bounded while every pair still flows through the blocked join."""
+    from deepee_spark.operators.dedup import simhash_dup_pairs
+
+    pairs = simhash_dup_pairs(
+        _simhash(spark, sf), "doc_id", "simhash", max_hamming=2
+    )
+    return pairs.groupBy("hamming").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+
+
+_SIMHASH_PAIRS_SQL = f"""
+WITH sims AS ({_SIMHASH_SQL}),
+banded AS (
+  SELECT doc_id, simhash, blk,
+         (simhash >> (blk * 4)) & 15 AS blk_val
+  FROM sims, unnest(range(0, 4)) AS t(blk)),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+         x.simhash AS sh_a, y.simhash AS sh_b
+  FROM banded x JOIN banded y
+    ON x.blk = y.blk AND x.blk_val = y.blk_val
+   AND x.doc_id < y.doc_id),
+pairs AS (
+  SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+  FROM cand
+  WHERE bit_count(xor(sh_a, sh_b)) <= 2)
+SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY hamming
+"""
+
+
 def _ngram_jaccard(spark, sf):
     docs = _t(spark, sf, "documents")
     # Shingles are 64-bit hashes of the shingle STRING, hashed with each
@@ -7650,6 +7688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_resolve": _dedup_minhash_resolve,
         "winnow_fingerprints": _winnow_fps,
         "kg_hyperball": _kg_hyperball,
+        "simhash_dup_hist": _simhash_pairs,
     }
 
 
@@ -7709,6 +7748,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": _HEAVY_HITTERS_SQL,
         "dedup_minhash_resolve": _MINHASH_RESOLVE_SQL,
         "winnow_fingerprints": _WINNOW_SQL,
+        "simhash_dup_hist": _SIMHASH_PAIRS_SQL,
         "kg_hyperball": _graph_sql.hyperball_oracle_sql(
             _KG_EDGE_PROJ_REV_SQL, radius=3
         ),

@@ -450,3 +450,79 @@ def containment_pairs(
         )
         >= min_containment_e6
     )
+
+
+def simhash_dup_pairs(
+    sims: DataFrame,
+    id_col: str = "id",
+    sim_col: str = "simhash",
+    max_hamming: int = 3,
+    blocks: int = 4,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance, found WITHOUT
+    an all-pairs comparison: split the `bits`-bit fingerprint into
+    `blocks` contiguous bit blocks; by pigeonhole, any pair within
+    Hamming distance <= blocks - 1 agrees EXACTLY on at least one
+    block, so candidates only meet inside per-block equality buckets
+    (Manku/Jarlin/Sarma, WWW'07 — the production simhash-dedup join),
+    then the exact distance check (xor + bit_count, portable BIGINT
+    ops) keeps pairs <= max_hamming. max_hamming must stay <=
+    blocks - 1 for the blocking to be lossless (asserted).
+
+    -> (id_a, id_b, hamming) with id_a < id_b, one row per pair even
+    when several blocks agree (distinct after the bucket join).
+
+    Scale: same shape as the MinHash banding — the quadratic stage is
+    confined to same-block-value buckets; a degenerate bucket (every
+    page sharing one block value) is the signal of boilerplate
+    fingerprint saturation, the same failure mode the MinHash path
+    documents."""
+    if max_hamming > blocks - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs > {blocks - 1} agreeing-"
+            "block guarantee; raise blocks or lower max_hamming"
+        )
+    width = bits // blocks
+    banded = sims.select(
+        F.col(id_col).alias("bid"),
+        F.col(sim_col).alias("sh"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftright(F.col(sim_col), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .cast("long")
+                        .alias("blk_val"),
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select("bid", "sh", "bk.blk", "bk.blk_val")
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.blk") == F.col("y.blk"))
+            & (F.col("x.blk_val") == F.col("y.blk_val"))
+            & (F.col("x.bid") < F.col("y.bid")),
+        )
+        .select(
+            F.col("x.bid").alias("id_a"),
+            F.col("y.bid").alias("id_b"),
+            F.col("x.sh").alias("sh_a"),
+            F.col("y.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -476,3 +476,37 @@ def test_sparse_topk_bruteforce_maxdf_and_guards(spark):
         assert got == brute(mdf), f"max_df={mdf}"
     with _pytest.raises(ValueError):
         sparse_topk(docs, qs, k=0)
+
+
+def test_simhash_dup_pairs_lossless_blocking(spark):
+    """Block-bucketed simhash pairs must equal the brute-force
+    Hamming-<=k pair set (pigeonhole: k <= blocks-1 loses nothing),
+    and the guard must reject an unsound k."""
+    import itertools
+
+    import pytest as _pytest
+
+    from deepee_spark.operators.dedup import simhash_dup_pairs
+
+    rows = [
+        (1, 0b1010101010101010),
+        (2, 0b1010101010101011),  # ham 1 from id 1
+        (3, 0b1010101010100110),  # ham 3 from id 1
+        (4, 0b0101010101010101),  # ham 16 from id 1
+        (5, 0b1010101010101010),  # ham 0 from id 1
+        (6, 0b1111000011110000),
+        (7, 0b1111000011110100),  # ham 1 from id 6
+    ]
+    df = spark.createDataFrame(rows, "id: long, simhash: long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_dup_pairs(df, "id", "simhash", max_hamming=3).collect()
+    }
+    want = {}
+    for (ia, sa), (ib, sb) in itertools.combinations(rows, 2):
+        d = bin(sa ^ sb).count("1")
+        if d <= 3:
+            want[(ia, ib)] = d
+    assert got == want
+    with _pytest.raises(ValueError):
+        simhash_dup_pairs(df, "id", "simhash", max_hamming=4, blocks=4)
