@@ -3597,6 +3597,39 @@ FROM events
 """
 
 
+def _kg_transe_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TransE link prediction (operators/kgembed, Bordes et al. 2013):
+    for every (user, event-type) query, the 3 candidate items with the
+    lowest L1 embedding energy e_s + e_p - e_o — the embedding-based
+    sibling of kg_link_prediction's RA index. Embeddings are
+    deterministic constructed integers (frozen-weights rule), so the
+    energies and ranking hash-match the DuckDB twin exactly."""
+    from deepee_spark.operators.kgembed import transe_rank_objects
+
+    ev = _t(spark, sf_dir, "events")
+    sp = ev.select(
+        F.concat(F.lit("user#"), F.col("user_id")).alias("subj"),
+        F.concat(F.lit("rel:"), F.col("event_type")).alias("pred"),
+    )
+    cand = ev.select(
+        F.concat(
+            F.lit("item#"), F.get_json_object("props", "$.k")
+        ).alias("obj")
+    )
+    return transe_rank_objects(sp, cand, top_k=3)
+
+
+_KG_TRANSE_SP_SQL = """
+SELECT 'user#' || CAST(user_id AS VARCHAR) AS subj,
+       'rel:' || event_type AS pred
+FROM events
+"""
+
+_KG_TRANSE_CAND_SQL = """
+SELECT 'item#' || json_extract_string(props, '$.k') AS obj FROM events
+"""
+
+
 def _kg_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Support-weighted PageRank (operators/graph.pagerank_int_weighted):
     rank mass splits proportionally to observation counts — the natural
@@ -7689,6 +7722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _winnow_fps,
         "kg_hyperball": _kg_hyperball,
         "simhash_dup_hist": _simhash_pairs,
+        "kg_transe_rank": _kg_transe_rank,
     }
 
 
@@ -7696,6 +7730,7 @@ def oracle_sql() -> dict[str, str]:
     # Same insertion order as queries() — see the ordering note there.
     from deepee_spark.operators import bpe as _bpe_sql
     from deepee_spark.operators import dsir as _dsir_sql
+    from deepee_spark.operators import kgembed as _kgembed_sql
     from deepee_spark.operators import budget as _budget_sql
     from deepee_spark.operators import chunking as _chunking_sql
     from deepee_spark.operators import graph as _graph_sql
@@ -7749,6 +7784,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_resolve": _MINHASH_RESOLVE_SQL,
         "winnow_fingerprints": _WINNOW_SQL,
         "simhash_dup_hist": _SIMHASH_PAIRS_SQL,
+        "kg_transe_rank": _kgembed_sql.transe_oracle_sql(
+            _KG_TRANSE_SP_SQL, _KG_TRANSE_CAND_SQL, top_k=3
+        ),
         "kg_hyperball": _graph_sql.hyperball_oracle_sql(
             _KG_EDGE_PROJ_REV_SQL, radius=3
         ),
