@@ -3619,6 +3619,18 @@ def _kg_transe_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transe_rank_objects(sp, cand, top_k=3)
 
 
+def _kg_neighborhood_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph neighborhood function N(t) (operators/graph.
+    hyperball_neighborhood — ANF/HyperBall lineage): corpus-wide
+    reachable-set mass per radius over the user→item edges; the
+    effective-diameter / average-distance statistic every web-graph
+    measurement starts from. Exact-BIGINT per-node estimates, summed —
+    hash-matches the unrolled twin."""
+    from deepee_spark.operators.graph import hyperball_neighborhood
+
+    return hyperball_neighborhood(_kg_edge_proj(spark, sf_dir), radius=3)
+
+
 _KG_TRANSE_SP_SQL = """
 SELECT 'user#' || CAST(user_id AS VARCHAR) AS subj,
        'rel:' || event_type AS pred
@@ -7723,6 +7735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hyperball": _kg_hyperball,
         "simhash_dup_hist": _simhash_pairs,
         "kg_transe_rank": _kg_transe_rank,
+        "kg_neighborhood_fn": _kg_neighborhood_fn,
     }
 
 
@@ -7789,6 +7802,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_hyperball": _graph_sql.hyperball_oracle_sql(
             _KG_EDGE_PROJ_REV_SQL, radius=3
+        ),
+        "kg_neighborhood_fn": _graph_sql.hyperball_neighborhood_oracle_sql(
+            _KG_EDGE_PROJ_SQL, radius=3
         ),
         "domain_registrable": _DOMAIN_REGISTRABLE_SQL,
         "domain_quota_cap": _DOMAIN_QUOTA_SQL,

@@ -2019,3 +2019,110 @@ SELECT e0.node,
 FROM e0
 {joins}"""
     )
+
+
+def hyperball_neighborhood(edges: DataFrame, radius: int = 3) -> DataFrame:
+    """The graph NEIGHBORHOOD FUNCTION N(t) = Σ_v |B(v, t)| by
+    HyperBall — the statistic behind every "average distance of the
+    web graph" / effective-diameter measurement (Palmer et al. KDD'02
+    ANF; Boldi-Vigna; the Broder bow-tie line of work — all public).
+    Same per-node HLL counters as hyperball_harmonic, folded to one
+    corpus-wide sum per radius; the downstream effective-diameter
+    read-off (smallest t with N(t) >= 0.9 * N(radius)) is a driver-side
+    scan of `radius` rows.
+
+    Engine-exact for the same reason as hyperball_harmonic: per-node
+    estimates are exact BIGINT, and their sum is order-independent.
+
+    -> (t, reach_sum) for t in 0..radius."""
+    from .negatives import md5_long48
+    from .sketches import HLL_M, _hll_rho, hll_estimate
+
+    e = edges.select("src", "dst").distinct()
+    spark = edges.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .repartition(n_parts, "node")
+        .persist()
+    )
+    h = md5_long48(F.col("node").cast("string"))
+    regs = nodes.select(
+        "node",
+        (h % F.lit(HLL_M)).cast("long").alias("bucket"),
+        _hll_rho(h).alias("reg"),
+    ).localCheckpoint()
+    e_by_dst = e.repartition(n_parts, "dst").persist()
+
+    def reach_sum(r, t):
+        return hll_estimate(r, ["node"]).agg(
+            F.lit(t).cast("long").alias("t"),
+            F.sum("distinct_est").cast("long").alias("reach_sum"),
+        )
+
+    out = reach_sum(regs, 0)
+    for t in range(1, radius + 1):
+        nbr = e_by_dst.join(
+            regs.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "bucket", "reg")
+        regs = (
+            regs.unionByName(nbr)
+            .groupBy("node", "bucket")
+            .agg(F.max("reg").cast("long").alias("reg"))
+            .localCheckpoint()
+        )
+        out = out.unionByName(reach_sum(regs, t))
+    nodes.unpersist()
+    e_by_dst.unpersist()
+    return out
+
+
+def hyperball_neighborhood_oracle_sql(
+    edges_sql: str, radius: int = 3
+) -> str:
+    """DuckDB twin of hyperball_neighborhood: the unrolled register
+    merges of hyperball_oracle_sql, folded to one sum per radius."""
+    from .negatives import md5_long48_sql
+    from .sketches import _HLL_DEN, _HLL_NUM, _HLL_RANK_MAX, HLL_M
+
+    r = _HLL_RANK_MAX
+    h = md5_long48_sql("CAST(node AS VARCHAR)")
+    parts = [
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        f"""r0 AS (
+  SELECT node, ({h}) % {HLL_M} AS bucket,
+         CASE WHEN ({h}) // {HLL_M} = 0 THEN {r}
+              ELSE {r} - LENGTH(bin(({h}) // {HLL_M})) END AS reg
+  FROM nodes)""",
+    ]
+
+    def est(tag, src_cte):
+        return f"""{tag} AS (
+  SELECT CAST(SUM(est) AS BIGINT) AS reach_sum FROM (
+    SELECT node,
+           CAST({_HLL_NUM}::BIGINT // ({_HLL_DEN} *
+                (SUM(1::BIGINT << ({r} - reg))
+                 + ({HLL_M} - COUNT(*)) * {1 << r}::BIGINT)) AS BIGINT)
+             AS est
+    FROM {src_cte} GROUP BY node))"""
+
+    parts.append(est("s0", "r0"))
+    for t in range(1, radius + 1):
+        parts.append(
+            f"""r{t} AS MATERIALIZED (
+  SELECT node, bucket, MAX(reg) AS reg FROM (
+    SELECT node, bucket, reg FROM r{t - 1}
+    UNION ALL
+    SELECT e.src AS node, p.bucket, p.reg
+    FROM e JOIN r{t - 1} p ON p.node = e.dst)
+  GROUP BY node, bucket)"""
+        )
+        parts.append(est(f"s{t}", f"r{t}"))
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS BIGINT) AS t, reach_sum FROM s{t}"
+        for t in range(radius + 1)
+    )
+    return ",\n".join(parts) + "\n" + selects

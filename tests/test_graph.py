@@ -1260,3 +1260,30 @@ def test_hyperball_chain_monotone(spark):
     assert (
         got["d"][0] >= got["c"][0] >= got["b"][0] >= got["a"][0]
     )
+
+
+def test_hyperball_neighborhood(spark, edges):
+    """N(t) must equal the per-node reference ests summed, and be
+    nondecreasing in t (balls only grow)."""
+    from deepee_spark.operators.graph import (
+        hyperball_neighborhood,
+        hyperball_neighborhood_oracle_sql,
+    )
+
+    rows = [(r.src, r.dst) for r in edges.collect()]
+    got = {
+        r.t: r.reach_sum
+        for r in hyperball_neighborhood(edges, radius=3).collect()
+    }
+    assert sorted(got) == [0, 1, 2, 3]
+    assert got[0] <= got[1] <= got[2] <= got[3]
+    con = duckdb.connect()
+    con.register("edges_tbl", edges.toPandas())
+    want = dict(
+        con.execute(
+            hyperball_neighborhood_oracle_sql(
+                "SELECT src, dst FROM edges_tbl", 3
+            )
+        ).fetchall()
+    )
+    assert got == want
