@@ -7521,6 +7521,390 @@ WHERE doc_id % 3 = 2
 
 
 # ---------------------------------------------------------------------------
+# structured-data / web-ingest family (round 3, late): JSON-LD, microdata,
+# head metadata, sitemap, WARC, TIMEX, open-IE.  Same design as
+# kg_web_tables: pages/files are synthesized DETERMINISTICALLY from the
+# events table inside the query (fragments ordered by a zero-padded or
+# struct sort key so the bytes are engine-independent), the REAL parser
+# runs on them, and the oracle derives the expected rows analytically —
+# a single dropped/fabricated/misaligned field diverges the hash.
+# ---------------------------------------------------------------------------
+
+def _ev_k():
+    return F.get_json_object("props", "$.k")
+
+
+def _kg_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org JSON-LD extraction (operators/structured.
+    jsonld_triples): one valid block per page (@id subject, @type->'a',
+    int + nested-object values exercising Spark's raw-token StringType
+    capture) plus one malformed block that must emit nothing."""
+    from deepee_spark.operators.structured import jsonld_triples
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    eid = F.col("event_id").cast("string")
+    block = F.concat(
+        F.lit('<script type="application/ld+json">'
+              '{"@context":"https://schema.org","@id":"ev'),
+        eid,
+        F.lit('","@type":"'), F.col("event_type"),
+        F.lit('","k":'), _ev_k(),
+        F.lit(',"meta":{"n":'), _ev_k(), F.lit('}}</script>'),
+    )
+    page = F.concat(
+        F.lit("<html><head>"), block,
+        F.lit('<script type="application/ld+json">broken{</script>'
+              "</head></html>"),
+    )
+    docs = ev.select(
+        F.concat(F.lit("e#"), eid).alias("url"), page.alias("html")
+    )
+    return jsonld_triples(docs).select(
+        "url", "block_idx", "subj", "pred", "obj"
+    )
+
+
+_KG_JSONLD_SQL = """
+WITH ev AS (
+  SELECT 'e#' || CAST(event_id AS VARCHAR) AS url,
+         'ev' || CAST(event_id AS VARCHAR) AS subj,
+         event_type, json_extract_string(props, '$.k') AS k
+  FROM events WHERE event_id < 3000)
+SELECT url, CAST(0 AS INT) AS block_idx, subj, 'a' AS pred,
+       event_type AS obj FROM ev
+UNION ALL
+SELECT url, CAST(0 AS INT), subj, 'k', k FROM ev
+UNION ALL
+SELECT url, CAST(0 AS INT), subj, 'meta', '{"n":' || k || '}' FROM ev
+"""
+
+
+def _kg_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Microdata extraction (operators/structured.microdata_triples):
+    one item per event under the flat-item model — itemtype, an
+    inner-text prop, and a content= prop per item; fragments sort by
+    their own bytes (event_type, then zero-padded event_id), which the
+    oracle replays as a window rank."""
+    from deepee_spark.operators.structured import microdata_triples
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    pid = F.lpad(F.col("event_id").cast("string"), 8, "0")
+    frag = F.concat(
+        F.lit('<div itemscope itemtype="https://schema.org/'),
+        F.col("event_type"),
+        F.lit('"><span itemprop="name">e'), pid,
+        F.lit('</span><meta itemprop="k" content="'), _ev_k(),
+        F.lit('"></div>'),
+    )
+    pages = (
+        ev.select(F.col("user_id"), frag.alias("frag"))
+        .groupBy("user_id")
+        .agg(F.array_join(F.sort_array(F.collect_list("frag")), "").alias("b"))
+        .select(
+            F.concat(F.lit("u#"), F.col("user_id").cast("string")).alias("url"),
+            F.concat(F.lit("<html><body>"), F.col("b"),
+                     F.lit("</body></html>")).alias("html"),
+        )
+    )
+    return microdata_triples(pages).select(
+        "url", "item_idx", "subj", "pred", "obj"
+    )
+
+
+_KG_MICRODATA_SQL = """
+WITH ranked AS (
+  SELECT 'u#' || CAST(user_id AS VARCHAR) AS url,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY event_type, event_id) - 1 AS INT) AS item_idx,
+         event_type,
+         'e' || lpad(CAST(event_id AS VARCHAR), 8, '0') AS nm,
+         json_extract_string(props, '$.k') AS k
+  FROM events WHERE user_id < 40),
+it AS (
+  SELECT url, item_idx,
+         url || '#item' || CAST(item_idx AS VARCHAR) AS subj,
+         event_type, nm, k
+  FROM ranked)
+SELECT url, item_idx, subj, 'a' AS pred,
+       'https://schema.org/' || event_type AS obj FROM it
+UNION ALL
+SELECT url, item_idx, subj, 'k', k FROM it
+UNION ALL
+SELECT url, item_idx, subj, 'name', nm FROM it
+"""
+
+
+def _kg_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """<head> metadata extraction (operators/structured.page_metadata):
+    title cleanup, description/canonical/og fields, the robots-noindex
+    flag (conditional on value), and the hreflang count (event_id%3
+    repeated link tags)."""
+    from deepee_spark.operators.structured import page_metadata
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 4000)
+    eid = F.col("event_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title> "), F.col("event_type"),
+        F.lit(" page </title>"),
+        F.lit('<meta name="description" content="event '), eid, F.lit('">'),
+        F.lit('<link rel="canonical" href="https://ex.org/'), _ev_k(),
+        F.lit('">'),
+        F.lit('<meta property="og:title" content="OG '), F.col("event_type"),
+        F.lit('">'),
+        F.when(F.col("value") > 10,
+               F.lit('<meta name="robots" content="noindex">'))
+        .otherwise(F.lit("")),
+        F.repeat(
+            F.lit('<link rel="alternate" hreflang="x" href="h">'),
+            (F.col("event_id") % 3).cast("int"),
+        ),
+        F.lit("</head></html>"),
+    )
+    docs = ev.select(F.concat(F.lit("e#"), eid).alias("url"),
+                     html.alias("html"))
+    return page_metadata(docs).select(
+        "url", "title", "meta_description", "canonical_url", "og_title",
+        "robots_noindex", "n_hreflang",
+    )
+
+
+_KG_PAGE_META_SQL = """
+SELECT 'e#' || CAST(event_id AS VARCHAR) AS url,
+       event_type || ' page' AS title,
+       'event ' || CAST(event_id AS VARCHAR) AS meta_description,
+       'https://ex.org/' || json_extract_string(props, '$.k')
+         AS canonical_url,
+       'OG ' || event_type AS og_title,
+       value > 10 AS robots_noindex,
+       CAST(event_id % 3 AS INT) AS n_hreflang
+FROM events WHERE event_id < 4000
+"""
+
+_MONTHS_FULL = [
+    "January", "February", "March", "April", "May", "June", "July",
+    "August", "September", "October", "November", "December",
+]
+_MONTHS_ABBR = [m[:3] for m in _MONTHS_FULL]
+
+
+def _timex_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMEX-lite normalization (operators/timex.normalize_date_col):
+    each event's ts rendered in one of four surface families
+    (ISO / M/D/Y slash / 'Month D, YYYY' / 'D Mon YYYY', month names
+    from a literal table so no engine locale is involved), then
+    normalized back; iso_date must equal the direct formatting for
+    every variant."""
+    from deepee_spark.operators.timex import normalize_date_col
+
+    ev = _t(spark, sf_dir, "events")
+    variant = (F.col("event_id") % 4).cast("int")
+    mfull = F.array(*[F.lit(m) for m in _MONTHS_FULL])
+    mabbr = F.array(*[F.lit(m) for m in _MONTHS_ABBR])
+    mo, dy, yr = (
+        F.month("ts"),
+        F.dayofmonth("ts").cast("string"),
+        F.year("ts").cast("string"),
+    )
+    surface = (
+        F.when(variant == 0, F.date_format("ts", "yyyy-MM-dd"))
+        .when(variant == 1, F.concat(mo.cast("string"), F.lit("/"), dy,
+                                     F.lit("/"), yr))
+        .when(variant == 2, F.concat(F.element_at(mfull, mo), F.lit(" "),
+                                     dy, F.lit(", "), yr))
+        .otherwise(F.concat(dy, F.lit(" "), F.element_at(mabbr, mo),
+                            F.lit(" "), yr))
+    )
+    base = ev.select(
+        "event_id", variant.alias("variant"), surface.alias("surface")
+    )
+    return normalize_date_col(base, "surface")
+
+
+_TIMEX_SQL = f"""
+WITH m AS (SELECT {_MONTHS_FULL!r}::VARCHAR[] AS mf,
+                  {_MONTHS_ABBR!r}::VARCHAR[] AS ma),
+ev AS (
+  SELECT event_id, CAST(event_id % 4 AS INT) AS variant,
+         month(ts) AS mo,
+         CAST(day(ts) AS VARCHAR) AS dy,
+         CAST(year(ts) AS VARCHAR) AS yr,
+         strftime(ts, '%Y-%m-%d') AS iso
+  FROM events)
+SELECT event_id, variant,
+       CASE variant
+         WHEN 0 THEN iso
+         WHEN 1 THEN CAST(mo AS VARCHAR) || '/' || dy || '/' || yr
+         WHEN 2 THEN mf[mo] || ' ' || dy || ', ' || yr
+         ELSE dy || ' ' || ma[mo] || ' ' || yr
+       END AS surface,
+       iso AS iso_date
+FROM ev, m
+"""
+
+
+def _sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap parsing (operators/sitemaps.parse_sitemaps): one urlset
+    per user, entries ordered by zero-padded event_id; loc/lastmod/
+    priority all derived from event fields (priority built textually —
+    '0.' + 2 digits — so no float formatting crosses engines)."""
+    from deepee_spark.operators.sitemaps import parse_sitemaps
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    entry = F.concat(
+        F.lit("<url><loc>https://h"), F.col("user_id").cast("string"),
+        F.lit(".ex/e"), F.lpad(F.col("event_id").cast("string"), 8, "0"),
+        F.lit("</loc><lastmod>"), F.date_format("ts", "yyyy-MM-dd"),
+        F.lit("</lastmod><priority>0."),
+        F.lpad((_ev_k().cast("int") % 100).cast("string"), 2, "0"),
+        F.lit("</priority></url>"),
+    )
+    maps = (
+        ev.select(F.col("user_id"), entry.alias("e"))
+        .groupBy("user_id")
+        .agg(F.array_join(F.sort_array(F.collect_list("e")), "").alias("b"))
+        .select(
+            F.concat(F.lit("s#"), F.col("user_id").cast("string")).alias("url"),
+            F.concat(F.lit("<urlset>"), F.col("b"),
+                     F.lit("</urlset>")).alias("xml"),
+        )
+    )
+    return parse_sitemaps(maps)
+
+
+_SITEMAP_SQL = """
+SELECT 's#' || CAST(user_id AS VARCHAR) AS sitemap_url,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+            - 1 AS INT) AS entry_idx,
+       'https://h' || CAST(user_id AS VARCHAR) || '.ex/e'
+         || lpad(CAST(event_id AS VARCHAR), 8, '0') AS loc,
+       strftime(ts, '%Y-%m-%d') AS lastmod,
+       CAST('0.' || lpad(CAST(CAST(json_extract_string(props, '$.k')
+            AS INT) % 100 AS VARCHAR), 2, '0') AS DOUBLE) AS priority
+FROM events WHERE user_id < 40
+"""
+
+
+def _warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC parsing (sources/warc.parse_warc_df): one WARC file per
+    user assembled byte-deterministically in Catalyst (records sorted
+    by their own bytes = zero-padded event_id; Content-Length computed
+    from the ASCII payload), then run through the REAL record parser
+    with http-preamble stripping."""
+    from deepee_spark.sources.warc import parse_warc_df
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    pid = F.lpad(F.col("event_id").cast("string"), 8, "0")
+    payload = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\n\r\n<html><p>e"), pid, F.lit(" "),
+        F.col("event_type"), F.lit("</p></html>"),
+    )
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "
+              "https://h"),
+        F.col("user_id").cast("string"), F.lit(".ex/e"), pid,
+        F.lit("\r\nWARC-Date: "),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.lit("\r\nContent-Type: application/http\r\nContent-Length: "),
+        F.length(payload).cast("string"),
+        F.lit("\r\n\r\n"), payload, F.lit("\r\n\r\n"),
+    )
+    files = (
+        ev.select(F.col("user_id"), rec.alias("r"))
+        .groupBy("user_id")
+        .agg(F.array_join(F.sort_array(F.collect_list("r")), "").alias("b"))
+        .select(
+            F.concat(F.lit("w#"), F.col("user_id").cast("string")).alias(
+                "path"
+            ),
+            F.encode("b", "UTF-8").alias("content"),
+        )
+    )
+    return parse_warc_df(files).select(
+        "path", "rec_idx", "warc_type", "target_uri", "warc_date",
+        "content_type", F.decode("html", "UTF-8").alias("html"),
+    )
+
+
+_WARC_SQL = """
+SELECT 'w#' || CAST(user_id AS VARCHAR) AS path,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+            - 1 AS INT) AS rec_idx,
+       'response' AS warc_type,
+       'https://h' || CAST(user_id AS VARCHAR) || '.ex/e'
+         || lpad(CAST(event_id AS VARCHAR), 8, '0') AS target_uri,
+       strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+       'application/http' AS content_type,
+       '<html><p>e' || lpad(CAST(event_id AS VARCHAR), 8, '0') || ' '
+         || event_type || '</p></html>' AS html
+FROM events WHERE user_id < 30
+"""
+
+_OPENIE_RELS = ["acquired", "founded", "launched", "joined in",
+                "visited", "met"]
+_DIGITS, _DLETTERS = "0123456789", "abcdefghij"
+
+
+def _openie_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-IE surface patterns (operators/openie): one synthetic
+    sentence per event ('User<x> <rel> Item<y>.', names digit->letter
+    coded so they form capitalized NPs), docs assembled per user in
+    event_id order via a struct sort; the full extract + rel-frequency
+    filter runs; the oracle regenerates the triples analytically."""
+    from deepee_spark.operators.openie import (
+        extract_open_triples,
+        filter_by_rel_freq,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 60)
+    rels = F.array(*[F.lit(r) for r in _OPENIE_RELS])
+    sent = F.concat(
+        F.lit("User"),
+        F.translate(F.col("user_id").cast("string"), _DIGITS, _DLETTERS),
+        F.lit(" "),
+        F.element_at(rels, (F.col("event_id") % 6).cast("int") + 1),
+        F.lit(" Item"),
+        F.translate(_ev_k(), _DIGITS, _DLETTERS),
+        F.lit("."),
+    )
+    docs = (
+        ev.select(F.col("user_id").alias("doc_id"),
+                  F.struct("event_id", sent.alias("s")).alias("es"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("es")), lambda x: x["s"]
+                ),
+                " ",
+            ).alias("text")
+        )
+    )
+    return filter_by_rel_freq(
+        extract_open_triples(docs), min_rel_freq=2
+    ).select("doc_id", "sent_idx", "subj", "rel", "obj")
+
+
+_OPENIE_SQL = """
+WITH ev AS (
+  SELECT user_id AS doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+              - 1 AS INT) AS sent_idx,
+         'User' || translate(CAST(user_id AS VARCHAR),
+                             '0123456789', 'abcdefghij') AS subj,
+         ['acquired', 'founded', 'launched', 'joined in', 'visited',
+          'met'][CAST(event_id % 6 AS INT) + 1] AS rel,
+         'Item' || translate(json_extract_string(props, '$.k'),
+                             '0123456789', 'abcdefghij') AS obj
+  FROM events WHERE user_id < 60),
+keep AS (
+  SELECT rel FROM ev GROUP BY rel
+  HAVING COUNT(DISTINCT (subj, obj)) >= 2)
+SELECT doc_id, sent_idx, subj, rel, obj
+FROM ev WHERE rel IN (SELECT rel FROM keep)
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -7615,6 +7999,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temporal siblings already in-window) moves to 51+.
         "substring_dedup": _substring_dedup,
         # -- positions 51+ --
+        "kg_jsonld": _kg_jsonld,
+        "kg_microdata": _kg_microdata,
+        "kg_page_meta": _kg_page_meta,
+        "timex_normalize": _timex_normalize,
+        "sitemap_parse": _sitemap_parse,
+        "warc_records": _warc_records,
+        "openie_triples": _openie_triples,
         "substring_dup_spans": _substring_dup_spans,
         "kg_ktruss": _kg_ktruss,
         "kg_entity_bursts": _kg_entity_bursts,
@@ -7777,6 +8168,13 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": _PARA_SQL,
         "substring_dedup": _SUBSTR_DEDUP_SQL,
         "substring_dup_spans": _SUBSTR_SPANS_SQL,
+        "kg_jsonld": _KG_JSONLD_SQL,
+        "kg_microdata": _KG_MICRODATA_SQL,
+        "kg_page_meta": _KG_PAGE_META_SQL,
+        "timex_normalize": _TIMEX_SQL,
+        "sitemap_parse": _SITEMAP_SQL,
+        "warc_records": _WARC_SQL,
+        "openie_triples": _OPENIE_SQL,
         "text_doc_frequency": _DOC_FREQ_SQL,
         "stratified_sample": _STRAT_SAMPLE_SQL,
         "text_unigram_logprob": _UNIGRAM_SQL,

@@ -1,0 +1,82 @@
+"""WARC source (sources/warc): pure-parser unit coverage (structure
+strictness, http-header stripping, truncation) plus the Spark
+binaryFile -> mapInPandas path and the write/parse roundtrip."""
+
+from __future__ import annotations
+
+from deepee_spark.sources.warc import (
+    parse_warc_bytes,
+    read_warc,
+    write_warc_bytes,
+)
+
+
+def _recs():
+    body = b"<html><body><p>hello</p></body></html>"
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    return [
+        {
+            "warc_type": "warcinfo",
+            "target_uri": "",
+            "warc_date": "2024-01-01T00:00:00Z",
+            "content_type": "application/warc-fields",
+            "payload": b"software: test",
+        },
+        {
+            "warc_type": "response",
+            "target_uri": "https://ex.org/a",
+            "warc_date": "2024-01-01T00:00:01Z",
+            "content_type": "application/http; msgtype=response",
+            "payload": http,
+        },
+        {
+            "warc_type": "response",
+            "target_uri": "https://ex.org/b",
+            "warc_date": "2024-01-01T00:00:02Z",
+            "content_type": "application/http; msgtype=response",
+            # no http preamble: payload passes through as html
+            "payload": b"<p>bare</p>",
+        },
+    ], body
+
+
+def test_roundtrip_and_http_strip():
+    recs, body = _recs()
+    data = write_warc_bytes(recs)
+    out = parse_warc_bytes(data)
+    assert [r["warc_type"] for r in out] == ["warcinfo", "response", "response"]
+    assert out[0]["html"] is None
+    assert out[1]["html"] == body
+    assert out[1]["target_uri"] == "https://ex.org/a"
+    assert out[2]["html"] == b"<p>bare</p>"
+    # payload preserved bit-exactly
+    assert out[1]["payload"] == recs[1]["payload"]
+
+
+def test_truncated_and_malformed():
+    recs, _ = _recs()
+    data = write_warc_bytes(recs)
+    # cut inside the last record's payload: first two survive
+    cut = parse_warc_bytes(data[: len(data) - 8])
+    assert len(cut) == 2
+    assert parse_warc_bytes(b"") == []
+    assert parse_warc_bytes(b"not a warc\r\n\r\n") == []
+    # missing Content-Length ends the scan
+    bad = b"WARC/1.0\r\nWARC-Type: response\r\n\r\n"
+    assert parse_warc_bytes(bad) == []
+
+
+def test_read_warc_spark(spark, tmp_path):
+    recs, body = _recs()
+    p = tmp_path / "shard-00000.warc"
+    p.write_bytes(write_warc_bytes(recs))
+    # a second file to prove per-file parallel explode
+    (tmp_path / "shard-00001.warc").write_bytes(
+        write_warc_bytes([recs[1]])
+    )
+    df = read_warc(spark, str(tmp_path)).cache()
+    assert df.count() == 4
+    resp = df.filter("warc_type = 'response' and rec_idx = 1").collect()
+    assert len(resp) == 1 and bytes(resp[0].html) == body
+    by_file = {r.path: r for r in df.filter("rec_idx = 0").collect()}
+    assert len(by_file) == 2
