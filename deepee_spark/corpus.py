@@ -127,6 +127,48 @@ def _infobox_html(i: int) -> str:
     )
 
 
+def _jsonld_entity(i: int) -> str:
+    return _ENTITIES[(i * 11 + 5) % len(_ENTITIES)]
+
+
+def _jsonld_html(i: int) -> str:
+    """Deterministic schema.org JSON-LD block on every 5th page — pure
+    in i (rng stream untouched, event gold unchanged) and INVISIBLE to
+    extract_text (<script> subtrees are boilerplate-stripped), so the
+    byte-identical text invariant holds. @id carries a gazetteer
+    surface so the block rides the SAME linking/canonicalization as
+    prose arguments and infobox cells. Harvested by
+    operators/structured.jsonld_triples; gold twin = gen_jsonld_gold."""
+    if i % 5 != 0:
+        return ""
+    e = _jsonld_entity(i)
+    etype, _eid = ENTITY_GAZETTEER[e]
+    return (
+        '<script type="application/ld+json">'
+        f'{{"@context":"https://schema.org","@id":"{e}",'
+        f'"cls":"{etype}","rank":{i % 50}}}'
+        "</script>"
+    )
+
+
+def gen_jsonld_gold(i: int, seed: int = SEED) -> list[dict]:
+    """Gold JSON-LD triples for gen_doc(i): subj = canonical entity id
+    (@id surfaces are gazetteer forms, so linking is exact), pred
+    namespaced 'ld:'."""
+    if i % 5 != 0:
+        return []
+    rng = random.Random((seed << 20) ^ i)
+    r = rng.random()
+    lang = "en" if r < 0.70 else ("zh" if r < 0.85 else "other")
+    url = f"https://site{i % 97}.example.com/{lang}/page/{i}"
+    e = _jsonld_entity(i)
+    etype, eid = ENTITY_GAZETTEER[e]
+    return [
+        {"url": url, "subj": eid, "pred": "ld:cls", "obj": etype},
+        {"url": url, "subj": eid, "pred": "ld:rank", "obj": str(i % 50)},
+    ]
+
+
 def gen_table_gold(i: int, seed: int = SEED) -> list[dict]:
     """Gold web-table triples for gen_doc(i): subj = canonical entity id
     (the infobox surfaces are gazetteer forms, so linking is exact and
@@ -192,7 +234,7 @@ def gen_doc(i: int, seed: int = SEED) -> dict:
         body_parts.append(f"<p>{shown}</p>")
     html = (
         "<html><head><title>synthetic</title>"
-        "<style>body{margin:0}</style></head>"
+        "<style>body{margin:0}</style>" + _jsonld_html(i) + "</head>"
         # deterministic outlinks (pure in i — rng stream untouched so
         # text/gold fixtures are unchanged): one cross-site absolute,
         # one root-relative; nav is boilerplate-stripped by extract_text
@@ -316,11 +358,29 @@ def gold_table_triples_df(
     )
 
 
+def gold_jsonld_triples_df(
+    spark: SparkSession, n_docs: int, seed: int = SEED
+) -> DataFrame:
+    """Gold JSON-LD (subj, pred, obj) rows (gen_jsonld_gold twin of the
+    ld+json block planted by gen_doc)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [r for i in pdf["id"] for r in gen_jsonld_gold(int(i), seed)]
+            yield pd.DataFrame(rows, columns=[f.name for f in GOLD_TABLE_SCHEMA])
+
+    parts = max(4, min(256, n_docs // 2000 + 1))
+    return spark.range(0, n_docs, numPartitions=parts).mapInPandas(
+        run, schema=GOLD_TABLE_SCHEMA
+    )
+
+
 def gold_triples_df(spark: SparkSession, n_docs: int, seed: int = SEED) -> DataFrame:
     """Gold (subj, pred, obj) per FIXTURES.md §8: event triples (subj =
     event-instance id, pred = 'EventType:Role', obj = canonical entity
     id) UNION web-table attribute triples (subj = canonical entity id,
-    pred = 'attr:<header>') — the full set the pipeline must re-emit."""
+    pred = 'attr:<header>') UNION JSON-LD structured-data triples
+    (pred 'ld:<key>') — the full set the pipeline must re-emit."""
     g = gold_df(spark, n_docs, seed)
     events = g.select(
         "url",
@@ -330,4 +390,6 @@ def gold_triples_df(spark: SparkSession, n_docs: int, seed: int = SEED) -> DataF
         F.concat_ws(":", "event_type", "role").alias("pred"),
         F.col("entity_id").alias("obj"),
     ).distinct()
-    return events.unionByName(gold_table_triples_df(spark, n_docs, seed))
+    return events.unionByName(
+        gold_table_triples_df(spark, n_docs, seed)
+    ).unionByName(gold_jsonld_triples_df(spark, n_docs, seed))

@@ -123,20 +123,26 @@ def _clean(col):
 
 
 def jsonld_triples(
-    docs: DataFrame, url_col: str = "url", html_col: str = "html"
+    docs: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """documents -> (url, block_idx, subj, pred, obj) from every
+    """documents -> (url, block_idx, subj, pred, obj, *carry) from every
     application/ld+json block. Zero-shuffle narrow map: decode ->
     regexp_extract_all -> posexplode -> from_json(map<string,string>)
     -> explode. Spark's StringType JSON capture keeps nested values as
-    raw JSON text, so no information is lost to the flat map view."""
+    raw JSON text, so no information is lost to the flat map view.
+    ``carry`` names extra document columns to thread through (same
+    contract as webtables.table_triples — avoids a join back)."""
+    carry = tuple(carry)
     blocks = F.regexp_extract_all(
         _html_str(docs, html_col), F.lit(_LDJSON_RE), F.lit(1)
     )
     per_block = docs.select(
-        F.col(url_col).alias("url"), blocks.alias("_b")
+        F.col(url_col).alias("url"), blocks.alias("_b"), *carry
     ).select(
-        "url", F.posexplode("_b").alias("block_idx", "_body")
+        "url", F.posexplode("_b").alias("block_idx", "_body"), *carry
     )
     mp = F.from_json(F.col("_body"), "map<string,string>")
     with_map = per_block.select(
@@ -149,9 +155,10 @@ def jsonld_triples(
             ),
         ).alias("subj"),
         mp.alias("_m"),
+        *carry,
     ).filter(F.col("_m").isNotNull())
     kv = with_map.select(
-        "url", "block_idx", "subj", F.explode("_m").alias("_k", "_v")
+        "url", "block_idx", "subj", F.explode("_m").alias("_k", "_v"), *carry
     ).filter(~F.col("_k").isin("@context", "@id"))
     return kv.select(
         "url",
@@ -161,6 +168,7 @@ def jsonld_triples(
         .otherwise(F.col("_k"))
         .alias("pred"),
         F.col("_v").alias("obj"),
+        *carry,
     ).filter(F.col("obj").isNotNull() & (F.col("obj") != ""))
 
 

@@ -11,11 +11,12 @@ Scale design (the part the reference, a single-GPU gallery, never had):
     cross-product, JMEE ee.py:150-172, realized as an explode, SURVEY J6).
   * the html binary column dies at `extracted`; later scans never touch it
     (column pruning verified in tests via ReadSchema).
-  * two extraction modalities read html: prose (`extracted`) and web
-    tables (`table_facts`). Each is its own scan of the documents
-    snapshot — Spark does not share file scans across jobs — so 'all'
-    mode reads the html bytes twice; both scans are narrow and
-    embarrassingly parallel, and in 'kernels'/'final' modes the table
+  * three extraction modalities read html: prose (`extracted`) and the
+    structured-facts union (`table_facts` = web tables + JSON-LD,
+    facts_from). Each is its own scan of the documents snapshot —
+    Spark does not share file scans across jobs — so 'all' mode reads
+    the html bytes more than once; all scans are narrow and
+    embarrassingly parallel, and in 'kernels'/'final' modes the facts
     chain is fused into the triples job rather than snapshotted.
   * linking joins are broadcast (alias dict is a dimension table);
     mention-surface memoization bounds the fuzzy LSH join; AQE +
@@ -254,8 +255,9 @@ def table_facts_from(documents: DataFrame) -> DataFrame:
     table extractor — DeepEE stops at sentence-level EE). Zero-shuffle
     narrow chain over the SAME html the prose extractor reads; the
     crawl timestamp rides through via carry, so no join back to
-    documents is needed. Output: (url, table_idx, surface, pred, obj,
-    day)."""
+    documents is needed. Predicates are namespaced 'attr:' HERE so the
+    facts union (tables + JSON-LD) stays namespace-disjoint. Output:
+    (url, table_idx, surface, pred, obj, day)."""
     from ..operators.webtables import table_triples
 
     t = table_triples(documents, carry=("warc_ts",))
@@ -263,9 +265,41 @@ def table_facts_from(documents: DataFrame) -> DataFrame:
         "url",
         "table_idx",
         F.col("subj").alias("surface"),
-        "pred",
+        F.concat(F.lit("attr:"), F.col("pred")).alias("pred"),
         "obj",
         F.to_date("warc_ts").alias("day"),
+    )
+
+
+def jsonld_facts_from(documents: DataFrame) -> DataFrame:
+    """Stage A'': schema.org JSON-LD extraction — the third triple
+    modality (operators/structured.jsonld_triples). Same zero-shuffle
+    discipline and the same facts schema as table_facts_from (block_idx
+    rides in the table_idx slot), predicates namespaced 'ld:'. Blocks
+    without an @id get a url-fragment subject, which is NIL under
+    link_mentions and drops — only surface-addressable structured data
+    reaches the KG (documented trade; at 10^12 docs the @id-less rest
+    belongs to a url-node graph, not the entity KG)."""
+    from ..operators.structured import jsonld_triples
+
+    t = jsonld_triples(documents, carry=("warc_ts",))
+    return t.select(
+        "url",
+        F.col("block_idx").alias("table_idx"),
+        F.col("subj").alias("surface"),
+        F.concat(F.lit("ld:"), F.col("pred")).alias("pred"),
+        "obj",
+        F.to_date("warc_ts").alias("day"),
+    )
+
+
+def facts_from(documents: DataFrame) -> DataFrame:
+    """All structured facts on a page: web tables + JSON-LD, one
+    namespace-disjoint union consumed by ONE mention pass, ONE linking
+    join, ONE canonicalization — adding a modality costs zero extra
+    shuffles downstream."""
+    return table_facts_from(documents).unionByName(
+        jsonld_facts_from(documents)
     )
 
 
@@ -291,9 +325,12 @@ def mentions_from_tables(facts: DataFrame) -> DataFrame:
 def table_triples_out(
     facts: DataFrame, linked: DataFrame, canonical: DataFrame
 ) -> DataFrame:
-    """Table facts -> final triples: subject surfaces resolve through
-    the SAME linked/canonical tables as event arguments; predicates are
-    namespaced 'attr:'. NIL subjects drop (link_mentions contract)."""
+    """Structured facts (tables + JSON-LD) -> final triples: subject
+    surfaces resolve through the SAME linked/canonical tables as event
+    arguments; predicates arrive already namespaced ('attr:'/'ld:')
+    from the facts builders. NIL subjects drop (link_mentions
+    contract) — for JSON-LD that includes @id-less url-fragment
+    subjects by design."""
     f = facts.withColumn("mention_id", _table_mention_id())
     j = f.join(
         linked.select("mention_id", "entity_id", "link_score"), "mention_id"
@@ -302,7 +339,7 @@ def table_triples_out(
         j.select(
             "url",
             F.col("canonical_id").alias("subj"),
-            F.concat(F.lit("attr:"), F.col("pred")).alias("pred"),
+            "pred",
             "obj",
             F.col("link_score").alias("confidence"),
             "day",
@@ -403,7 +440,11 @@ def nodes_from(triples: DataFrame) -> DataFrame:
     entities = triples.select(
         F.col("obj").alias("node_id"),
         # attr-triple objects are literal values, not entities
-        F.when(F.col("pred").startswith("attr:"), F.lit("value"))
+        F.when(
+            F.col("pred").startswith("attr:")
+            | F.col("pred").startswith("ld:"),
+            F.lit("value"),
+        )
         .otherwise(F.lit("entity"))
         .alias("kind"),
         F.col("obj").alias("label"),
@@ -525,7 +566,7 @@ class Pipeline:
                         )
                     )
                 ).localCheckpoint()
-                facts = table_facts_from(docs_rep).localCheckpoint()
+                facts = facts_from(docs_rep).localCheckpoint()
                 linked = link_mentions(
                     mentions_from_arguments(arguments)
                     .select("mention_id", "surface")
@@ -577,7 +618,7 @@ class Pipeline:
             # fused tail: one commit instead of three; linked/canonical
             # are dimension-scale, pinned in memory across their reuses
             def build_triples():
-                facts = table_facts_from(docs).localCheckpoint()
+                facts = facts_from(docs).localCheckpoint()
                 linked = link_mentions(
                     mentions_from_arguments(arguments)
                     .select("mention_id", "surface")
@@ -604,7 +645,7 @@ class Pipeline:
         tfacts = self._stage(
             "table_facts",
             fp("table_facts"),
-            lambda: table_facts_from(docs),
+            lambda: facts_from(docs),
             resume,
         )
         sentences = self._stage(
@@ -695,7 +736,7 @@ class Pipeline:
                 )
             )
         ).localCheckpoint()
-        facts = table_facts_from(docs_rep).localCheckpoint()
+        facts = facts_from(docs_rep).localCheckpoint()
         linked = link_mentions(
             mentions_from_arguments(arguments)
             .select("mention_id", "surface")

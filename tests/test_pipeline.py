@@ -102,13 +102,24 @@ def test_counter_metrics_recorded(spark, main_run):
 
 def test_empty_corpus_yields_zero_triples(spark, tmp_path):
     """Degenerate inputs must flow through every stage without crashing:
-    empty corpus and a corpus where every doc is gated out by lang."""
+    an empty corpus emits nothing; a corpus where every doc is lang-gated
+    emits ZERO event triples, while structured facts (tables/JSON-LD,
+    language-agnostic by design) must still exactly match the gold slice
+    for the surviving urls."""
     docs = corpus_df(spark, 20)
     for name, d in [("empty", docs.filter("1=0")),
                     ("gated", docs.filter("lang = 'other'"))]:
         pipe = Pipeline(spark, StageCatalog(str(tmp_path / name)))
         t = pipe.run(d, f"corpus:{name}", resume=False)
-        assert t.count() == 0
+        assert t.filter(
+            "pred NOT LIKE 'attr:%' AND pred NOT LIKE 'ld:%'"
+        ).count() == 0
+        want = gold_triples_df(spark, 20).join(
+            d.select("url").distinct(), "url", "left_semi"
+        )
+        got = t.select("url", "subj", "pred", "obj")
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
         assert len(pipe.ran) == 9
 
 
@@ -349,13 +360,16 @@ def test_graph_node_edge_tables(spark, main_run):
     n_entity = (
         t.filter("subj NOT LIKE '%#%'").select(F.col("subj").alias("x"))
         .unionByName(
-            t.filter("pred NOT LIKE 'attr:%'").select(F.col("obj").alias("x"))
+            t.filter(
+                "pred NOT LIKE 'attr:%' AND pred NOT LIKE 'ld:%'"
+            ).select(F.col("obj").alias("x"))
         )
         .distinct()
         .count()
     )
     n_value = (
-        t.filter("pred LIKE 'attr:%'").select("obj").distinct().count()
+        t.filter("pred LIKE 'attr:%' OR pred LIKE 'ld:%'")
+        .select("obj").distinct().count()
     )
     kinds = {r["kind"]: r["n"] for r in
              nodes.groupBy("kind").agg(F.count(F.lit(1)).alias("n")).collect()}
@@ -833,3 +847,16 @@ def test_table_triples_share_canonicalization(spark, main_run):
     assert attr.filter("subj NOT LIKE 'E:%'").count() == 0
     preds = {r.pred for r in attr.select("pred").distinct().collect()}
     assert preds == {"attr:class", "attr:seen"}
+
+
+def test_jsonld_triples_share_canonicalization(spark, main_run):
+    """JSON-LD structured-data triples (third modality) ride the same
+    linked/canonical stages: present, canonical entity-id subjects,
+    literal objects, 'ld:' namespace disjoint from 'attr:'."""
+    _cat, _pipe, t = main_run
+    ld = t.filter("pred LIKE 'ld:%'")
+    assert ld.count() > 0
+    assert ld.filter("subj LIKE '%#%'").count() == 0
+    assert ld.filter("subj NOT LIKE 'E:%'").count() == 0
+    preds = {r.pred for r in ld.select("pred").distinct().collect()}
+    assert preds == {"ld:cls", "ld:rank"}
