@@ -7904,6 +7904,54 @@ FROM ev WHERE rel IN (SELECT rel FROM keep)
 """
 
 
+def _text_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ftfy-lite double-encoding repair (operators/mojibake): event rows
+    wrapped in real junk sequences (2-byte Latin-1 and 3-byte CP1252
+    forms, plus one Å-lead form the detector deliberately ignores),
+    scored then repaired; the oracle replays the IDENTICAL 122-entry
+    chained-replace fold via oracle_repair_sql, so both the detection
+    count and every table entry ordering divergence would hash out."""
+    from deepee_spark.operators.mojibake import (
+        MOJIBAKE_TABLE,
+        repair_mojibake,
+        score_mojibake,
+    )
+
+    junk = {good: j for j, good in MOJIBAKE_TABLE}
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    broken = F.concat(
+        F.lit("caf" + junk["é"] + " "),
+        F.col("event_type"),
+        F.lit(" " + junk["—"] + " " + junk["€"]),
+        _ev_k(),
+        F.lit(" " + junk["ü"] + junk["š"]),
+    )
+    base = ev.select("event_id", broken.alias("text"))
+    out = score_mojibake(repair_mojibake(base))
+    return out.select(
+        "event_id", F.col("text_fixed").alias("fixed"), "n_mojibake"
+    )
+
+
+def _mojibake_oracle_sql() -> str:
+    from deepee_spark.operators.mojibake import (
+        MOJIBAKE_TABLE,
+        oracle_repair_sql,
+    )
+
+    junk = {good: j for j, good in MOJIBAKE_TABLE}
+    broken = (
+        "'caf" + junk["é"] + " ' || event_type || ' " + junk["—"] + " "
+        + junk["€"] + "' || json_extract_string(props, '$.k') || ' "
+        + junk["ü"] + junk["š"] + "'"
+    )
+    return f"""
+SELECT event_id, {oracle_repair_sql(broken)} AS fixed,
+       CAST(4 AS INT) AS n_mojibake
+FROM events WHERE event_id < 5000
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -8006,6 +8054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_parse": _sitemap_parse,
         "warc_records": _warc_records,
         "openie_triples": _openie_triples,
+        "text_mojibake_repair": _text_mojibake_repair,
         "substring_dup_spans": _substring_dup_spans,
         "kg_ktruss": _kg_ktruss,
         "kg_entity_bursts": _kg_entity_bursts,
@@ -8175,6 +8224,7 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_parse": _SITEMAP_SQL,
         "warc_records": _WARC_SQL,
         "openie_triples": _OPENIE_SQL,
+        "text_mojibake_repair": _mojibake_oracle_sql(),
         "text_doc_frequency": _DOC_FREQ_SQL,
         "stratified_sample": _STRAT_SAMPLE_SQL,
         "text_unigram_logprob": _UNIGRAM_SQL,

@@ -1,0 +1,66 @@
+"""Mojibake repair (operators/mojibake): table correctness against
+Python's own encode/decode (the ground truth the table is derived
+from), Spark repair/score behavior, and clean-text passthrough."""
+
+from __future__ import annotations
+
+from deepee_spark.operators.mojibake import (
+    MOJIBAKE_TABLE,
+    repair_mojibake,
+    score_mojibake,
+)
+
+
+def _break(s: str) -> str:
+    """Ground-truth mojibake: utf-8 bytes seen through the sloppy-1252
+    lens (1252 glyphs for defined bytes, Latin-1 passthrough for the
+    five undefined ones) — exactly what _byte_to_char models."""
+    from deepee_spark.operators.mojibake import _byte_to_char
+
+    return "".join(_byte_to_char(b) for b in s.encode("utf-8"))
+
+
+def _fix(s: str) -> str:
+    for junk, good in MOJIBAKE_TABLE:
+        s = s.replace(junk, good)
+    return s
+
+
+def test_table_inverts_latin1_supplement():
+    for c in map(chr, range(0xA0, 0x100)):
+        assert _fix(_break(c)) == c, hex(ord(c))
+
+
+def test_table_inverts_cp1252_punct():
+    for c in ["€", "‘", "’", "“", "”", "–", "—", "…", "™", "Š", "œ"]:
+        assert _fix(_break(c)) == c
+
+
+def test_spark_repair_and_score(spark):
+    rows = [
+        (1, _break("café — naïve €5 “ok”")),
+        (2, "perfectly clean ascii text"),
+        (3, _break("résumé für Sørensen")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_mojibake, r.text_fixed)
+        for r in score_mojibake(repair_mojibake(df)).collect()
+    }
+    assert out[1][1] == "café — naïve €5 “ok”"
+    assert out[3][1] == "résumé für Sørensen"
+    # clean text untouched, scores zero
+    assert out[2] == (0, "perfectly clean ascii text")
+    # broken rows scored positive BEFORE repair
+    pre = {r.doc_id: r.n_mojibake for r in score_mojibake(df).collect()}
+    assert pre[1] > 0 and pre[3] > 0 and pre[2] == 0
+
+
+def test_repaired_text_scores_zero(spark):
+    df = spark.createDataFrame(
+        [(1, _break("déjà vu — l’été"))], "doc_id long, text string"
+    )
+    fixed = repair_mojibake(df).select(
+        "doc_id", "text_fixed"
+    ).withColumnRenamed("text_fixed", "text")
+    assert score_mojibake(fixed).collect()[0].n_mojibake == 0
