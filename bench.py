@@ -120,6 +120,12 @@ def main() -> None:
         "dedup_minhash_resolve",
         "winnow_fingerprints",
         "kg_hyperball",
+        # round-3 structured-data / web-ingest family
+        "kg_jsonld",
+        "warc_records",
+        "timex_normalize",
+        "openie_triples",
+        "text_mojibake_repair",
     ]
     qs = entry.queries()
     timings: dict[str, float] = {}

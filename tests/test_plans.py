@@ -753,3 +753,63 @@ def test_ranked_cumsum_matches_global_window(spark):
         .collect()
     }
     assert got == want
+
+
+def test_structured_extractors_are_zero_shuffle(spark):
+    """The round-3 structured-data extractors (JSON-LD, microdata, head
+    metadata, sitemaps) are pure narrow map pipelines: no Python
+    fallback, no Exchange at all — at 10^12 pages each is
+    embarrassingly parallel and the first shuffle belongs to whatever
+    the caller aggregates."""
+    from pyspark.sql import functions as F
+
+    from deepee_spark.operators.sitemaps import parse_sitemaps
+    from deepee_spark.operators.structured import (
+        jsonld_triples,
+        microdata_triples,
+        page_metadata,
+    )
+
+    docs = spark.range(40).select(
+        F.concat(F.lit("https://h"), F.col("id").cast("string")).alias("url"),
+        F.concat(
+            F.lit('<head><title>t</title><script type="application/ld+json">'
+                  '{"@id":"x","k":1}</script></head>'
+                  '<div itemscope itemtype="https://s/T">'
+                  '<span itemprop="p">v</span></div>'),
+        ).alias("html"),
+    )
+    maps = docs.select(
+        "url",
+        F.lit("<urlset><url><loc>https://a/b</loc></url></urlset>").alias(
+            "xml"
+        ),
+    )
+    for df in (
+        jsonld_triples(docs),
+        microdata_triples(docs),
+        page_metadata(docs),
+        parse_sitemaps(maps),
+    ):
+        plan = formatted_plan(df)
+        assert "BatchEvalPython" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
+        assert "Exchange" not in plan, plan
+
+
+def test_warc_parse_single_arrow_stage(spark):
+    """WARC parsing is ONE mapInPandas over the file rows — no shuffle
+    before or inside it (the file is the parallelism unit, exactly the
+    Common-Crawl sharding)."""
+    from pyspark.sql import functions as F
+
+    from deepee_spark.sources.warc import parse_warc_df
+
+    files = spark.range(8).select(
+        F.concat(F.lit("f"), F.col("id").cast("string")).alias("path"),
+        F.encode(F.lit("WARC/1.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n"),
+                 "UTF-8").alias("content"),
+    )
+    plan = formatted_plan(parse_warc_df(files))
+    assert plan.count("MapInPandas (") == 1, plan
+    assert "Exchange" not in plan, plan
