@@ -7952,6 +7952,54 @@ FROM events WHERE event_id < 5000
 """
 
 
+_SALIENCE_ENTS = ["spark", "join", "window", "customer", "table"]
+
+
+def _entity_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity salience (operators/salience): integer-exact positional/
+    frequency scoring over the documents table, title = the first two
+    text tokens so the title bonus actually fires; the oracle rebuilds
+    the same features with unnest + generate_subscripts."""
+    from deepee_spark.operators.salience import entity_salience
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.array_join(F.slice(F.split("text", " "), 1, 2), " ").alias("title"),
+    )
+    ents = spark.createDataFrame([(e,) for e in _SALIENCE_ENTS], ["surface"])
+    return entity_salience(docs, ents)
+
+
+_SALIENCE_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(text), '\\s+') AS words,
+         regexp_split_to_array(
+           lower(array_to_string(list_slice(string_split(text, ' '), 1, 2),
+                                 ' ')), '\\s+') AS twords
+  FROM documents),
+tok AS (
+  SELECT doc_id, len(words) AS doc_tokens, twords,
+         unnest(words) AS tok,
+         generate_subscripts(words, 1) - 1 AS pos
+  FROM d),
+hit AS (
+  SELECT * FROM tok WHERE tok IN ({", ".join("'" + e + "'" for e in _SALIENCE_ENTS)}))
+SELECT doc_id, tok AS surface,
+       CAST(COUNT(*) AS INT) AS n_mentions,
+       CAST(MIN(pos) AS INT) AS first_pos,
+       CAST(MAX(CASE WHEN list_contains(twords, tok) THEN 1 ELSE 0 END)
+            AS INT) AS in_title,
+       CAST(MAX(doc_tokens) AS INT) AS doc_tokens,
+       CAST(100 * COUNT(*)
+            + 50 * MAX(CASE WHEN list_contains(twords, tok) THEN 1 ELSE 0 END)
+            + MAX(doc_tokens) - MIN(pos) AS INT) AS salience
+FROM hit
+GROUP BY doc_id, tok
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -8055,6 +8103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_records": _warc_records,
         "openie_triples": _openie_triples,
         "text_mojibake_repair": _text_mojibake_repair,
+        "kg_entity_salience": _entity_salience,
         "substring_dup_spans": _substring_dup_spans,
         "kg_ktruss": _kg_ktruss,
         "kg_entity_bursts": _kg_entity_bursts,
@@ -8225,6 +8274,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_records": _WARC_SQL,
         "openie_triples": _OPENIE_SQL,
         "text_mojibake_repair": _mojibake_oracle_sql(),
+        "kg_entity_salience": _SALIENCE_SQL,
         "text_doc_frequency": _DOC_FREQ_SQL,
         "stratified_sample": _STRAT_SAMPLE_SQL,
         "text_unigram_logprob": _UNIGRAM_SQL,
