@@ -64,6 +64,49 @@ def run_stream(
     return writer.start()
 
 
+def stream_facts(docs_stream: DataFrame) -> DataFrame:
+    """documents stream -> structured facts (web tables + JSON-LD),
+    stateless: facts_from is a pure narrow union of regexp/posexplode
+    chains, so the SAME code path serves batch drops and micro-batches
+    — a crawl feed materializes publisher structured data continuously
+    while the kernel stages run beside it."""
+    from ..plans.pipeline import facts_from
+
+    return facts_from(docs_stream)
+
+
+def stream_facts_to_catalog(
+    spark: SparkSession,
+    source_dir: str,
+    catalog,
+    checkpoint_dir: str,
+    table: str = "table_facts",
+    available_now: bool = True,
+):
+    """Durable streaming facts ingest through the stage catalog —
+    identical epoch-idempotent fast-append contract as
+    stream_arguments_to_catalog (see that docstring), so the streamed
+    facts land in the SAME table the batch pipeline snapshots."""
+
+    def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        fp = f"stream:{source_dir}:epoch={epoch_id}"
+        if _epoch_done(catalog, table, fp):
+            return
+        catalog.append(batch_df, table, fp)
+
+    facts = stream_facts(stream_documents(spark, source_dir))
+    writer = (
+        facts.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
 def stream_event_counts(
     docs_stream: DataFrame,
     window_duration: str = "1 day",

@@ -557,3 +557,36 @@ def test_stream_cms_merge_maintains_live_sketch(spark, tmp_path):
     assert {
         (r.row, r.col): r.cnt for r in cat.read(spark, "cms_live").collect()
     } == want
+
+
+def test_stream_facts_match_batch(spark, tmp_path):
+    """Structured facts (tables + JSON-LD) streamed per micro-batch
+    equal the batch facts stage on the same drop, land as catalog
+    snapshots, and replayed epochs are no-ops."""
+    from deepee_spark.plans.pipeline import facts_from
+    from deepee_spark.sources.tables import StageCatalog
+    from deepee_spark.streaming.ingest import stream_facts_to_catalog
+
+    src = str(tmp_path / "docs")
+    docs = corpus_df(spark, 60)
+    docs.write.parquet(src)
+    cat = StageCatalog(str(tmp_path / "cat"))
+
+    stream_facts_to_catalog(
+        spark, src, cat, str(tmp_path / "ckpt"), available_now=True
+    )
+    streamed = cat.read(spark, "table_facts")
+    batch = facts_from(docs)
+    key = ["url", "table_idx", "surface", "pred", "obj"]
+    assert streamed.count() == batch.count() > 0
+    assert streamed.select(*key).exceptAll(batch.select(*key)).count() == 0
+    # both namespaces present in the streamed snapshot
+    preds = {r.pred.split(":")[0] for r in
+             streamed.select("pred").distinct().collect()}
+    assert preds == {"attr", "ld"}
+
+    # replay: same checkpoint + same files -> no new snapshot rows
+    stream_facts_to_catalog(
+        spark, src, cat, str(tmp_path / "ckpt"), available_now=True
+    )
+    assert cat.read(spark, "table_facts").count() == batch.count()
