@@ -4380,6 +4380,36 @@ def _kg_random_walks_sql() -> str:
     )
 
 
+def _kg_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order node2vec-style walks (operators/walks.
+    node2vec_walks, p=2 q=3) over the same undirected KG expansion as
+    kg_random_walks: integer-scaled return/triangle/outward weights,
+    interval-picked by the deterministic content hash, so the biased
+    corpus is retry-stable and engine-checkable. The oracle unrolls
+    the same selection with window cumsums per step."""
+    from deepee_spark.operators.walks import node2vec_walks
+
+    e = _kg_edge_proj(spark, sf_dir)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return node2vec_walks(sym, p=2, q=3, walks_per_node=1, length=3)
+
+
+def _kg_node2vec_walks_sql() -> str:
+    from deepee_spark.operators.negatives import md5_long48_sql
+    from deepee_spark.operators.walks import node2vec_walks_oracle_sql
+
+    sym = (
+        f"SELECT src, dst FROM ({_KG_EDGE_PROJ_SQL}) "
+        "UNION ALL "
+        f"SELECT dst AS src, src AS dst FROM ({_KG_EDGE_PROJ_SQL})"
+    )
+    return node2vec_walks_oracle_sql(
+        sym, md5_long48_sql, p=2, q=3, walks_per_node=1, length=3
+    )
+
+
 def _kg_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-gram (center, context, n) training pairs (operators/walks.
     skipgram_pairs) over the deterministic walk corpus — the embedding
@@ -8104,6 +8134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "openie_triples": _openie_triples,
         "text_mojibake_repair": _text_mojibake_repair,
         "kg_entity_salience": _entity_salience,
+        "kg_node2vec_walks": _kg_node2vec_walks,
         "substring_dup_spans": _substring_dup_spans,
         "kg_ktruss": _kg_ktruss,
         "kg_entity_bursts": _kg_entity_bursts,
@@ -8275,6 +8306,7 @@ def oracle_sql() -> dict[str, str]:
         "openie_triples": _OPENIE_SQL,
         "text_mojibake_repair": _mojibake_oracle_sql(),
         "kg_entity_salience": _SALIENCE_SQL,
+        "kg_node2vec_walks": _kg_node2vec_walks_sql(),
         "text_doc_frequency": _DOC_FREQ_SQL,
         "stratified_sample": _STRAT_SAMPLE_SQL,
         "text_unigram_logprob": _UNIGRAM_SQL,

@@ -206,3 +206,207 @@ FROM wk a JOIN wk b
  AND abs(a.step - b.step) BETWEEN 1 AND {window}
 GROUP BY a.node, b.node
 """
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    p: int = 1,
+    q: int = 1,
+    walks_per_node: int = 1,
+    length: int = 3,
+) -> DataFrame:
+    """Second-order (node2vec-style, Grover & Leskovec 2016 — public)
+    biased walks: the next hop's weight depends on the PREVIOUS node —
+    return (dst == prev), triangle (dst adjacent to prev), or outward.
+    The bias parameters are INTEGERS and the 1/p : 1 : 1/q weights are
+    scaled by p*q to q : p*q : p, so cumulative-interval selection is
+    integer-exact and engine-reproducible:
+
+        r = md5_48(start|walk|step|cur) % sum(weights)
+        chosen = the candidate (in pick order) whose cumulative
+                 interval [cum - w, cum) contains r
+
+    With p = q = 1 every weight is p*q = 1 and the selection reduces
+    BIT-EXACTLY to random_walks' ``pick = h % outdeg`` (pinned by
+    test); step 1 has no prev and is always first-order.
+
+    Scale shape: candidates = ONE shuffle-hash join of the frontier
+    against the persisted pre-partitioned neighbor index per step
+    (random_walks' shape), plus ONE hash join against the distinct
+    edge set on (prev, dst) for the triangle flag; the cum-weight
+    window partitions by (start, walk) — per-frontier-row groups of
+    outdeg rows, never a global window."""
+    if p < 1 or q < 1:
+        raise ValueError("p and q must be positive integers")
+    if walks_per_node < 1 or length < 1:
+        raise ValueError("walks_per_node and length must be >= 1")
+    from pyspark.sql import Window as W
+
+    n_parts = edges.sparkSession.sparkContext.defaultParallelism
+    idx = neighbor_index(edges).repartition(n_parts, "src").persist()
+    adj = (
+        edges.select(
+            F.col("src").alias("_a_src"), F.col("dst").alias("_a_dst")
+        )
+        .distinct()
+        .repartition(n_parts, "_a_src")
+        .persist()
+    )
+    starts = idx.select("src").distinct()
+    frames = [
+        starts.select(
+            F.col("src").alias("start"),
+            F.explode(
+                F.sequence(F.lit(0).cast("long"),
+                           F.lit(walks_per_node - 1).cast("long"))
+            ).alias("walk"),
+            F.lit(0).cast("long").alias("step"),
+            F.col("src").alias("node"),
+        ).localCheckpoint()
+    ]
+    # step 1: first-order (no prev) — identical to random_walks
+    h1 = md5_long48(
+        F.concat_ws("|", F.col("start"), F.col("walk"), F.lit(1),
+                    F.col("node"))
+    )
+    cur = (
+        frames[0]
+        .select("start", "walk", F.col("node").alias("src"), h1.alias("_h"))
+        .hint("shuffle_hash")
+        .join(idx, "src")
+        .filter(F.col("pick") == F.col("_h") % F.col("outdeg"))
+        .select(
+            "start", "walk", F.lit(1).cast("long").alias("step"),
+            F.col("dst").alias("node"), F.col("src").alias("prev"),
+        )
+        .localCheckpoint()
+    )
+    if not cur.isEmpty():
+        frames.append(cur.select("start", "walk", "step", "node"))
+        for step in range(2, length + 1):
+            cand = (
+                cur.select(
+                    "start", "walk", F.col("node").alias("src"), "prev"
+                )
+                .hint("shuffle_hash")
+                .join(idx, "src")
+                .join(
+                    adj,
+                    (F.col("_a_src") == F.col("prev"))
+                    & (F.col("_a_dst") == F.col("dst")),
+                    "left",
+                )
+                .select(
+                    "start", "walk", F.col("src").alias("cur"), "prev",
+                    "dst", "pick",
+                    F.when(F.col("dst") == F.col("prev"), F.lit(q))
+                    .when(F.col("_a_src").isNotNull(), F.lit(p * q))
+                    .otherwise(F.lit(p))
+                    .cast("long")
+                    .alias("wgt"),
+                )
+            )
+            wk = W.partitionBy("start", "walk")
+            cum = F.sum("wgt").over(wk.orderBy("pick"))
+            tot = F.sum("wgt").over(wk)
+            r = md5_long48(
+                F.concat_ws("|", F.col("start"), F.col("walk"),
+                            F.lit(step), F.col("cur"))
+            ) % tot
+            nxt = (
+                cand.withColumn("_cum", cum)
+                .withColumn("_r", r)
+                .filter(
+                    (F.col("_r") >= F.col("_cum") - F.col("wgt"))
+                    & (F.col("_r") < F.col("_cum"))
+                )
+                .select(
+                    "start", "walk",
+                    F.lit(step).cast("long").alias("step"),
+                    F.col("dst").alias("node"),
+                    F.col("cur").alias("prev"),
+                )
+                .localCheckpoint()
+            )
+            if nxt.isEmpty():
+                break
+            frames.append(nxt.select("start", "walk", "step", "node"))
+            cur = nxt
+    idx.unpersist()
+    adj.unpersist()
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def node2vec_walks_oracle_sql(
+    edges_sql: str,
+    md5_sql,
+    p: int = 1,
+    q: int = 1,
+    walks_per_node: int = 1,
+    length: int = 3,
+) -> str:
+    """DuckDB twin of node2vec_walks: neighbor index + adjacency via
+    window/joins, steps unrolled, integer interval selection."""
+    parts = [
+        f"WITH ew AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nidx AS (SELECT src, dst,"
+        " CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1"
+        "      AS BIGINT) AS pick,"
+        " CAST(COUNT(*) OVER (PARTITION BY src) AS BIGINT) AS outdeg"
+        " FROM ew)",
+        "w0 AS (SELECT s.src AS start, CAST(g.i AS BIGINT) AS walk,"
+        " CAST(0 AS BIGINT) AS step, s.src AS node,"
+        " CAST(NULL AS VARCHAR) AS prev"
+        " FROM (SELECT DISTINCT src FROM ew) s,"
+        f" UNNEST(generate_series(0, {walks_per_node - 1})) AS g(i))",
+    ]
+    h1 = md5_sql(
+        "w0.start || '|' || CAST(w0.walk AS VARCHAR) || '|' || '1' "
+        "|| '|' || w0.node"
+    )
+    parts.append(
+        "w1 AS (SELECT w0.start, w0.walk, CAST(1 AS BIGINT) AS step,"
+        " n.dst AS node, w0.node AS prev"
+        f" FROM w0 JOIN nidx n ON n.src = w0.node"
+        f" AND n.pick = ({h1}) % n.outdeg)"
+    )
+    union = [
+        "SELECT start, walk, step, node FROM w0",
+        "SELECT start, walk, step, node FROM w1",
+    ]
+    prev = "w1"
+    for step in range(2, length + 1):
+        h = md5_sql(
+            f"c.start || '|' || CAST(c.walk AS VARCHAR) || '|' || "
+            f"'{step}' || '|' || c.cur"
+        )
+        parts.append(
+            f"cand{step} AS (SELECT w.start, w.walk, w.node AS cur,"
+            " w.prev, n.dst, n.pick,"
+            f" CAST(CASE WHEN n.dst = w.prev THEN {q}"
+            f"      WHEN a.src IS NOT NULL THEN {p * q}"
+            f"      ELSE {p} END AS BIGINT) AS wgt"
+            f" FROM {prev} w JOIN nidx n ON n.src = w.node"
+            " LEFT JOIN ew a ON a.src = w.prev AND a.dst = n.dst)"
+        )
+        parts.append(
+            f"sel{step} AS (SELECT *,"
+            " SUM(wgt) OVER (PARTITION BY start, walk ORDER BY pick"
+            "   ROWS UNBOUNDED PRECEDING) AS cum,"
+            " SUM(wgt) OVER (PARTITION BY start, walk) AS tot"
+            f" FROM cand{step})"
+        )
+        parts.append(
+            f"w{step} AS (SELECT c.start, c.walk,"
+            f" CAST({step} AS BIGINT) AS step, c.dst AS node,"
+            " c.cur AS prev"
+            f" FROM sel{step} c"
+            f" WHERE (({h}) % c.tot) >= c.cum - c.wgt"
+            f" AND (({h}) % c.tot) < c.cum)"
+        )
+        union.append(f"SELECT start, walk, step, node FROM w{step}")
+        prev = f"w{step}"
+    return ",\n".join(parts) + "\n" + " UNION ALL ".join(union)

@@ -1287,3 +1287,95 @@ def test_hyperball_neighborhood(spark, edges):
         ).fetchall()
     )
     assert got == want
+
+
+def test_node2vec_walks_bruteforce_oracle_and_degeneracy(spark):
+    """node2vec biased walks: (1) python brute-force replica of the
+    integer interval selection agrees; (2) DuckDB oracle agrees;
+    (3) p=q=1 reduces bit-exactly to random_walks."""
+    import hashlib
+
+    from deepee_spark.operators.negatives import md5_long48_sql
+    from deepee_spark.operators.walks import (
+        node2vec_walks,
+        node2vec_walks_oracle_sql,
+        random_walks,
+    )
+
+    def h48(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    # triangle a-b-c (directed both ways) + spur c->d + e->a feeder:
+    # gives return, triangle, and outward candidates at step >= 2
+    base = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d"),
+            ("e", "a"), ("b", "a"), ("c", "b")]
+    df = spark.createDataFrame(base, ["src", "dst"])
+    eset = set(base)
+    adj = {}
+    for s, d in sorted(eset):
+        adj.setdefault(s, []).append(d)
+
+    def brute(p, q, walks_per_node, length):
+        exp = set()
+        for start in adj:
+            for walk in range(walks_per_node):
+                node, prev = start, None
+                exp.add((start, walk, 0, node))
+                for step in range(1, length + 1):
+                    nbrs = adj.get(node)
+                    if not nbrs:
+                        break
+                    if prev is None:
+                        nxt = nbrs[h48(f"{start}|{walk}|{step}|{node}")
+                                   % len(nbrs)]
+                    else:
+                        wgts = [
+                            q if d == prev
+                            else (p * q if (prev, d) in eset else p)
+                            for d in nbrs
+                        ]
+                        r = h48(f"{start}|{walk}|{step}|{node}") % sum(wgts)
+                        cum = 0
+                        for d, w in zip(nbrs, wgts):
+                            cum += w
+                            if r < cum:
+                                nxt = d
+                                break
+                    prev, node = node, nxt
+                    exp.add((start, walk, step, node))
+        return exp
+
+    for p, q in [(1, 4), (4, 1), (2, 3)]:
+        got = {
+            (r.start, r.walk, r.step, r.node)
+            for r in node2vec_walks(
+                df, p=p, q=q, walks_per_node=2, length=4
+            ).collect()
+        }
+        assert got == brute(p, q, 2, 4), (p, q)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE e(src VARCHAR, dst VARCHAR)")
+        con.executemany("INSERT INTO e VALUES (?,?)", base)
+        oracle = {
+            tuple(r)
+            for r in con.execute(
+                node2vec_walks_oracle_sql(
+                    "SELECT src, dst FROM e", md5_long48_sql,
+                    p=p, q=q, walks_per_node=2, length=4,
+                )
+            ).fetchall()
+        }
+        assert got == oracle, (p, q)
+        con.close()
+
+    # degeneracy: p=q=1 == first-order walks, bit-exact
+    n2v = {
+        (r.start, r.walk, r.step, r.node)
+        for r in node2vec_walks(df, p=1, q=1, walks_per_node=2,
+                                length=4).collect()
+    }
+    rw = {
+        (r.start, r.walk, r.step, r.node)
+        for r in random_walks(df, walks_per_node=2, length=4).collect()
+    }
+    assert n2v == rw
