@@ -8030,6 +8030,51 @@ GROUP BY doc_id, tok
 """
 
 
+def _kg_coref_pronouns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreference-lite (operators/coref.resolve_pronouns): per-user
+    docs where every event contributes '<etype> shipped then it
+    paused' (sorted by their own bytes = by event_type) behind an
+    UNRESOLVABLE leading pronoun; each 'it' must resolve to its own
+    fragment's event-type mention at the exact token offset the oracle
+    derives analytically."""
+    from deepee_spark.operators.coref import resolve_pronouns
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    frag = F.concat(F.col("event_type"), F.lit(" shipped then it paused"))
+    docs = (
+        ev.select(F.col("user_id").alias("doc_id"), frag.alias("f"))
+        .groupBy("doc_id")
+        .agg(
+            F.concat(
+                F.lit("they met and "),
+                F.array_join(F.sort_array(F.collect_list("f")), " "),
+            ).alias("text")
+        )
+    )
+    ents = (
+        _t(spark, sf_dir, "events")
+        .select(F.col("event_type").alias("surface"))
+        .distinct()
+    )
+    return resolve_pronouns(docs, ents)
+
+
+_KG_COREF_SQL = """
+WITH ev AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_type)
+           - 1 AS j,
+         event_type
+  FROM events WHERE user_id < 40)
+SELECT user_id AS doc_id,
+       CAST(5 * j + 6 AS INT) AS pos,
+       'it' AS pronoun,
+       event_type AS antecedent,
+       CAST(5 * j + 3 AS INT) AS antecedent_pos
+FROM ev
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -8135,6 +8180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_mojibake_repair": _text_mojibake_repair,
         "kg_entity_salience": _entity_salience,
         "kg_node2vec_walks": _kg_node2vec_walks,
+        "kg_coref_pronouns": _kg_coref_pronouns,
         "substring_dup_spans": _substring_dup_spans,
         "kg_ktruss": _kg_ktruss,
         "kg_entity_bursts": _kg_entity_bursts,
@@ -8307,6 +8353,7 @@ def oracle_sql() -> dict[str, str]:
         "text_mojibake_repair": _mojibake_oracle_sql(),
         "kg_entity_salience": _SALIENCE_SQL,
         "kg_node2vec_walks": _kg_node2vec_walks_sql(),
+        "kg_coref_pronouns": _KG_COREF_SQL,
         "text_doc_frequency": _DOC_FREQ_SQL,
         "stratified_sample": _STRAT_SAMPLE_SQL,
         "text_unigram_logprob": _UNIGRAM_SQL,
