@@ -1,0 +1,160 @@
+"""CEP-style multi-step pattern detection over event streams.
+
+The batch side already answers "which users completed step A then B
+then C" (operators/temporal.funnel — strict ordered steps). A crawl /
+clickstream feed wants the same answer ONLINE: emit a match the moment
+the final step arrives, keep partial progress across micro-batches,
+and expire stalled progress after a deadline (the within-window of the
+classic MATCH_RECOGNIZE / multi-pattern CEP literature, e.g. the
+SIGMOD'19 multi-pattern line of work — public).
+
+Semantics (documented; the batch funnel is the replay twin):
+  - pattern = an ordered list of event types [t1, t2, ..., tk];
+  - per key, events advance a cursor: an event equal to the NEXT
+    pattern step advances it (non-contiguous — other events between
+    steps are ignored, funnel semantics); other events do nothing;
+  - a match fires when the cursor completes, emitting (key, start_ts,
+    end_ts, n_events_seen); the cursor then RESETS (non-overlapping
+    matches, the funnel's convention);
+  - progress older than ``within`` seconds (event time of the FIRST
+    matched step) expires: an incoming event checks the deadline
+    before advancing, so a stalled prefix never completes late;
+  - events INSIDE one micro-batch group are processed in ts order;
+    cross-batch ordering is the stream's arrival order (the standard
+    at-the-operator contract — upstream watermarking owns reordering).
+
+State per key: (cursor, start_ts_us, n_seen) — a few bytes; keyed by
+the funnel key so the store distributes like any keyed aggregation.
+The same group function body serves batch backfill via applyInPandas
+(tested), which is also the correctness oracle: streamed matches over
+micro-batched drops must equal the batch run on the concatenation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("start_ts", T.TimestampType()),
+        T.StructField("end_ts", T.TimestampType()),
+        T.StructField("n_events_seen", T.IntegerType()),
+    ]
+)
+
+STATE_SCHEMA = "cursor int, start_us long, n_seen int"
+
+
+def _pattern_group_fn(pattern: list[str], within_s: int | None):
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        cursor, start_us, n_seen = (
+            state.get if state.exists else (0, 0, 0)
+        )
+        rows = []
+        frames = [pdf for pdf in pdfs if not pdf.empty]
+        if frames:
+            batch = pd.concat(frames).sort_values("ts", kind="mergesort")
+            for ts, etype in zip(batch["ts"], batch["event_type"]):
+                ts_us = int(pd.Timestamp(ts).value // 1000)
+                if (
+                    cursor > 0
+                    and within_s is not None
+                    and ts_us - start_us > within_s * 1_000_000
+                ):
+                    cursor, start_us, n_seen = 0, 0, 0  # stalled: expire
+                if cursor > 0:
+                    n_seen += 1
+                if etype == pattern[cursor]:
+                    if cursor == 0:
+                        start_us, n_seen = ts_us, 1
+                    cursor += 1
+                    if cursor == len(pattern):
+                        rows.append(
+                            (
+                                key[0],
+                                pd.Timestamp(start_us * 1000),
+                                pd.Timestamp(ts_us * 1000),
+                                n_seen,
+                            )
+                        )
+                        cursor, start_us, n_seen = 0, 0, 0
+        state.update((cursor, start_us, n_seen))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["key", "start_ts", "end_ts", "n_events_seen"]
+            )
+
+    return fn
+
+
+def _keyed(events: DataFrame, key_col: str) -> DataFrame:
+    return events.select(
+        F.col(key_col).cast("string").alias("key"), "ts", "event_type"
+    )
+
+
+def stream_pattern_match(
+    events: DataFrame,
+    pattern: list[str],
+    key_col: str = "user_id",
+    within_s: int | None = None,
+) -> DataFrame:
+    """events stream (key, ts, event_type) -> completed pattern matches,
+    state carried across micro-batches."""
+    if len(pattern) < 1:
+        raise ValueError("pattern must have at least one step")
+    return (
+        _keyed(events, key_col)
+        .groupBy("key")
+        .applyInPandasWithState(
+            _pattern_group_fn(list(pattern), within_s),
+            OUT_SCHEMA,
+            STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def batch_pattern_match(
+    events: DataFrame,
+    pattern: list[str],
+    key_col: str = "user_id",
+    within_s: int | None = None,
+) -> DataFrame:
+    """Batch twin running the SAME group function body via
+    applyInPandas — the replay oracle for the streamed operator."""
+
+    fn = _pattern_group_fn(list(pattern), within_s)
+
+    class _NoState:
+        exists = False
+        get = None
+
+        def update(self, _):
+            pass
+
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        out = list(fn(key, iter([pdf]), _NoState()))
+        return (
+            pd.concat(out)
+            if out
+            else pd.DataFrame(
+                columns=["key", "start_ts", "end_ts", "n_events_seen"]
+            )
+        )
+
+    return (
+        _keyed(events, key_col).groupBy("key").applyInPandas(run, OUT_SCHEMA)
+    )
