@@ -526,3 +526,28 @@ def simhash_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def band_rows(
+    sigs: DataFrame, id_col: str, bands: int = 8, k: int = MINHASH_K
+) -> DataFrame:
+    """(id, sig0..sig{k-1}) -> (id, band, band_key): the banded-LSH
+    bucket rows, band_key = xxhash64 of the band's signature slice.
+    The index shape the cross-drop incremental dedup accumulates
+    (plans/pipeline.dedup_drop_against_history) — one row per (doc,
+    band), joinable on (band, band_key)."""
+    rows = k // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"sig{b * rows + r}") for r in range(rows)]
+                ).cast("string").alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(id_col, F.explode(band_structs).alias("bk")).select(
+        id_col, "bk.band", "bk.band_key"
+    )

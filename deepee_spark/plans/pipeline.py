@@ -1005,6 +1005,107 @@ class Pipeline:
             fingerprint=f"{input_fingerprint}/host_links/v1",
         )
 
+    def dedup_drop_against_history(
+        self,
+        delta_docs: DataFrame,
+        input_fingerprint: str,
+        bands: int = 8,
+        min_jaccard: float = 0.5,
+    ) -> DataFrame:
+        """Incremental cross-drop NEAR-dedup: report each new doc that
+        near-duplicates anything in the CORPUS HISTORY, probing only
+        the accumulated MinHash band index — drop-sized compute, never
+        a rescan of history documents (which may no longer exist as
+        raw text; the index keeps signatures + token sets only).
+
+        -> (url, dup_url, jaccard): new-vs-history pairs, exact-token
+        Jaccard verified against the stored token sets. Within-drop
+        duplicates are the batch dedup's job (operators/dedup), not
+        this gate's.
+
+        Tables: `mh_bands` (url, band, band_key) and `mh_tokens`
+        (url, tok_set), both fast-appended per drop under ONE
+        fingerprint. Replay determinism (frontier_gate's rule): when
+        this drop's fingerprint already appears in a table's history,
+        probes time-travel to the snapshot PRECEDING that commit, so
+        a replayed drop reports the identical pair set instead of
+        matching itself."""
+        from ..operators.dedup import band_rows, minhash_signatures
+
+        cat, spark = self.catalog, self.spark
+        fp = f"{input_fingerprint}/mh_index/v1"
+        toks = delta_docs.select(
+            "url",
+            F.array_distinct(
+                F.split(F.lower(F.col("text")), r"\s+")
+            ).alias("tok_set"),
+        ).localCheckpoint()
+        banded = band_rows(
+            minhash_signatures(toks, "url", "tok_set"), "url", bands
+        )
+
+        def prior(table: str) -> DataFrame | None:
+            hist = cat.history(table)
+            mine = next(
+                (
+                    i
+                    for i, m in enumerate(hist)
+                    if m.get("fingerprint") == fp
+                ),
+                None,
+            )
+            if mine is not None:
+                if mine == 0:
+                    return None
+                return cat.read(
+                    spark, table, snapshot=hist[mine - 1]["snapshot"]
+                )
+            try:
+                return cat.read(spark, table)
+            except FileNotFoundError:
+                return None
+
+        prior_bands, prior_tokens = prior("mh_bands"), prior("mh_tokens")
+        if prior_bands is None or prior_tokens is None:
+            dups = spark.createDataFrame(
+                [], "url string, dup_url string, jaccard double"
+            )
+        else:
+            cand = (
+                banded.join(
+                    prior_bands.select(
+                        F.col("url").alias("dup_url"), "band", "band_key"
+                    ),
+                    ["band", "band_key"],
+                )
+                .filter(F.col("url") != F.col("dup_url"))
+                .select("url", "dup_url")
+                .distinct()
+            )
+            dups = (
+                cand.join(toks, "url")
+                .join(
+                    prior_tokens.select(
+                        F.col("url").alias("dup_url"),
+                        F.col("tok_set").alias("dup_set"),
+                    ),
+                    "dup_url",
+                )
+                .withColumn(
+                    "jaccard",
+                    F.size(F.array_intersect("tok_set", "dup_set"))
+                    / F.size(F.array_union("tok_set", "dup_set")),
+                )
+                .filter(F.col("jaccard") >= min_jaccard)
+                .select("url", "dup_url", F.round("jaccard", 6).alias("jaccard"))
+            )
+        dups = dups.localCheckpoint()  # pin BEFORE the index mutates
+        if not cat.was_committed("mh_bands", fp):
+            cat.append(banded, "mh_bands", fp)
+        if not cat.was_committed("mh_tokens", fp):
+            cat.append(toks, "mh_tokens", fp)
+        return dups
+
     def frontier_gate(
         self,
         delta_docs: DataFrame,

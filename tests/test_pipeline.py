@@ -860,3 +860,56 @@ def test_jsonld_triples_share_canonicalization(spark, main_run):
     assert ld.filter("subj NOT LIKE 'E:%'").count() == 0
     preds = {r.pred for r in ld.select("pred").distinct().collect()}
     assert preds == {"ld:cls", "ld:rank"}
+
+
+def test_dedup_drop_against_history(spark, tmp_path):
+    """Cross-drop incremental near-dedup: drop 2's near-copy of a
+    drop-1 page is reported against history only (not within-drop),
+    exact duplicates score 1.0, and a replayed drop returns the
+    identical pair set without matching itself."""
+    from deepee_spark.plans.pipeline import Pipeline
+    from deepee_spark.sources.tables import StageCatalog
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    near = base.replace("upsilon", "psi")          # 19/21 overlap
+    far = "one two three four five six seven eight nine ten"
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "url string, text string")
+
+    pipe = Pipeline(spark, StageCatalog(str(tmp_path / "cat")))
+    d1 = docs([("u/1", base), ("u/2", far)])
+    assert pipe.dedup_drop_against_history(d1, "drop1").count() == 0
+
+    # drop 2: an exact copy, a near copy, an unrelated page, and an
+    # in-drop duplicate pair that must NOT be reported here
+    d2 = docs([
+        ("u/3", base), ("u/4", near), ("u/5", "totally different words"),
+        ("u/6", "in drop twin text"), ("u/7", "in drop twin text"),
+    ])
+    got = {
+        (r.url, r.dup_url): r.jaccard
+        for r in pipe.dedup_drop_against_history(d2, "drop2").collect()
+    }
+    assert got[("u/3", "u/1")] == 1.0
+    assert ("u/4", "u/1") in got and 0.8 < got[("u/4", "u/1")] < 1.0
+    assert all(u not in ("u/6", "u/7") for u, _ in got)
+    assert all(d in ("u/1", "u/2") for _, d in got)
+
+    # replay of drop 2: identical result, no self-matching, no growth
+    replay = {
+        (r.url, r.dup_url): r.jaccard
+        for r in pipe.dedup_drop_against_history(d2, "drop2").collect()
+    }
+    assert replay == got
+    cat = pipe.catalog
+    assert cat.read(spark, "mh_tokens").count() == 7  # 2 + 5, appended once
+
+    # drop 3 sees drop-2 history too
+    d3 = docs([("u/8", "in drop twin text")])
+    got3 = {
+        (r.url, r.dup_url)
+        for r in pipe.dedup_drop_against_history(d3, "drop3").collect()
+    }
+    assert got3 == {("u/8", "u/6"), ("u/8", "u/7")}
