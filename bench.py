@@ -126,6 +126,9 @@ def main() -> None:
         "timex_normalize",
         "openie_triples",
         "text_mojibake_repair",
+        "kg_entity_salience",
+        "kg_coref_pronouns",
+        "kg_node2vec_walks",
     ]
     qs = entry.queries()
     timings: dict[str, float] = {}
