@@ -8075,6 +8075,57 @@ FROM ev
 """
 
 
+def _timex_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Free-text date-mention scanning (operators/timex.extract_dates):
+    each event plants one dated sentence ('posted <Month D, YYYY>
+    about <etype>' / slash / ISO variant by event_id%3) inside noise
+    that must NOT match ('99/99/9999', bare years); the scanner must
+    find exactly the planted mention per doc and normalize it."""
+    from deepee_spark.operators.timex import extract_dates
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 4000)
+    variant = (F.col("event_id") % 3).cast("int")
+    mfull = F.array(*[F.lit(m) for m in _MONTHS_FULL])
+    mo, dy, yr = (
+        F.month("ts"),
+        F.dayofmonth("ts").cast("string"),
+        F.year("ts").cast("string"),
+    )
+    mention = (
+        F.when(variant == 0, F.date_format("ts", "yyyy-MM-dd"))
+        .when(variant == 1, F.concat(mo.cast("string"), F.lit("/"), dy,
+                                     F.lit("/"), yr))
+        .otherwise(F.concat(F.element_at(mfull, mo), F.lit(" "), dy,
+                            F.lit(", "), yr))
+    )
+    text = F.concat(
+        F.lit("noise 99/99/9999 posted "), mention, F.lit(" about "),
+        F.col("event_type"), F.lit(" in year 3000 end"),
+    )
+    docs = ev.select(F.col("event_id").alias("doc_id"), text.alias("text"))
+    return extract_dates(docs).select("doc_id", "mention", "iso_date")
+
+
+_TIMEX_SCAN_SQL = f"""
+WITH m AS (SELECT {_MONTHS_FULL!r}::VARCHAR[] AS mf),
+ev AS (
+  SELECT event_id AS doc_id, CAST(event_id % 3 AS INT) AS variant,
+         month(ts) AS mo,
+         CAST(day(ts) AS VARCHAR) AS dy,
+         CAST(year(ts) AS VARCHAR) AS yr,
+         strftime(ts, '%Y-%m-%d') AS iso
+  FROM events WHERE event_id < 4000)
+SELECT doc_id,
+       CASE variant
+         WHEN 0 THEN iso
+         WHEN 1 THEN CAST(mo AS VARCHAR) || '/' || dy || '/' || yr
+         ELSE mf[mo] || ' ' || dy || ', ' || yr
+       END AS mention,
+       iso AS iso_date
+FROM ev, m
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -8174,6 +8225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_microdata": _kg_microdata,
         "kg_page_meta": _kg_page_meta,
         "timex_normalize": _timex_normalize,
+        "timex_scan": _timex_scan,
         "sitemap_parse": _sitemap_parse,
         "warc_records": _warc_records,
         "openie_triples": _openie_triples,
@@ -8347,6 +8399,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_microdata": _KG_MICRODATA_SQL,
         "kg_page_meta": _KG_PAGE_META_SQL,
         "timex_normalize": _TIMEX_SQL,
+        "timex_scan": _TIMEX_SCAN_SQL,
         "sitemap_parse": _SITEMAP_SQL,
         "warc_records": _WARC_SQL,
         "openie_triples": _OPENIE_SQL,
