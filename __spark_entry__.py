@@ -8126,6 +8126,67 @@ FROM ev, m
 """
 
 
+def _nb_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form Naive-Bayes quality/domain classifier
+    (operators/nbayes): trained on the documents table labeled
+    en-vs-rest, scoring the first 200 docs as binary log-odds. The
+    oracle replays the full textbook formulation (smoothed token
+    log-probs, OOV floor, priors) in SQL; both sides round the final
+    log-sum to 6dp (the repo's float-aggregate tolerance)."""
+    from deepee_spark.operators.nbayes import log_odds, score_nb, train_nb
+
+    d = _t(spark, sf_dir, "documents")
+    labeled = d.select(
+        "doc_id", "text",
+        F.when(F.col("lang") == "en", F.lit("en"))
+        .otherwise(F.lit("xx"))
+        .alias("label"),
+    )
+    model = train_nb(labeled)
+    probe = d.filter(F.col("doc_id") < 200).select("doc_id", "text")
+    return log_odds(score_nb(probe, model), "en", "xx").select(
+        "doc_id", F.round("log_odds", 6).alias("log_odds")
+    )
+
+
+_NB_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 'en' ELSE 'xx' END AS label,
+         regexp_split_to_array(lower(text), '\s+') AS words
+  FROM documents),
+tok AS (SELECT doc_id, label, unnest(words) AS token FROM d),
+cnt AS (SELECT token, label, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+tot AS (SELECT label, SUM(cnt) AS n_tok FROM cnt GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT token) AS v FROM cnt),
+pri AS (
+  SELECT label,
+         ln(CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM d)) AS prior
+  FROM d GROUP BY label),
+mdl AS (
+  SELECT c.token, c.label,
+         ln(CAST(c.cnt + 1 AS DOUBLE) / (t.n_tok + v.v)) AS logp
+  FROM cnt c JOIN tot t USING (label) CROSS JOIN v),
+oov AS (
+  SELECT t.label, ln(1.0 / (t.n_tok + v.v)) AS logp_oov
+  FROM tot t CROSS JOIN v),
+probe AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+  FROM documents WHERE doc_id < 200),
+sc AS (
+  SELECT p.doc_id, o.label, SUM(COALESCE(m.logp, o.logp_oov)) AS lp
+  FROM probe p CROSS JOIN oov o
+  LEFT JOIN mdl m ON m.token = p.token AND m.label = o.label
+  GROUP BY 1, 2),
+fin AS (
+  SELECT sc.doc_id, sc.label, sc.lp + pri.prior AS score
+  FROM sc JOIN pri USING (label))
+SELECT a.doc_id, ROUND(a.score - b.score, 6) AS log_odds
+FROM fin a JOIN fin b ON a.doc_id = b.doc_id
+WHERE a.label = 'en' AND b.label = 'xx'
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -8233,6 +8294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_salience": _entity_salience,
         "kg_node2vec_walks": _kg_node2vec_walks,
         "kg_coref_pronouns": _kg_coref_pronouns,
+        "nb_quality_filter": _nb_quality_filter,
         "substring_dup_spans": _substring_dup_spans,
         "kg_ktruss": _kg_ktruss,
         "kg_entity_bursts": _kg_entity_bursts,
@@ -8407,6 +8469,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_salience": _SALIENCE_SQL,
         "kg_node2vec_walks": _kg_node2vec_walks_sql(),
         "kg_coref_pronouns": _KG_COREF_SQL,
+        "nb_quality_filter": _NB_SQL,
         "text_doc_frequency": _DOC_FREQ_SQL,
         "stratified_sample": _STRAT_SAMPLE_SQL,
         "text_unigram_logprob": _UNIGRAM_SQL,
