@@ -8224,8 +8224,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # url_blocklist_filter (plain anti-join sibling of
         # url_host_stats) demoted past 50 for the budget family.
         "crawl_budget": _crawl_budget,
-        "pii_redact": _pii_redact,
-        "paragraph_dedup": _paragraph_dedup,
+        # pii_redact / paragraph_dedup (driver-green in r02 on code
+        # unchanged since) demoted past 50 for the structured-data and
+        # WARC ingest flagships (new this round).
+        "kg_jsonld": _kg_jsonld,
+        "warc_records": _warc_records,
         # text_doc_frequency (plain groupBy rep of the tf-idf family,
         # siblings text_tfidf_topk / text_unigram_logprob keep it
         # covered) demoted past 50 for the chunking family.
@@ -8234,10 +8237,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus_weighted_sample / kg_corpus_mixture) demoted past 50
         # for the placement family.
         "shard_assignment": _shard_assignment,
-        "text_unigram_logprob": _unigram_logprob,
+        # text_unigram_logprob (r02-green, unchanged) demoted for the
+        # date-normalization flagship.
+        "timex_normalize": _timex_normalize,
         "curation_funnel": _curation_funnel,
-        "decontaminate": _decontaminate,
-        "sequence_packing": _sequence_packing,
+        # decontaminate / sequence_packing (r02-green, unchanged)
+        # demoted for the NB classifier + second-order walks.
+        "nb_quality_filter": _nb_quality_filter,
+        "kg_node2vec_walks": _kg_node2vec_walks,
         "kg_node_rollup": _kg_node_rollup,
         "stream_first_crawl": _stream_first_crawl,
         # kg_co_neighbors (neighbor-set sibling of kg_neighbor_jaccard)
@@ -8282,19 +8289,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temporal siblings already in-window) moves to 51+.
         "substring_dedup": _substring_dedup,
         # -- positions 51+ --
-        "kg_jsonld": _kg_jsonld,
+        "pii_redact": _pii_redact,
+        "paragraph_dedup": _paragraph_dedup,
+        "text_unigram_logprob": _unigram_logprob,
+        "decontaminate": _decontaminate,
+        "sequence_packing": _sequence_packing,
         "kg_microdata": _kg_microdata,
         "kg_page_meta": _kg_page_meta,
-        "timex_normalize": _timex_normalize,
         "timex_scan": _timex_scan,
         "sitemap_parse": _sitemap_parse,
-        "warc_records": _warc_records,
         "openie_triples": _openie_triples,
         "text_mojibake_repair": _text_mojibake_repair,
         "kg_entity_salience": _entity_salience,
-        "kg_node2vec_walks": _kg_node2vec_walks,
         "kg_coref_pronouns": _kg_coref_pronouns,
-        "nb_quality_filter": _nb_quality_filter,
         "substring_dup_spans": _substring_dup_spans,
         "kg_ktruss": _kg_ktruss,
         "kg_entity_bursts": _kg_entity_bursts,
