@@ -6877,20 +6877,35 @@ SELECT node, MIN(r) AS component FROM reach GROUP BY node
 
 
 def _dedup_minhash_resolve(spark, sf):
-    """END-TO-END textual dedup resolution: MinHash signatures →
-    portable banded-LSH candidate pairs → exact token-Jaccard verify
-    (>= 0.8) → connected components over the verified pairs →
-    keep-FIRST survivor per duplicate group (Lee et al. 2022's policy)
-    with the member count. Every stage is the documented scale shape
-    (bucketed candidates, never all-pairs; distributed CC); the oracle
-    replays signatures, banding, verification and a recursive closure
-    in DuckDB — possible because the band keys are plain signature
+    """END-TO-END textual dedup resolution: 3-token shingles → MinHash
+    signatures → portable banded-LSH candidate pairs → exact
+    shingle-Jaccard verify (>= 0.8) → connected components over the
+    verified pairs → keep-FIRST survivor per duplicate group (Lee et
+    al. 2022's policy) with the member count. The MinHash universe is
+    SHINGLES, not unigram tokens — the textbook choice, and on this
+    corpus the difference is the whole game: the synthetic vocabulary
+    is ~40 words, so unigram token SETS are near-identical across
+    unrelated docs and banding degenerated to one 2,298-doc bucket
+    (~10M candidate pairs, measured — 107s at sf0.1); trigram shingles
+    restore selectivity, so buckets hold only true near-dups. Every
+    stage is the documented scale shape (bucketed candidates, never
+    all-pairs; distributed CC); the oracle replays shingling,
+    signatures, banding, verification and a recursive closure in
+    DuckDB — possible because the band keys are plain signature
     concatenations, not engine-native hashes."""
     from deepee_spark.operators.components import connected_components
     from deepee_spark.operators.dedup import minhash_dup_pairs
 
-    docs = _t(spark, sf, "documents").select(
-        "doc_id", _tokens().alias("tokens")
+    toks = _tokens()
+    t1 = F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1)))
+    t2 = F.slice(toks, 2, F.greatest(F.size(toks) - 2, F.lit(1)))
+    t3 = F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(1)))
+    pair_sh = F.zip_with(t1, t2, lambda a, b: F.concat_ws("_", a, b))
+    sh = F.zip_with(pair_sh, t3, lambda ab, c: F.concat_ws("_", ab, c))
+    docs = (
+        _t(spark, sf, "documents")
+        .filter(F.size(toks) >= 3)
+        .select("doc_id", sh.alias("tokens"))
     )
     pairs = minhash_dup_pairs(
         docs, "doc_id", "tokens", bands=4, min_jaccard=0.8,
@@ -6910,8 +6925,28 @@ def _dedup_minhash_resolve(spark, sf):
     )
 
 
+_SHINGLES_SQL = f"""
+SELECT doc_id,
+       list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+         i -> toks[i] || '_' || toks[i + 1] || '_' || toks[i + 2])
+         AS shingles
+FROM (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)
+WHERE len(toks) >= 3
+"""
+
+_MINHASH_SHINGLE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(shingles)) AS token
+  FROM ({_SHINGLES_SQL})),
+hashed AS (
+  SELECT doc_id, {_HASH_SQL.format(col='token')} AS h FROM tok)
+SELECT doc_id,
+{', '.join(f'       CAST(MIN(({a}::BIGINT * h + {b}) % 1000000007) AS BIGINT) AS sig{k}' for k, (a, b) in enumerate(_MH))}
+FROM hashed GROUP BY doc_id
+"""
+
 _MINHASH_RESOLVE_SQL = f"""
-WITH RECURSIVE sigs AS ({_MINHASH_SQL}),
+WITH RECURSIVE sigs AS ({_MINHASH_SHINGLE_SQL}),
 banded AS (
   SELECT doc_id, band,
          CASE band
@@ -6924,7 +6959,8 @@ cand AS (
     ON x.band = y.band AND x.band_key = y.band_key
    AND x.doc_id < y.doc_id),
 sets AS (
-  SELECT doc_id, list_distinct({_TOKENS_SQL}) AS tok_set FROM documents),
+  SELECT doc_id, list_distinct(shingles) AS tok_set
+  FROM ({_SHINGLES_SQL})),
 verified AS (
   SELECT id_a, id_b
   FROM cand
