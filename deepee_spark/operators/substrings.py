@@ -48,43 +48,75 @@ def _tokens(text_col):
 
 
 def window_occurrences(
-    df: DataFrame, id_col: str, text_col: str, w: int = WINDOW_TOKENS
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = WINDOW_TOKENS,
+    with_n_windows: bool = True,
 ) -> DataFrame:
-    """-> (id, pos, whash, n_windows): one row per w-token window.
+    """-> (id, pos, whash[, n_windows]): one row per w-token window.
 
     pos is 1-based; n_windows = max(n_tokens - w + 1, 0) rides along so
-    downstream per-doc rollups need no second scan of the text.
+    downstream per-doc rollups need no second scan of the text — but
+    it costs a per-id window (one Exchange), so callers that never
+    read it (the substring-dedup chain) pass with_n_windows=False and
+    keep the occurrence stream narrow.
     """
+    from pyspark.sql import Window as W
+
     th = F.transform(_tokens(F.col(text_col)), str_hash)
-    n_win = F.greatest(F.size(th) - F.lit(w - 1), F.lit(0))
-    # sequence(1, 0) DESCENDS, so gate it: zero-window docs get a null
-    # array, which posexplode_outer turns into one (null, null) row.
-    wins = F.when(
-        n_win >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_win),
-            lambda i: F.aggregate(
-                F.slice(th, i, w),
-                F.lit(0).cast("long"),
-                lambda acc, h: (acc * _B2 + h) % F.lit(MOD),
-            ),
-        ),
+
+    # Two evaluation-placement traps, both measured at sf0.1 before the
+    # fix (37s -> ~1.5s for the winnowing query):
+    #  1. the per-window formulation (aggregate over slice(th, i, w)
+    #     inside transform(sequence(1, n_win))) re-inlines the WHOLE
+    #     th expression at every window position via projection
+    #     collapse — O(L^2·|chars|) per doc (the pathology documented
+    #     at __spark_entry__._ngram_jaccard). Fixed by binding th ONCE
+    #     as a transform lambda variable over a 1-element array wrapper
+    #     and chaining zip_with over w shifted slices of the BOUND
+    #     variable — the fold order ((h_1·B + h_2)·B + h_3).. mod M is
+    #     identical, so whash values (and every oracle) are unchanged.
+    #  2. an n_windows column selected NEXT TO the generator lands in
+    #     the Project ABOVE Generate — evaluated per EXPLODED row, each
+    #     evaluation re-tokenizing and re-hashing the full text. Fixed
+    #     by deriving n_windows from the exploded rows themselves
+    #     (count of non-null whash per doc) — a per-id window on rows
+    #     that never touch the text; every consumer shuffles on id or
+    #     whash right after, so the exchange is reused or marginal.
+    def _wins(t):
+        n = F.size(t) - F.lit(w - 1)
+        ln = F.greatest(n, F.lit(1))
+        acc = F.slice(t, 1, ln)
+        for j in range(1, w):
+            acc = F.zip_with(
+                acc,
+                F.slice(t, j + 1, ln),
+                lambda a, b: (a * F.lit(_B2) + b) % F.lit(MOD),
+            )
+        # n < 1 -> null array; posexplode_outer keeps one (null, null)
+        # row so zero-window docs stay visible to n_windows below
+        return F.when(n >= 1, acc)
+
+    wins = F.element_at(F.transform(F.array(th), _wins), 1)
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode_outer(wins).alias("pos0", "whash"),
     )
-    return (
-        df.select(
-            F.col(id_col).alias("id"),
-            n_win.cast("long").alias("n_windows"),
-            F.posexplode_outer(wins).alias("pos0", "whash"),
+    if with_n_windows:
+        out = out.withColumn(
+            "n_windows",
+            F.count("whash").over(W.partitionBy("id")).cast("long"),
         )
-        .withColumn("pos", (F.col("pos0") + 1).cast("long"))
-        .drop("pos0")
-    )
+    return out.withColumn(
+        "pos", (F.col("pos0") + 1).cast("long")
+    ).drop("pos0")
 
 
 def _removable(df: DataFrame, id_col: str, text_col: str, w: int) -> DataFrame:
     """Occurrences of >=2x windows that are NOT the canonical (first by
     (id, pos)) occurrence -- i.e. the removable ones under keep-first."""
-    occ = window_occurrences(df, id_col, text_col, w)
+    occ = window_occurrences(df, id_col, text_col, w, with_n_windows=False)
     per_hash = occ.filter(F.col("whash").isNotNull()).groupBy("whash").agg(
         F.count(F.lit(1)).cast("long").alias("n_occ"),
         F.min(F.struct("id", "pos")).alias("first_occ"),
@@ -98,7 +130,7 @@ def _removable(df: DataFrame, id_col: str, text_col: str, w: int) -> DataFrame:
                 | (F.col("pos") != F.col("first_occ.pos"))
             )
         )
-        .select("id", "pos", "n_windows")
+        .select("id", "pos")
     )
 
 
