@@ -114,3 +114,24 @@ def oracle_repair_sql(col: str) -> str:
         g = good.replace("'", "''")
         expr = f"replace({expr}, '{j}', '{g}')"
     return expr
+
+
+def repair_suspects(
+    df: DataFrame, text_col: str = "text", out_col: str = "text"
+) -> DataFrame:
+    """The scale composition: detect -> repair ONLY flagged rows ->
+    union the untouched rest. The 122-entry replace fold costs 122
+    string scans per row, but real-corpus mojibake incidence is a few
+    percent — one cheap regexp_count gates the fold to that slice, so
+    the pass costs ~1 scan/row + fold on the suspects. Output schema
+    == input schema (text repaired in place)."""
+    scored = score_mojibake(df, text_col, "_n_mojibake")
+    clean = scored.filter(F.col("_n_mojibake") == 0).drop("_n_mojibake")
+    fixed = (
+        scored.filter(F.col("_n_mojibake") > 0)
+        .drop("_n_mojibake")
+        .withColumn(out_col, repair_expr(F.col(text_col)))
+    )
+    if out_col != text_col:
+        clean = clean.withColumn(out_col, F.col(text_col))
+    return clean.unionByName(fixed)

@@ -64,3 +64,16 @@ def test_repaired_text_scores_zero(spark):
         "doc_id", "text_fixed"
     ).withColumnRenamed("text_fixed", "text")
     assert score_mojibake(fixed).collect()[0].n_mojibake == 0
+
+
+def test_repair_suspects_gated_composition(spark):
+    rows = [
+        (1, _break("café au lait")),
+        (2, "already clean"),
+        (3, _break("naïve — test")),
+    ]
+    from deepee_spark.operators.mojibake import repair_suspects
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text for r in repair_suspects(df).collect()}
+    assert out == {1: "café au lait", 2: "already clean", 3: "naïve — test"}
