@@ -1005,6 +1005,51 @@ class Pipeline:
             fingerprint=f"{input_fingerprint}/host_links/v1",
         )
 
+    def process_crawl_drop(
+        self,
+        delta_docs: DataFrame,
+        input_fingerprint: str,
+        min_jaccard: float = 0.5,
+    ) -> dict:
+        """The daily-operations composition, one call per crawl drop:
+
+          1. frontier_gate — admit only never-seen canonical urls
+             (Bloom seen-set; replay-deterministic);
+          2. dedup_drop_against_history — flag admitted docs that
+             near-duplicate corpus HISTORY (accumulated MinHash index)
+             and keep only the novel ones (history survivors);
+          3. run_incremental — extraction -> kernels -> linking ->
+             cross-drop canonicalization over the survivors, triples
+             fast-appended;
+          4. accumulate_host_links rides the same novel set (additive
+             counter merge; degree counters belong to the graph-
+             materialization path).
+
+        Returns {'admitted': df, 'near_dups': df, 'triples': df,
+        'n_admitted': int, 'n_near_dup': int}. Every sub-step keeps
+        its own fingerprint-idempotent replay contract, so re-running
+        a crashed drop is safe end to end. Per-drop cost is drop-sized
+        throughout — the accumulated corpus is only ever touched
+        through the Bloom bitmap, the band index, and metadata-only
+        appends."""
+        fp = input_fingerprint
+        admitted = self.frontier_gate(delta_docs, fp).localCheckpoint()
+        dups = self.dedup_drop_against_history(
+            admitted, fp, min_jaccard=min_jaccard
+        )
+        novel = admitted.join(
+            dups.select("url").distinct(), "url", "left_anti"
+        ).localCheckpoint()
+        triples = self.run_incremental(novel, fp)
+        self.accumulate_host_links(novel, fp)
+        return {
+            "admitted": admitted,
+            "near_dups": dups,
+            "triples": triples,
+            "n_admitted": admitted.count(),
+            "n_near_dup": dups.select("url").distinct().count(),
+        }
+
     def dedup_drop_against_history(
         self,
         delta_docs: DataFrame,
