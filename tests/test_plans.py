@@ -813,3 +813,67 @@ def test_warc_parse_single_arrow_stage(spark):
     plan = formatted_plan(parse_warc_df(files))
     assert plan.count("MapInPandas (") == 1, plan
     assert "Exchange" not in plan, plan
+
+
+def test_salience_broadcasts_dim_single_agg_exchange(spark):
+    """Entity salience: the surface dimension joins broadcast; the only
+    Exchange is the (doc, entity) aggregation — doc length and title
+    flag ride the explode instead of joining back to the corpus."""
+    from pyspark.sql import functions as F
+
+    from deepee_spark.operators.salience import entity_salience
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("t").alias("title"),
+        F.lit("alpha beta gamma alpha").alias("text"),
+    )
+    ents = spark.createDataFrame([("alpha",), ("beta",)], ["surface"])
+    import re
+
+    plan = formatted_plan(entity_salience(docs, ents))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    # shuffle Exchanges only (BroadcastExchange is the dim broadcast)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_coref_single_perdoc_window_broadcast_dim(spark):
+    """Coreference-lite: broadcast dictionary, one per-doc window, no
+    global ordering anywhere."""
+    from pyspark.sql import functions as F
+
+    from deepee_spark.operators.coref import resolve_pronouns
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.lit("smith said he left").alias("text"),
+    )
+    ents = spark.createDataFrame([("smith",)], ["surface"])
+    import re
+
+    plan = formatted_plan(resolve_pronouns(docs, ents))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    # exactly one shuffle Exchange: hashpartitioning on doc_id for the
+    # window (BroadcastExchange is the dim broadcast)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_nbayes_scoring_broadcasts_model(spark):
+    """NB scoring: model tables broadcast; the corpus-sized shuffle is
+    only the per-(doc,label) sum."""
+    from pyspark.sql import functions as F
+
+    from deepee_spark.operators.nbayes import score_nb, train_nb
+
+    labeled = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("label"),
+        F.lit("x y z").alias("text"),
+    )
+    model = train_nb(labeled)
+    probe = labeled.select("doc_id", "text")
+    plan = formatted_plan(score_nb(probe, model))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 1 or \
+        "BroadcastNestedLoopJoin" in plan, plan
