@@ -8223,6 +8223,73 @@ WHERE a.label = 'en' AND b.label = 'xx'
 """
 
 
+def _kg_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative table-contract runner (operators/expectations): a
+    rule set over the events table chosen so every kind fires at least
+    one violation path (subset accepted_values, tight in_range,
+    astronomically large min_rows, fk against the customer dimension);
+    the oracle recomputes each rule as a scalar aggregate."""
+    from deepee_spark.operators.expectations import check_expectations
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    return check_expectations(
+        ev,
+        [
+            ("not_null", "event_type"),
+            ("unique", "event_id"),
+            ("accepted_values", "event_type", ["click", "view"]),
+            ("matches_regex", "props", r"^\{"),
+            ("in_range", "value", 0, 10),
+            ("min_rows", 1_000_000_000),
+            ("fk", "user_id", cust, "c_custkey"),
+        ],
+    )
+
+
+_KG_EXPECTATIONS_SQL = r"""
+SELECT 'not_null' AS rule, 'event_type' AS "column",
+       (SELECT COUNT(*) FROM events WHERE event_type IS NULL)
+         AS n_violations,
+       (SELECT COUNT(*) FROM events WHERE event_type IS NULL) = 0
+         AS passed
+UNION ALL
+SELECT 'unique', 'event_id',
+       (SELECT COUNT(*) - COUNT(DISTINCT event_id) FROM events),
+       (SELECT COUNT(*) - COUNT(DISTINCT event_id) FROM events) = 0
+UNION ALL
+SELECT 'accepted_values', 'event_type',
+       (SELECT COUNT(*) FROM events
+        WHERE event_type IS NULL OR event_type NOT IN ('click', 'view')),
+       (SELECT COUNT(*) FROM events
+        WHERE event_type IS NULL OR event_type NOT IN ('click', 'view')) = 0
+UNION ALL
+SELECT 'matches_regex', 'props',
+       (SELECT COUNT(*) FROM events
+        WHERE props IS NULL OR NOT regexp_matches(props, '^\{')),
+       (SELECT COUNT(*) FROM events
+        WHERE props IS NULL OR NOT regexp_matches(props, '^\{')) = 0
+UNION ALL
+SELECT 'in_range', 'value',
+       (SELECT COUNT(*) FROM events
+        WHERE value IS NULL OR value < 0 OR value > 10),
+       (SELECT COUNT(*) FROM events
+        WHERE value IS NULL OR value < 0 OR value > 10) = 0
+UNION ALL
+SELECT 'min_rows', '',
+       greatest(0, 1000000000 - (SELECT COUNT(*) FROM events)),
+       greatest(0, 1000000000 - (SELECT COUNT(*) FROM events)) = 0
+UNION ALL
+SELECT 'fk', 'user_id',
+       (SELECT COUNT(*) FROM events
+        WHERE user_id IS NOT NULL
+          AND user_id NOT IN (SELECT c_custkey FROM customer)),
+       (SELECT COUNT(*) FROM events
+        WHERE user_id IS NOT NULL
+          AND user_id NOT IN (SELECT c_custkey FROM customer)) = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -8338,6 +8405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_mojibake_repair": _text_mojibake_repair,
         "kg_entity_salience": _entity_salience,
         "kg_coref_pronouns": _kg_coref_pronouns,
+        "kg_expectations": _kg_expectations,
         "substring_dup_spans": _substring_dup_spans,
         "kg_ktruss": _kg_ktruss,
         "kg_entity_bursts": _kg_entity_bursts,
@@ -8512,6 +8580,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_salience": _SALIENCE_SQL,
         "kg_node2vec_walks": _kg_node2vec_walks_sql(),
         "kg_coref_pronouns": _KG_COREF_SQL,
+        "kg_expectations": _KG_EXPECTATIONS_SQL,
         "nb_quality_filter": _NB_SQL,
         "text_doc_frequency": _DOC_FREQ_SQL,
         "stratified_sample": _STRAT_SAMPLE_SQL,
