@@ -1005,6 +1005,30 @@ class Pipeline:
             fingerprint=f"{input_fingerprint}/host_links/v1",
         )
 
+    def check_triples_contract(self) -> DataFrame:
+        """The stage-commit gate instantiated for the triples table
+        (operators/expectations): key fields non-null, confidence in
+        [0, 1], predicates within the three namespaces the pipeline
+        emits (EventType:Role / attr: / ld:), day present, and a
+        non-empty table. A production orchestrator calls this between
+        `run()` and downstream publication and aborts on any
+        `NOT passed` row."""
+        from ..operators.expectations import check_expectations
+
+        t = self.catalog.read(self.spark, "triples")
+        return check_expectations(
+            t,
+            [
+                ("not_null", "subj"),
+                ("not_null", "pred"),
+                ("not_null", "obj"),
+                ("not_null", "day"),
+                ("in_range", "confidence", 0.0, 1.0),
+                ("matches_regex", "pred", r"^([A-Za-z]+:|attr:|ld:)"),
+                ("min_rows", 1),
+            ],
+        )
+
     def process_crawl_drop(
         self,
         delta_docs: DataFrame,

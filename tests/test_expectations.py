@@ -52,3 +52,29 @@ def test_clean_table_passes(spark):
         df, [("not_null", "cat"), ("unique", "id"), ("min_rows", 2)]
     )
     assert out.filter("NOT passed").count() == 0
+
+
+def test_triples_contract_gate(spark, tmp_path):
+    """The pipeline's instantiated contract passes on a real run and
+    catches a poisoned table."""
+    from pyspark.sql import functions as F
+
+    from deepee_spark.corpus import corpus_df
+    from deepee_spark.plans.pipeline import Pipeline
+    from deepee_spark.sources.tables import StageCatalog
+
+    cat = StageCatalog(str(tmp_path / "cat"))
+    pipe = Pipeline(spark, cat)
+    pipe.run(corpus_df(spark, 30), "corpus:30", resume=False)
+    gate = pipe.check_triples_contract()
+    assert gate.filter("NOT passed").count() == 0
+    assert gate.count() == 7
+
+    # poison: a null-obj triple with out-of-range confidence
+    t = cat.read(spark, "triples")
+    bad = t.limit(1).withColumn("obj", F.lit(None).cast("string")) \
+           .withColumn("confidence", F.lit(2.0))
+    cat.append(bad.select(*t.columns), "triples", "poison")
+    failed = {r.rule for r in
+              pipe.check_triples_contract().filter("NOT passed").collect()}
+    assert failed == {"not_null", "in_range"}
