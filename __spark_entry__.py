@@ -8290,6 +8290,27 @@ SELECT 'fk', 'user_id',
 """
 
 
+def _corpus_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-aware group split (operators/splits): every document of
+    a source lands in exactly one of train/val/test, assignment by the
+    engine-portable fold hash so the oracle replays it bit-exactly."""
+    from deepee_spark.operators.splits import group_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return group_split(docs, "source")
+
+
+_GROUP_SPLIT_SQL = f"""
+SELECT doc_id, source,
+       CASE
+         WHEN ({_HASH_SQL.format(col='source')}) % 1000 < 800 THEN 'train'
+         WHEN ({_HASH_SQL.format(col='source')}) % 1000 < 900 THEN 'val'
+         WHEN ({_HASH_SQL.format(col='source')}) % 1000 < 1000 THEN 'test'
+       END AS split
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -8406,6 +8427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_salience": _entity_salience,
         "kg_coref_pronouns": _kg_coref_pronouns,
         "kg_expectations": _kg_expectations,
+        "corpus_group_split": _corpus_group_split,
         "substring_dup_spans": _substring_dup_spans,
         "kg_ktruss": _kg_ktruss,
         "kg_entity_bursts": _kg_entity_bursts,
@@ -8581,6 +8603,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_node2vec_walks": _kg_node2vec_walks_sql(),
         "kg_coref_pronouns": _KG_COREF_SQL,
         "kg_expectations": _KG_EXPECTATIONS_SQL,
+        "corpus_group_split": _GROUP_SPLIT_SQL,
         "nb_quality_filter": _NB_SQL,
         "text_doc_frequency": _DOC_FREQ_SQL,
         "stratified_sample": _STRAT_SAMPLE_SQL,
