@@ -8311,6 +8311,72 @@ FROM documents
 """
 
 
+def _robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap autodiscovery from robots.txt (operators/robots.
+    extract_sitemap_urls): one robots body per user with entries in
+    zero-padded event order plus directive noise; oracle analytic."""
+    from deepee_spark.operators.robots import extract_sitemap_urls
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    line = F.concat(
+        F.lit("Sitemap: https://h"), F.col("user_id").cast("string"),
+        F.lit(".ex/s"), F.lpad(F.col("event_id").cast("string"), 8, "0"),
+        F.lit(".xml"),
+    )
+    robots = (
+        ev.select(F.col("user_id"), line.alias("l"))
+        .groupBy("user_id")
+        .agg(F.array_join(F.sort_array(F.collect_list("l")), "\n").alias("b"))
+        .select(
+            F.concat(F.lit("h"), F.col("user_id").cast("string")).alias(
+                "host"
+            ),
+            F.concat(F.lit("User-agent: *\nDisallow: /x\n"), F.col("b"),
+                     F.lit("\nAllow: /\n")).alias("body"),
+        )
+    )
+    return extract_sitemap_urls(robots)
+
+
+_ROBOTS_SITEMAPS_SQL = """
+SELECT 'h' || CAST(user_id AS VARCHAR) AS host,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+            - 1 AS INT) AS idx,
+       'https://h' || CAST(user_id AS VARCHAR) || '.ex/s'
+         || lpad(CAST(event_id AS VARCHAR), 8, '0') || '.xml'
+         AS sitemap_url
+FROM events WHERE user_id < 40
+"""
+
+
+def _textstats_script_classes():
+    from deepee_spark.operators.textstats import _SCRIPT_CLASSES
+
+    return _SCRIPT_CLASSES
+
+
+def _text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script triage histogram (operators/textstats.
+    script_profile) over the documents table; the oracle replays the
+    same coarse ranges with RE2."""
+    from deepee_spark.operators.textstats import script_profile
+
+    return script_profile(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).drop("text")
+
+
+_SCRIPT_PROFILE_SQL = f"""
+SELECT doc_id,
+{", ".join(
+    f"       CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_{n}"
+    for n, p in _textstats_script_classes()
+)},
+       CAST(length(text) AS BIGINT) AS n_chars_total
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -8428,6 +8494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_coref_pronouns": _kg_coref_pronouns,
         "kg_expectations": _kg_expectations,
         "corpus_group_split": _corpus_group_split,
+        "robots_sitemaps": _robots_sitemaps,
+        "text_script_profile": _text_script_profile,
         "substring_dup_spans": _substring_dup_spans,
         "kg_ktruss": _kg_ktruss,
         "kg_entity_bursts": _kg_entity_bursts,
@@ -8604,6 +8672,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_coref_pronouns": _KG_COREF_SQL,
         "kg_expectations": _KG_EXPECTATIONS_SQL,
         "corpus_group_split": _GROUP_SPLIT_SQL,
+        "robots_sitemaps": _ROBOTS_SITEMAPS_SQL,
+        "text_script_profile": _SCRIPT_PROFILE_SQL,
         "nb_quality_filter": _NB_SQL,
         "text_doc_frequency": _DOC_FREQ_SQL,
         "stratified_sample": _STRAT_SAMPLE_SQL,

@@ -135,3 +135,21 @@ joined AS (
 SELECT url, host, coalesce(max(w).a, TRUE) AS allowed
 FROM joined GROUP BY url, host
 """
+
+
+def extract_sitemap_urls(
+    robots: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """robots.txt bodies -> (host, sitemap_url): the `Sitemap:` lines
+    (sitemaps.org autodiscovery — the protocol's third seed channel
+    beside links and known sitemap paths). Case-insensitive directive,
+    value trimmed, one row per occurrence in file order; the output
+    feeds operators/sitemaps.parse_sitemaps / parse_sitemap_index.
+    Pure regexp + explode, zero shuffle."""
+    urls = F.regexp_extract_all(
+        F.col(body_col), F.lit(r"(?im)^\s*sitemap\s*:\s*(\S+)\s*$"), F.lit(1)
+    )
+    return (
+        robots.select(F.col(host_col).alias("host"), urls.alias("_u"))
+        .select("host", F.posexplode("_u").alias("idx", "sitemap_url"))
+    )

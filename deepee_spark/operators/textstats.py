@@ -344,3 +344,29 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.round(F.avg("logp"), 6).alias("mean_logp"),
     )
+
+
+# Unicode script ranges for the triage profile (coarse, public ranges).
+_SCRIPT_CLASSES = [
+    ("latin", r"[A-Za-z]"),
+    ("cjk", r"[一-鿿぀-ヿ가-힯]"),
+    ("cyrillic", r"[Ѐ-ӿ]"),
+    ("arabic", r"[؀-ۿ]"),
+    ("digit", r"[0-9]"),
+]
+
+
+def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Coarse Unicode-script histogram per doc — the triage signal in
+    front of language ID (a page that is 90% CJK never reaches the
+    Latin n-gram models). Adds n_<class> counts plus n_chars_total;
+    pure regexp_count columns, zero shuffle."""
+    out = df
+    for name, pat in _SCRIPT_CLASSES:
+        out = out.withColumn(
+            f"n_{name}",
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("long"),
+        )
+    return out.withColumn(
+        "n_chars_total", F.length(F.col(text_col)).cast("long")
+    )

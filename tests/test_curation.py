@@ -48,3 +48,15 @@ def test_mixture_rates_allocation_and_sampling(spark):
 
     with _pytest.raises(ValueError):
         mixture_rates(df, "source", "score", -1)
+
+
+def test_script_profile(spark):
+    from deepee_spark.operators.textstats import script_profile
+
+    df = spark.createDataFrame(
+        [(1, "Hello 世界 Привет مرحبا 42")], "doc_id long, text string"
+    )
+    r = script_profile(df).collect()[0]
+    assert r.n_latin == 5 and r.n_cjk == 2 and r.n_cyrillic == 6
+    assert r.n_arabic == 5 and r.n_digit == 2
+    assert r.n_chars_total == len("Hello 世界 Привет مرحبا 42")

@@ -119,3 +119,19 @@ def test_no_url_side_window(spark):
         .toString()
     )
     assert "Window" not in plan, plan
+
+
+def test_extract_sitemap_urls(spark):
+    from deepee_spark.operators.robots import extract_sitemap_urls
+
+    body = ("User-agent: *\nDisallow: /private\n"
+            "Sitemap: https://a.ex/s1.xml\n"
+            "  SITEMAP:https://a.ex/s2.xml  \n"
+            "NotSitemap: https://a.ex/no.xml\n")
+    df = spark.createDataFrame([("a.ex", body), ("b.ex", "Disallow: /")],
+                               "host string, body string")
+    rows = extract_sitemap_urls(df).orderBy("host", "idx").collect()
+    assert [(r.host, r.idx, r.sitemap_url) for r in rows] == [
+        ("a.ex", 0, "https://a.ex/s1.xml"),
+        ("a.ex", 1, "https://a.ex/s2.xml"),
+    ]
