@@ -36,6 +36,30 @@ from pyspark.sql import functions as F
 META = "_meta.json"
 
 
+
+# Join-key columns that get parquet bloom filters when present: the
+# rewrite/anti-join/point-lookup paths (rewrite_stale_canonicals,
+# frontier admission, mh_bands probes) filter on these, and a row-group
+# bloom filter lets the scan skip groups without reading the column —
+# the Iceberg/parquet file-layout lever for 10^12-row tables. Advisory:
+# readers that ignore bloom filters are unaffected.
+_BLOOM_COLS = ("url", "subj", "obj", "entity_id", "band_key")
+
+
+def _with_bloom_filters(writer, columns):
+    tagged = False
+    for c in _BLOOM_COLS:
+        if c in columns:
+            writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+            tagged = True
+    if tagged:
+        # cap the per-chunk filter at 128 KiB (parquet-mr defaults to
+        # 1 MiB = 1M-NDV sizing; snapshot tables here are partitioned
+        # by day/url-hash so per-file NDV is far below that)
+        writer = writer.option("parquet.bloom.filter.max.bytes", str(128 * 1024))
+    return writer
+
+
 class StageCatalog:
     def __init__(self, root: str, run_id: str | None = None):
         self.root = root
@@ -163,7 +187,9 @@ class StageCatalog:
         tdir = self._table_dir(name)
         os.makedirs(tdir, exist_ok=True)
         tmp = os.path.join(tdir, f".tmp-{uuid.uuid4().hex[:8]}")
-        writer = stamped.write.mode("overwrite")
+        writer = _with_bloom_filters(
+            stamped.write.mode("overwrite"), df.columns
+        )
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(tmp)
@@ -390,7 +416,9 @@ class StageCatalog:
         )
         tdir = self._table_dir(name)
         tmp = os.path.join(tdir, f".tmp-{uuid.uuid4().hex[:8]}")
-        writer = stamped.write.mode("overwrite")
+        writer = _with_bloom_filters(
+            stamped.write.mode("overwrite"), delta.columns
+        )
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(tmp)
