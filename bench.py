@@ -14,6 +14,19 @@ from __future__ import annotations
 
 import json
 import os
+
+# BLAS thread pin MUST precede any numpy import (pyspark/pandas pull it
+# in transitively): os.environ.setdefault inside _gemm_probe is a no-op
+# once OpenBLAS has initialized its pool, and the probe then measures a
+# MULTI-threaded gemm — observed in-process readings of 179-454/s while
+# fresh single-threaded processes measured ~50/s on the same host. The
+# §0 calibration is defined single-thread; emitted host_gemm_per_s
+# values from rounds before this fix are multi-threaded when the bench
+# process touched numpy first (BENCH/BASELINE.md §0 caveat).
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+os.environ.setdefault("MKL_NUM_THREADS", "1")
+
 import sys
 import tempfile
 import time
