@@ -8377,6 +8377,46 @@ FROM documents
 """
 
 
+def _ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    — public): documents ranked by the unigram-LM quality proxy
+    (operators/textstats.unigram_logprob, already 6dp-exact cross-
+    engine) via the TWO-LEVEL ranked_cumsum (no single-partition
+    window), then cut into integer-exact terciles — rank*3 <= n is
+    head (most fluent), <= 2n middle, else tail. The standard corpus
+    curriculum: sample head-heavy, audit the tail."""
+    from deepee_spark.operators.metrics import ranked_cumsum
+    from deepee_spark.operators.textstats import unigram_logprob
+
+    lp = unigram_logprob(_t(spark, sf_dir, "documents"))
+    ranked = ranked_cumsum(lp, "mean_logp", ["doc_id"], [])
+    n_total = lp.count()
+    bucket = (
+        F.when(F.col("rank") * 3 <= n_total, F.lit("head"))
+        .when(F.col("rank") * 3 <= 2 * n_total, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return ranked.select(
+        "doc_id", "mean_logp", F.col("rank").cast("long").alias("rank"),
+        bucket.alias("bucket"),
+    )
+
+
+_CCNET_BUCKETS_SQL = f"""
+WITH lp AS ({{unigram}}),
+n AS (SELECT COUNT(*) AS n FROM lp),
+r AS (
+  SELECT doc_id, mean_logp,
+         ROW_NUMBER() OVER (ORDER BY mean_logp DESC, doc_id) AS rnk
+  FROM lp)
+SELECT doc_id, mean_logp, CAST(rnk AS BIGINT) AS rank,
+       CASE WHEN rnk * 3 <= n.n THEN 'head'
+            WHEN rnk * 3 <= 2 * n.n THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM r, n
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -8496,6 +8536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_group_split": _corpus_group_split,
         "robots_sitemaps": _robots_sitemaps,
         "text_script_profile": _text_script_profile,
+        "ccnet_buckets": _ccnet_buckets,
         "substring_dup_spans": _substring_dup_spans,
         "kg_ktruss": _kg_ktruss,
         "kg_entity_bursts": _kg_entity_bursts,
@@ -8674,6 +8715,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_group_split": _GROUP_SPLIT_SQL,
         "robots_sitemaps": _ROBOTS_SITEMAPS_SQL,
         "text_script_profile": _SCRIPT_PROFILE_SQL,
+        "ccnet_buckets": _CCNET_BUCKETS_SQL.format(unigram=_UNIGRAM_SQL),
         "nb_quality_filter": _NB_SQL,
         "text_doc_frequency": _DOC_FREQ_SQL,
         "stratified_sample": _STRAT_SAMPLE_SQL,
