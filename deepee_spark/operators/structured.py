@@ -35,7 +35,8 @@ JSON-LD (``jsonld_triples``):
     Spark's StringType capture rule, mirrored by the oracle).
 
 Microdata (``microdata_triples``), flat-item model:
-  - every open tag carrying ``itemscope`` AND ``itemtype="..."``
+  - every open tag carrying ``itemscope`` AND ``itemtype="..."`` (in
+    either attribute order — the html is normalized before extraction)
     starts a new item; everything up to the next such tag (or end of
     page) is its segment — nesting deliberately flattens (documented
     approximation; exact microdata trees need a DOM, which a 100 TB
@@ -43,7 +44,9 @@ Microdata (``microdata_triples``), flat-item model:
   - subject = ``url#item<idx>``; each item emits (subj, 'a', itemtype);
   - within a segment, ``itemprop="p" ... content="v"`` attributes bind
     p -> v (meta/link style), and ``<tag itemprop="p">text</tag>``
-    pairs bind p -> tag-stripped collapsed inner text;
+    pairs bind p -> tag-stripped collapsed inner text — the inner-text
+    rule skips tags that carry ``content=`` so a content-bearing tag
+    with stray inner text never double-emits;
   - empty values are dropped.
 
 Page metadata (``page_metadata``): one row per page with the classic
@@ -65,7 +68,14 @@ _LDJSON_RE = (
 )
 
 # --- microdata ---------------------------------------------------------
-# open tag with itemscope and an itemtype attribute, in either order
+# open tag with itemscope and an itemtype attribute. The capture pattern
+# requires itemscope BEFORE itemtype; either-order support comes from
+# _ITEMSCOPE_NORM_RE, which rewrites `<tag ... itemscope...>` so the
+# itemscope token sits immediately after the tag name before extraction
+# (a plain capture-group alternation can't share one group index across
+# both orders, and per-tag re-extraction would need a lambda HOF — see
+# the module-docstring pyspark 4.1.2 caveat).
+_ITEMSCOPE_NORM_RE = r"(?si)<(\w+)([^>]*?)\s+itemscope\b"
 _ITEMSCOPE_RE = (
     r"""(?si)<\w+[^>]*\bitemscope\b[^>]*\bitemtype=['"]([^'"]+)['"][^>]*>"""
 )
@@ -77,11 +87,20 @@ _PROP_CONTENT_V = (
     r"""(?si)<\w+[^>]*\bitemprop=['"][^'"]+['"][^>]*\bcontent="""
     r"""['"]([^'"]*)['"][^>]*>"""
 )
+# inner-text patterns must NOT also fire on content=-bearing tags: the
+# [^>]* spans would otherwise cross a content attribute, double-emitting
+# `p -> stray inner text` beside the content binding whenever such a tag
+# has non-empty inner text. Java regex (Spark-side only; the oracles are
+# fixture-replays, not regex) supports the tempered scan
+# (?:(?!\bcontent=)[^>])* that walks the tag while refusing content=.
+_NO_CONTENT = r"""(?:(?!\bcontent=)[^>])*"""
 _PROP_TEXT_K = (
-    r"""(?si)<(?:\w+)[^>]*\bitemprop=['"]([^'"]+)['"][^>]*>[^<]*</"""
+    r"""(?si)<\w+""" + _NO_CONTENT
+    + r"""\bitemprop=['"]([^'"]+)['"]""" + _NO_CONTENT + r""">[^<]*</"""
 )
 _PROP_TEXT_V = (
-    r"""(?si)<(?:\w+)[^>]*\bitemprop=['"][^'"]+['"][^>]*>([^<]*)</"""
+    r"""(?si)<\w+""" + _NO_CONTENT
+    + r"""\bitemprop=['"][^'"]+['"]""" + _NO_CONTENT + r""">([^<]*)</"""
 )
 
 # --- head metadata -----------------------------------------------------
@@ -179,8 +198,15 @@ def microdata_triples(
     model above. split() on the itemscope open tag yields segments;
     regexp_extract_all on the SAME pattern yields the itemtypes; the
     two arrays zip positionally (segment i+1 follows itemscope tag i).
-    All narrow; the only explode is per item / per property."""
-    html = _html_str(docs, html_col)
+    All narrow; the only explode is per item / per property.
+
+    Attribute order: the html is first normalized so the itemscope
+    token sits right after the tag name (_ITEMSCOPE_NORM_RE), making
+    ``<div itemtype="..." itemscope>`` equivalent to
+    ``<div itemscope itemtype="...">``."""
+    html = F.regexp_replace(
+        _html_str(docs, html_col), _ITEMSCOPE_NORM_RE, "<$1 itemscope$2"
+    )
     types_arr = F.regexp_extract_all(html, F.lit(_ITEMSCOPE_RE), F.lit(1))
     segs_arr = F.split(html, _ITEMSCOPE_RE)
     base = docs.select(
@@ -219,9 +245,9 @@ def microdata_triples(
             F.col("_p.k").alias("pred"), F.col("_p.v").alias("obj"),
         )
     )
-    # inner-text properties (simple <tag itemprop=..>text</tag> pairs,
-    # no content= attr on the same tag — content tags carry no captured
-    # inner text in the pattern, so the two families don't double-emit)
+    # inner-text properties (simple <tag itemprop=..>text</tag> pairs;
+    # the tempered _NO_CONTENT spans refuse content=-bearing open tags,
+    # so the two families can never double-emit)
     tk = F.regexp_extract_all(F.col("_seg"), F.lit(_PROP_TEXT_K), F.lit(1))
     tv = F.regexp_extract_all(F.col("_seg"), F.lit(_PROP_TEXT_V), F.lit(1))
     text_rows = (

@@ -236,10 +236,17 @@ def node2vec_walks(
     edge set on (prev, dst) for the triangle flag; the cum-weight
     window partitions by (start, walk) — per-frontier-row groups of
     outdeg rows, never a global window."""
-    if p < 1 or q < 1:
+    # isinstance checks, not just bounds: the q : p*q : p scheme is
+    # integer-exact by contract — a float p=1.5 would silently truncate
+    # through cast('long') and skew the bias without any error
+    if not (isinstance(p, int) and isinstance(q, int)) or p < 1 or q < 1:
         raise ValueError("p and q must be positive integers")
-    if walks_per_node < 1 or length < 1:
-        raise ValueError("walks_per_node and length must be >= 1")
+    if (
+        not (isinstance(walks_per_node, int) and isinstance(length, int))
+        or walks_per_node < 1
+        or length < 1
+    ):
+        raise ValueError("walks_per_node and length must be positive integers")
     from pyspark.sql import Window as W
 
     n_parts = edges.sparkSession.sparkContext.defaultParallelism

@@ -542,8 +542,11 @@ class Pipeline:
         return df
 
     def run(self, documents: DataFrame, input_fingerprint: str, resume: bool = True) -> DataFrame:
-        # v2: web-table attr triples joined the graph (round 3)
-        fp = lambda s: f"{input_fingerprint}/{s}/v2"  # noqa: E731
+        # v3: facts_from gained JSON-LD triples (round 4) — bumped so a
+        # resume against a pre-JSON-LD warehouse re-runs instead of
+        # silently skipping on fingerprint match and emitting triples
+        # with no ld: facts (v2 was the round-3 web-table bump)
+        fp = lambda s: f"{input_fingerprint}/{s}/v3"  # noqa: E731
         cat, spark = self.catalog, self.spark
         n_parts = self.shuffle_parts or spark.sparkContext.defaultParallelism
 
@@ -717,7 +720,8 @@ class Pipeline:
         rewrite pattern — see streaming/ingest.py's module docstring);
         the changed-mapping set needed to target that rewrite is exactly
         canonicalize_incremental's touched components."""
-        fp = f"{input_fingerprint}/triples/v2"
+        # v3: same JSON-LD bump as run() — see the fp note there
+        fp = f"{input_fingerprint}/triples/v3"
         cat, spark = self.catalog, self.spark
         # history scan, NOT is_current: an append is not idempotent, and
         # a drop replayed after ANY later triples commit (next drop, or
@@ -1264,7 +1268,9 @@ class Pipeline:
         aggregate-and-write jobs over the final table, never a kernel
         recompute; same fingerprint contract as any stage, so resume
         skips them when current."""
-        fp = lambda s: f"{input_fingerprint}/{s}/v2"  # noqa: E731
+        # v3: tracks the triples fingerprint bump (JSON-LD facts change
+        # the derived node/edge sets under the same input fingerprint)
+        fp = lambda s: f"{input_fingerprint}/{s}/v3"  # noqa: E731
         nodes = self._stage(
             "nodes",
             fp("nodes"),

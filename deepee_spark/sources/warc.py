@@ -11,9 +11,14 @@ the oracle):
 
 - ``parse_warc_bytes(data) -> list[dict]`` — the single canonical pure
   parser (bytes in, records out), used by both the Spark path and the
-  tests' reference path. Strict on structure (a record with a
-  malformed version line or missing Content-Length ends the scan —
-  truncated tail records are dropped, never half-parsed), tolerant on
+  tests' reference path. Strict per record, resilient per file: a
+  malformed record (bad version line, missing/invalid Content-Length,
+  or a declared length that overruns the buffer) is skipped by
+  RESYNCING to the next ``CRLF WARC/`` magic — real Common-Crawl WARCs
+  contain isolated corrupt records mid-file, and one bad record must
+  cost only its own span, never the file's whole tail. Skipped byte
+  spans are reported via the optional ``dropped`` out-list. A record
+  truncated by end-of-file is dropped, never half-parsed. Tolerant on
   content (any header set, any payload bytes).
 - ``read_warc(spark, paths)`` — ``spark.read.format("binaryFile")``
   over whole .warc files, then ``mapInPandas`` applying the parser
@@ -39,28 +44,46 @@ from pyspark.sql import types as T
 _CRLF = b"\r\n"
 
 
-def parse_warc_bytes(data: bytes | None) -> list[dict]:
-    """Canonical pure parser: WARC bytes -> record dicts."""
+def parse_warc_bytes(
+    data: bytes | None, dropped: list[tuple[int, int]] | None = None
+) -> list[dict]:
+    """Canonical pure parser: WARC bytes -> record dicts.
+
+    Malformed records resync to the next ``CRLF WARC/`` magic instead
+    of aborting the file (see module docstring); pass ``dropped`` to
+    collect the skipped (start, end) byte spans."""
     out: list[dict] = []
     if not data:
         return out
     pos = 0
     n = len(data)
+
+    def skip_bad(rec_start: int, search_from: int) -> int:
+        nxt = data.find(_CRLF + b"WARC/", search_from)
+        end = nxt + 2 if nxt >= 0 else n
+        if dropped is not None:
+            dropped.append((rec_start, end))
+        return end
+
     while pos < n:
         # skip inter-record CRLFs
         while data.startswith(_CRLF, pos):
             pos += 2
         if pos >= n:
             break
+        rec_start = pos
         eol = data.find(_CRLF, pos)
         if eol < 0 or not data[pos:eol].startswith(b"WARC/"):
-            break
+            pos = skip_bad(rec_start, pos)
+            continue
         pos = eol + 2
         headers: dict[str, str] = {}
+        truncated = False
         while True:
             eol = data.find(_CRLF, pos)
             if eol < 0:
-                return out  # truncated header block
+                truncated = True  # header block cut by end-of-file
+                break
             line = data[pos:eol]
             pos = eol + 2
             if not line:
@@ -70,12 +93,21 @@ def parse_warc_bytes(data: bytes | None) -> list[dict]:
                 headers[k.decode("ascii", "replace").strip().lower()] = (
                     v.decode("utf-8", "replace").strip()
                 )
+        if truncated:
+            if dropped is not None:
+                dropped.append((rec_start, n))
+            break
         try:
             length = int(headers["content-length"])
         except (KeyError, ValueError):
-            return out
+            pos = skip_bad(rec_start, pos)
+            continue
         if pos + length > n:
-            return out  # truncated payload
+            # declared length overruns the buffer: either a truncated
+            # tail (resync finds nothing, scan ends) or a corrupt
+            # length field (resync recovers the following records)
+            pos = skip_bad(rec_start, pos)
+            continue
         payload = data[pos : pos + length]
         pos = pos + length
         rec = {

@@ -1379,3 +1379,20 @@ def test_node2vec_walks_bruteforce_oracle_and_degeneracy(spark):
         for r in random_walks(df, walks_per_node=2, length=4).collect()
     }
     assert n2v == rw
+
+
+def test_node2vec_rejects_non_integer_bias(spark):
+    # ADVICE r3: float p/q would silently truncate through cast('long')
+    import pytest as _pytest
+    from deepee_spark.operators.walks import node2vec_walks
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    for kwargs in (
+        {"p": 1.5, "q": 1}, {"p": 1, "q": 2.0}, {"p": 0, "q": 1},
+        {"p": 1, "q": 1, "walks_per_node": 1.0},
+        {"p": 1, "q": 1, "length": 2.5},
+    ):
+        with _pytest.raises(ValueError):
+            node2vec_walks(df, **kwargs)

@@ -107,3 +107,42 @@ def test_page_metadata_absent_fields(spark):
     row = page_metadata(_docs(spark, [("u1", "<p>x</p>")])).collect()[0]
     assert row.title == "" and row.canonical_url == ""
     assert row.robots_noindex is False and row.n_hreflang == 0
+
+
+_MD_REVERSED_PAGE = """<html><body>
+<div itemtype="https://schema.org/Person" itemscope>
+  <span itemprop="name">Grace Hopper</span>
+</div>
+<article itemscope itemtype="https://schema.org/Article">
+  <h1 itemprop="headline">Compilers</h1>
+</article>
+</body></html>"""
+
+_MD_STRAY_TEXT_PAGE = """<html><body>
+<div itemscope itemtype="https://schema.org/Person">
+  <meta itemprop="birthDate" content="1815-12-10">stray text</meta>
+  <span itemprop="name">Ada</span>
+</div>
+</body></html>"""
+
+
+def test_microdata_itemtype_before_itemscope(spark):
+    # ADVICE r3: <div itemtype="..." itemscope> must start an item too
+    out = microdata_triples(_docs(spark, [("u1", _MD_REVERSED_PAGE)]))
+    rows = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert ("u1#item0", "a", "https://schema.org/Person") in rows
+    assert ("u1#item0", "name", "Grace Hopper") in rows
+    assert ("u1#item1", "a", "https://schema.org/Article") in rows
+    assert ("u1#item1", "headline", "Compilers") in rows
+    assert len(rows) == 4
+
+
+def test_microdata_content_tag_stray_text_no_double_emit(spark):
+    # ADVICE r3: a content=-bearing tag with non-empty inner text must
+    # emit ONLY the content binding, never p -> stray inner text
+    out = microdata_triples(_docs(spark, [("u1", _MD_STRAY_TEXT_PAGE)]))
+    rows = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert ("u1#item0", "birthDate", "1815-12-10") in rows
+    assert not any(o == "stray text" for (_, _, o) in rows)
+    assert ("u1#item0", "name", "Ada") in rows
+    assert len(rows) == 3

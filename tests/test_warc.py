@@ -61,9 +61,32 @@ def test_truncated_and_malformed():
     assert len(cut) == 2
     assert parse_warc_bytes(b"") == []
     assert parse_warc_bytes(b"not a warc\r\n\r\n") == []
-    # missing Content-Length ends the scan
+    # missing Content-Length drops the record (nothing to resync to)
     bad = b"WARC/1.0\r\nWARC-Type: response\r\n\r\n"
     assert parse_warc_bytes(bad) == []
+
+
+def test_malformed_record_resyncs_to_tail():
+    # ADVICE r3: one corrupt record mid-file must not cost the tail
+    recs, _ = _recs()
+    good = write_warc_bytes(recs)  # 3 records
+    corrupt = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"Content-Length: notanumber\r\n\r\njunk junk\r\n\r\n"
+    )
+    dropped: list = []
+    out = parse_warc_bytes(corrupt + good, dropped)
+    assert len(out) == 3
+    assert [r["target_uri"] for r in out] == [r["target_uri"] for r in recs]
+    assert len(dropped) == 1 and dropped[0][0] == 0
+    # corrupt length field that overruns into the next record: resync
+    # recovers everything after the bad record
+    bad_len = write_warc_bytes([recs[0]]).replace(
+        b"Content-Length: " + str(len(recs[0]["payload"])).encode(),
+        b"Content-Length: 99999", 1)
+    dropped2: list = []
+    out2 = parse_warc_bytes(bad_len + good, dropped2)
+    assert len(out2) == 3 and len(dropped2) == 1
 
 
 def test_read_warc_spark(spark, tmp_path):
