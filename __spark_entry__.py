@@ -8417,128 +8417,351 @@ FROM r, n
 """
 
 
+def _j12_salted_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12 alias-dictionary linking over the NON-broadcast k-way salted
+    shuffle join (operators/linking.link_mentions broadcast_aliases=
+    False -> operators/skew.salted_join) — the web-scale shape where
+    the KB alias table no longer fits an executor and head-entity skew
+    would otherwise lop the shuffle. Fixture: every event is a mention
+    whose surface is its event_type plus a digit suffix (event_type IS
+    the skewed head key — five types own the whole table); the alias
+    dictionary carries two case-variant aliases per type whose SC6-
+    normalized forms collide, exercising the per-norm
+    max_by(prior, entity_id) pick. fuzzy=False isolates the exact
+    salted path. Reference anchor: DMCNN tensor_argument.py:21-35
+    (the mid_vocabulary alias-lookup contract)."""
+    from deepee_spark.operators.linking import link_mentions
+
+    ev = _t(spark, sf_dir, "events")
+    mentions = ev.select(
+        F.col("event_id").alias("mention_id"),
+        F.concat(
+            F.col("event_type"), F.lit("-"),
+            (F.col("event_id") % 10).cast("string"),
+        ).alias("surface"),
+    )
+    types = ev.select("event_type").distinct()
+    aliases = types.select(
+        F.concat(F.col("event_type"), F.lit("-0")).alias("alias"),
+        F.concat(F.lit("ent_"), F.col("event_type")).alias("entity_id"),
+        F.lit(0.9).alias("prior"),
+    ).unionByName(
+        types.select(
+            F.concat(F.upper("event_type"), F.lit("-0")).alias("alias"),
+            F.concat(
+                F.lit("ent_"), F.col("event_type"), F.lit("_alt")
+            ).alias("entity_id"),
+            F.lit(0.8).alias("prior"),
+        )
+    )
+    out = link_mentions(mentions, aliases, fuzzy=False,
+                        broadcast_aliases=False)
+    return out.select(
+        "mention_id", "surface", "entity_id",
+        F.round("link_score", 6).alias("link_score"), "link_method",
+    )
+
+
+_J12_SALTED_SQL = """
+WITH m AS (
+  SELECT event_id AS mention_id,
+         event_type || '-' || CAST(event_id % 10 AS VARCHAR) AS surface,
+         regexp_replace(
+           lower(event_type || '-' || CAST(event_id % 10 AS VARCHAR)),
+           '[0-9]', '0', 'g') AS norm
+  FROM events),
+t AS (SELECT DISTINCT event_type FROM events),
+a AS (
+  SELECT event_type || '-0' AS alias,
+         'ent_' || event_type AS entity_id,
+         CAST(0.9 AS DOUBLE) AS prior FROM t
+  UNION ALL
+  SELECT upper(event_type) || '-0', 'ent_' || event_type || '_alt',
+         CAST(0.8 AS DOUBLE) FROM t),
+an AS (
+  SELECT regexp_replace(lower(alias), '[0-9]', '0', 'g') AS norm,
+         entity_id, prior FROM a),
+a_best AS (
+  SELECT norm, entity_id, prior FROM (
+    SELECT norm, entity_id, prior,
+           ROW_NUMBER() OVER (PARTITION BY norm
+                              ORDER BY prior DESC, entity_id DESC) AS rn
+    FROM an) WHERE rn = 1)
+SELECT m.mention_id, m.surface, b.entity_id,
+       ROUND(b.prior, 6) AS link_score, 'exact' AS link_method
+FROM m JOIN a_best b USING (norm)
+"""
+
+
+def _wordpiece_file_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenization against a FILE-loaded vocab (functions/
+    wordpiece.load_vocab_file — the reference's vocab.txt one-piece-
+    per-line format, QAEE pytorch_pretrained_bert/tokenization.py
+    load_vocab). The vocab file is written deterministically from the
+    table's own event-type strings (4-char stem + ## remainder per
+    type), so greedy longest-match tokenization is exactly the
+    stem/remainder split the oracle replays."""
+    import os
+    import tempfile
+
+    from deepee_spark.functions.wordpiece import (
+        UNK_TOKEN,
+        load_vocab_file,
+        wordpiece_udf,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    types = sorted(
+        r[0] for r in ev.select("event_type").distinct().collect()
+    )
+    pieces = [UNK_TOKEN]
+    for et in types:
+        pieces.append(et[:4])
+        if len(et) > 4:
+            pieces.append("##" + et[4:])
+    path = os.path.join(
+        tempfile.gettempdir(), "deepee_vocab_fixture.txt"
+    )
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(pieces) + "\n")
+    vocab = load_vocab_file(path)
+    tok = wordpiece_udf(vocab)(F.col("event_type"))
+    return ev.select(
+        "event_id", "event_type", tok.alias("_t")
+    ).select(
+        "event_id", "event_type",
+        F.array_join(F.col("_t.sub_tokens"), " ").alias("pieces"),
+    )
+
+
+_WORDPIECE_FILE_SQL = """
+SELECT event_id, event_type,
+       CASE WHEN length(event_type) > 4
+            THEN substr(event_type, 1, 4) || ' ##' || substr(event_type, 5)
+            ELSE event_type END AS pieces
+FROM events WHERE event_id < 3000
+"""
+
+
+def _rcee_anchor_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RCEE ±k-token trigger-context windows (operators/chunking.
+    anchor_windows; reference RCEE/QuestionGeneration/
+    data_preparation.py:8-26 generate_context — the last reference
+    file the SURVEY inventory had not covered). Anchor spans derive
+    from doc_id so start/length/clamping all vary: starts beyond the
+    token count exercise the empty-window edge."""
+    from deepee_spark.operators.chunking import anchor_windows
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 11).alias("anchor_start"),
+        (F.col("doc_id") % 11 + 1 + F.col("doc_id") % 3).alias(
+            "anchor_end"
+        ),
+        "text",
+    )
+    return anchor_windows(docs, before=5, after=5)
+
+
+def _rcee_anchor_windows_sql() -> str:
+    from deepee_spark.operators.chunking import anchor_windows_oracle_sql
+
+    return anchor_windows_oracle_sql(
+        "SELECT doc_id, doc_id % 11 AS anchor_start, "
+        "doc_id % 11 + 1 + doc_id % 3 AS anchor_end, text FROM documents",
+        before=5,
+        after=5,
+    )
+
+
+def _rcee_question_stems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RCEE question-stem filtering (operators/chunking.question_stems;
+    reference data_preparation.py:29-48 generate_question — the
+    'What/Who is/are the' and 'Where/When' SQuAD template rules).
+    Fixture: five question templates keyed by event_id covering rule A,
+    rule B, a no-match wh-word, and the case-sensitivity edge."""
+    from deepee_spark.operators.chunking import question_stems
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 4000)
+    variant = F.col("event_id") % 5
+    et = F.col("event_type")
+    eid = F.col("event_id").cast("string")
+    q = (
+        F.when(variant == 0,
+               F.concat(F.lit("What is the "), et, F.lit(" of "), eid))
+        .when(variant == 1,
+              F.concat(F.lit("Who are the "), et, F.lit(" holders")))
+        .when(variant == 2,
+              F.concat(F.lit("Where is the "), et, F.lit(" recorded")))
+        .when(variant == 3,
+              F.concat(F.lit("When did the "), et, F.lit(" happen")))
+        .otherwise(F.concat(F.lit("what is the "), et))
+    )
+    base = ev.select(F.col("event_id").alias("q_id"), q.alias("question"))
+    return question_stems(base)
+
+
+def _rcee_question_stems_sql() -> str:
+    from deepee_spark.operators.chunking import question_stems_oracle_sql
+
+    src = """
+SELECT event_id AS q_id,
+       CASE event_id % 5
+         WHEN 0 THEN 'What is the ' || event_type || ' of '
+                     || CAST(event_id AS VARCHAR)
+         WHEN 1 THEN 'Who are the ' || event_type || ' holders'
+         WHEN 2 THEN 'Where is the ' || event_type || ' recorded'
+         WHEN 3 THEN 'When did the ' || event_type || ' happen'
+         ELSE 'what is the ' || event_type
+       END AS question
+FROM events WHERE event_id < 4000
+"""
+    return question_stems_oracle_sql(src)
+
+
+# non-uniform CRF transitions for the m2 Viterbi oracle — deliberately
+# asymmetric so the decoded path differs from per-step emission argmax
+_M2_TRANS = [[0, 4, -3], [2, 0, 5], [-1, 3, 0]]
+_M2_LEN, _M2_LABELS = 4, 3
+
+
+def _m2_viterbi_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi decode under LEARNED-style NON-uniform transitions
+    (kernels/bilstm.viterbi_decode) — the r3 verdict's gap: the
+    pipeline decode runs uniform transitions (== the reference's
+    per-token argmax, EEGCN main.py:93-100), so the Viterbi recurrence
+    itself had only a pytest brute-force oracle. Here emissions are an
+    integer-exact hash of (event_id, step, label) and the transition
+    matrix is asymmetric; the DuckDB twin enumerates ALL 3^4 label
+    paths and replays numpy's tie-break exactly (Viterbi's backward
+    reconstruction picks, among maximal-score paths, the lexicographic
+    minimum reading labels from the LAST step backwards — argmax
+    first-occurrence at every backpointer)."""
+    import numpy as np
+    import pandas as pd
+
+    from deepee_spark.kernels.bilstm import viterbi_decode
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2500)
+    trans = np.array(_M2_TRANS, dtype=np.float64)
+    L, C = _M2_LEN, _M2_LABELS
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["event_id"].to_numpy(np.int64)
+            t_idx = np.arange(L)[None, :, None]
+            c_idx = np.arange(C)[None, None, :]
+            em = (ids[:, None, None] * 31 + t_idx * 7 + c_idx * 13) % 97
+            path = viterbi_decode(em.astype(np.float64), trans)
+            b = np.arange(len(ids))[:, None]
+            total = em[b, np.arange(L)[None, :], path].sum(axis=1) + (
+                trans[path[:, :-1], path[:, 1:]].sum(axis=1)
+            ).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "event_id": ids,
+                    "path": ["-".join(map(str, p)) for p in path],
+                    "total": total,
+                }
+            )
+
+    return ev.select("event_id").mapInPandas(
+        run, "event_id long, path string, total long"
+    )
+
+
+_M2_VITERBI_SQL = """
+WITH ids AS (SELECT event_id FROM events WHERE event_id < 2500),
+c AS (SELECT unnest(range(0, 3)) AS v),
+paths AS (
+  SELECT i.event_id, c1.v AS l1, c2.v AS l2, c3.v AS l3, c4.v AS l4
+  FROM ids i, c c1, c c2, c c3, c c4),
+trans(i, j, w) AS (VALUES
+  (0,0,0),(0,1,4),(0,2,-3),(1,0,2),(1,1,0),(1,2,5),(2,0,-1),(2,1,3),(2,2,0)),
+scored AS (
+  SELECT p.event_id, l1, l2, l3, l4,
+         ((p.event_id*31 + 0*7 + l1*13) % 97)
+       + ((p.event_id*31 + 1*7 + l2*13) % 97)
+       + ((p.event_id*31 + 2*7 + l3*13) % 97)
+       + ((p.event_id*31 + 3*7 + l4*13) % 97)
+       + t12.w + t23.w + t34.w AS total
+  FROM paths p
+  JOIN trans t12 ON t12.i = l1 AND t12.j = l2
+  JOIN trans t23 ON t23.i = l2 AND t23.j = l3
+  JOIN trans t34 ON t34.i = l3 AND t34.j = l4),
+best AS (
+  SELECT event_id, l1, l2, l3, l4, total,
+         ROW_NUMBER() OVER (PARTITION BY event_id
+             ORDER BY total DESC, l4, l3, l2, l1) AS rn
+  FROM scored)
+SELECT event_id,
+       CAST(l1 AS VARCHAR) || '-' || CAST(l2 AS VARCHAR) || '-' ||
+       CAST(l3 AS VARCHAR) || '-' || CAST(l4 AS VARCHAR) AS path,
+       CAST(total AS BIGINT) AS total
+FROM best WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # NOTE on ordering: the round-1/2 driver evaluated only the FIRST 50
-    # entries of this dict (CORRECTNESS_r01/_r02 each hold exactly 50 rows,
-    # the first 50 in insertion order).  The kernel-path and text-analysis
-    # queries therefore sit near the FRONT; redundant relational probes that
-    # have already been driver-green twice are demoted past position 50.
-    # tools/check_contract.py still verifies every entry locally.
+    # NOTE on ordering: the driver evaluates only the FIRST 50 entries
+    # of this dict per round.  r01-r03 hard-verified 100 distinct
+    # queries; positions 1-50 below are drawn ONLY from entries with NO
+    # driver-side CORRECTNESS row yet (r3 verdict task 1): the judge's
+    # priority list (round-3-rewritten ops whose old green rows predate
+    # the rewrites) first, then the five NEW round-4 queries, then
+    # never-driver-seen family representatives.  Positions 51+ hold the
+    # remaining never-seen entries (round-5 window candidates) and then
+    # every already-driver-green query.  tools/check_contract.py still
+    # verifies ALL entries locally each round.
     return {
-        # -- flagship + kernel-path oracles (driver-unseen before round 3) --
-        "ee_trigger_counts": _ee_trigger_counts,
-        "ee_trigger_counts_gcn": _ee_trigger_counts_gcn,
-        "ee_trigger_counts_masked": _ee_trigger_counts_masked,
-        "ee_trigger_counts_gated": _ee_trigger_counts_gated,
-        "ee_trigger_counts_edgeaware": _ee_trigger_counts_edgeaware,
-        "bert_trigger_tags": _bert_trigger_tags,
-        "qa_span_args": _qa_span_args,
-        "qa_question_templates": _qa_question_templates,
-        "qa_span_args_variants": _qa_span_args_variants,
-        "qa_span_args_refined": _qa_span_args_refined,
-        "m10_role_decode": _m10_role_decode,
-        "bag_truncate_pad": _bag_truncate_pad,
-        "text_lang_id": _lang_id,
-        "text_quality_score": _quality_score,
-        # text_token_counts (simplest of the text-expr siblings; lang/
-        # quality/fingerprint/repetition stay) demoted past 50 for the
-        # redirect-resolution family.
-        "kg_redirects": _kg_redirects,
-        "text_doc_fingerprint": _doc_fingerprint,
-        "text_repetition_filter": _text_repetition_filter,
-        "url_host_stats": _url_host_stats,
-        # url_blocklist_filter (plain anti-join sibling of
-        # url_host_stats) demoted past 50 for the budget family.
-        "crawl_budget": _crawl_budget,
-        # pii_redact / paragraph_dedup (driver-green in r02 on code
-        # unchanged since) demoted past 50 for the structured-data and
-        # WARC ingest flagships (new this round).
-        "kg_jsonld": _kg_jsonld,
-        "warc_records": _warc_records,
-        # text_doc_frequency (plain groupBy rep of the tf-idf family,
-        # siblings text_tfidf_topk / text_unigram_logprob keep it
-        # covered) demoted past 50 for the chunking family.
-        "passage_windows": _passage_windows,
-        # stratified_sample (sampling family, siblings
-        # corpus_weighted_sample / kg_corpus_mixture) demoted past 50
-        # for the placement family.
-        "shard_assignment": _shard_assignment,
-        # text_unigram_logprob (r02-green, unchanged) demoted for the
-        # date-normalization flagship.
-        "timex_normalize": _timex_normalize,
-        "curation_funnel": _curation_funnel,
-        # decontaminate / sequence_packing (r02-green, unchanged)
-        # demoted for the NB classifier + second-order walks.
-        "nb_quality_filter": _nb_quality_filter,
-        "kg_node2vec_walks": _kg_node2vec_walks,
-        "kg_node_rollup": _kg_node_rollup,
-        "stream_first_crawl": _stream_first_crawl,
-        # kg_co_neighbors (neighbor-set sibling of kg_neighbor_jaccard)
-        # demoted past 50 for the new tokenizer-training family.
-        "bpe_merges": _bpe_merges,
-        "kg_triangles": _kg_triangles,
-        "kg_pagerank": _kg_pagerank,
-        # kg_pagerank_weighted (variant sibling of kg_pagerank) demoted
-        # past 50 to make room for the new web-table extractor family.
-        "kg_web_tables": _kg_web_tables,
-        "kg_bfs": _kg_bfs,
-        # kg_fact_latest (temporal sibling of the in-window kg_fact_asof)
-        # demoted past 50 for the robots admission family.
-        "robots_admission": _robots_admission,
-        # kg_neighbor_jaccard (neighbor-set family with co_neighbors /
-        # link_prediction siblings) demoted past 50 for the refresh
-        # scheduling family.
-        "crawl_refresh": _crawl_refresh,
-        "kg_functional_conflicts": _kg_functional_conflicts,
-        "kg_fact_fusion": _kg_fact_fusion,
-        "kg_distinct_sketch": _kg_distinct_sketch,
-        "a10_loss_reductions": _a10_loss_reductions,
-        "w6_epoch_shuffle": _w6_epoch_shuffle,
-        "m9_selector_weights": _m9_selector_weights,
-        # -- unique operator probes (kept inside the 50-entry window;
-        #    dedup_embedding_cosine / dedup_cluster_assign were REWRITTEN
-        #    this round so their r02 green rows no longer cover them) --
-        "s11_framenet_exemplars": _s11_framenet_exemplars,
-        "kg_taxonomy_closure": _kg_taxonomy_closure,
-        "kg_bloom_frontier": _kg_bloom_frontier,
-        "ann_pq_topk": _ann_pq_topk,
-        # -- round-3 temporal/graph additions: the four most distinct new
-        #    families (as-of join, k-core peel, label-propagation
-        #    communities, snapshot diff) inside the window; their variant
-        #    siblings (intervals/seeded/link-pred/community-rank) stay past
-        #    50 under the local contract check --
-        "kg_fact_asof": _kg_fact_asof,
-        "kg_kcore": _kg_kcore,
-        "kg_communities": _kg_communities,
-        # exact-substring dedup is the one dedup-family member new in
-        # round 3 — it takes the window slot; kg_fact_diff (three
-        # temporal siblings already in-window) moves to 51+.
-        "substring_dedup": _substring_dedup,
-        # -- positions 51+ --
-        "pii_redact": _pii_redact,
-        "paragraph_dedup": _paragraph_dedup,
-        "text_unigram_logprob": _unigram_logprob,
-        "decontaminate": _decontaminate,
-        "sequence_packing": _sequence_packing,
-        "kg_microdata": _kg_microdata,
-        "kg_page_meta": _kg_page_meta,
-        "timex_scan": _timex_scan,
-        "sitemap_parse": _sitemap_parse,
+        # -- window 1-50: never driver-checked (judge r3 priority) --
         "openie_triples": _openie_triples,
-        "text_mojibake_repair": _text_mojibake_repair,
+        "kg_scc": _kg_scc,
+        "kg_ktruss": _kg_ktruss,
+        "kg_hits": _kg_hits,
+        "kg_wl_roles": _kg_wl_roles,
+        "kg_hyperball": _kg_hyperball,
+        "kg_transe_rank": _kg_transe_rank,
+        "heavy_hitters": _heavy_hitters,
+        "dedup_minhash_resolve": _dedup_minhash_resolve,
+        "winnow_fingerprints": _winnow_fps,
+        "substring_dup_spans": _substring_dup_spans,
+        "dsir_weights": _dsir_weights,
+        "dsir_select": _dsir_select,
+        "domain_registrable": _domain_registrable,
+        "domain_quota_cap": _domain_quota_cap,
+        "bpe_segment": _bpe_segment,
+        "simhash_dup_hist": _simhash_pairs,
         "kg_entity_salience": _entity_salience,
         "kg_coref_pronouns": _kg_coref_pronouns,
+        "ccnet_buckets": _ccnet_buckets,
+        "kg_microdata": _kg_microdata,
+        "kg_page_meta": _kg_page_meta,
+        "sitemap_parse": _sitemap_parse,
+        "robots_sitemaps": _robots_sitemaps,
+        # -- new in round 4 (salted linking, file vocab, RCEE prep,
+        #    non-uniform-transition Viterbi) --
+        "j12_salted_linking": _j12_salted_linking,
+        "wordpiece_file_vocab": _wordpiece_file_vocab,
+        "rcee_anchor_windows": _rcee_anchor_windows,
+        "rcee_question_stems": _rcee_question_stems,
+        "m2_viterbi_roles": _m2_viterbi_roles,
+        # -- never-driver-seen family representatives --
+        "pii_redact": _pii_redact,
+        "paragraph_dedup": _paragraph_dedup,
+        "decontaminate": _decontaminate,
+        "sequence_packing": _sequence_packing,
+        "timex_scan": _timex_scan,
+        "text_mojibake_repair": _text_mojibake_repair,
         "kg_expectations": _kg_expectations,
         "corpus_group_split": _corpus_group_split,
-        "robots_sitemaps": _robots_sitemaps,
         "text_script_profile": _text_script_profile,
-        "ccnet_buckets": _ccnet_buckets,
-        "substring_dup_spans": _substring_dup_spans,
-        "kg_ktruss": _kg_ktruss,
         "kg_entity_bursts": _kg_entity_bursts,
         "triple_calibration": _triple_calibration,
         "kg_schema_violations": _kg_schema_violations,
@@ -8551,6 +8774,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_setjoin": _dedup_setjoin,
         "kg_random_walks": _kg_random_walks,
         "kg_skipgram_pairs": _kg_skipgram_pairs,
+        # -- positions 51+: remaining never-driver-seen (round-5
+        #    window candidates) --
+        "text_unigram_logprob": _unigram_logprob,
         "kg_outlink_hosts": _kg_outlink_hosts,
         "kg_anchor_aliases": _kg_anchor_aliases,
         "kg_crawl_schedule": _kg_crawl_schedule,
@@ -8563,7 +8789,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_dangling_refs": _kg_dangling_refs,
         "kg_sketch_merge": _kg_sketch_merge,
         "kg_hll_distinct": _kg_hll_distinct,
-        "kg_scc": _kg_scc,
         "kg_politeness": _kg_politeness,
         "kg_cluster_bcubed": _kg_cluster_bcubed,
         "ann_rrf_fused": _ann_rrf_fused,
@@ -8590,15 +8815,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_neighbor_jaccard": _kg_neighbor_jaccard,
         "kg_link_prediction": _kg_link_prediction,
         "kg_community_rank": _kg_community_rank,
-        # -- demoted past 50: already driver-green on unchanged code,
-        #    still locally checked --
+        "dedup_containment": _dedup_containment,
+        "dedup_cluster_keep": _dedup_cluster_keep,
+        "kg_neighborhood_fn": _kg_neighborhood_fn,
+        # -- already driver-green in r01-r03 on unchanged code --
+        "ee_trigger_counts": _ee_trigger_counts,
+        "ee_trigger_counts_gcn": _ee_trigger_counts_gcn,
+        "ee_trigger_counts_masked": _ee_trigger_counts_masked,
+        "ee_trigger_counts_gated": _ee_trigger_counts_gated,
+        "ee_trigger_counts_edgeaware": _ee_trigger_counts_edgeaware,
+        "bert_trigger_tags": _bert_trigger_tags,
+        "qa_span_args": _qa_span_args,
+        "qa_question_templates": _qa_question_templates,
+        "qa_span_args_variants": _qa_span_args_variants,
+        "qa_span_args_refined": _qa_span_args_refined,
+        "m10_role_decode": _m10_role_decode,
+        "bag_truncate_pad": _bag_truncate_pad,
+        "text_lang_id": _lang_id,
+        "text_quality_score": _quality_score,
+        "kg_redirects": _kg_redirects,
+        "text_doc_fingerprint": _doc_fingerprint,
+        "text_repetition_filter": _text_repetition_filter,
+        "url_host_stats": _url_host_stats,
+        "crawl_budget": _crawl_budget,
+        "kg_jsonld": _kg_jsonld,
+        "warc_records": _warc_records,
+        "passage_windows": _passage_windows,
+        "shard_assignment": _shard_assignment,
+        "timex_normalize": _timex_normalize,
+        "curation_funnel": _curation_funnel,
+        "nb_quality_filter": _nb_quality_filter,
+        "kg_node2vec_walks": _kg_node2vec_walks,
+        "kg_node_rollup": _kg_node_rollup,
+        "stream_first_crawl": _stream_first_crawl,
+        "bpe_merges": _bpe_merges,
+        "kg_triangles": _kg_triangles,
+        "kg_pagerank": _kg_pagerank,
+        "kg_web_tables": _kg_web_tables,
+        "kg_bfs": _kg_bfs,
+        "robots_admission": _robots_admission,
+        "crawl_refresh": _crawl_refresh,
+        "kg_functional_conflicts": _kg_functional_conflicts,
+        "kg_fact_fusion": _kg_fact_fusion,
+        "kg_distinct_sketch": _kg_distinct_sketch,
+        "a10_loss_reductions": _a10_loss_reductions,
+        "w6_epoch_shuffle": _w6_epoch_shuffle,
+        "m9_selector_weights": _m9_selector_weights,
+        "s11_framenet_exemplars": _s11_framenet_exemplars,
+        "kg_taxonomy_closure": _kg_taxonomy_closure,
+        "kg_bloom_frontier": _kg_bloom_frontier,
+        "ann_pq_topk": _ann_pq_topk,
+        "kg_fact_asof": _kg_fact_asof,
+        "kg_kcore": _kg_kcore,
+        "kg_communities": _kg_communities,
+        "substring_dedup": _substring_dedup,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
         "dedup_cluster_assign": _dedup_cluster_assign,
         "q1_pricing_summary": _q1,
         "a1_vocab_build": _a1_vocab,
         "a4_chunk_prf": _a4_chunk_prf,
         "dedup_ngram_jaccard": _ngram_jaccard,
-        "dedup_containment": _dedup_containment,
         "dedup_minhash_signatures": _minhash_sig,
         "dedup_simhash": _simhash,
         "j5_template_fanout": _j5_template_fanout,
@@ -8643,21 +8919,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_vocab_lookup": _j1_vocab_lookup,
         "sc9_pad_truncate": _sc9_pad,
         "sc12_lexical_window": _sc12_lexwin,
-        "kg_hits": _kg_hits,
-        "domain_registrable": _domain_registrable,
-        "domain_quota_cap": _domain_quota_cap,
-        "bpe_segment": _bpe_segment,
-        "dsir_weights": _dsir_weights,
-        "kg_wl_roles": _kg_wl_roles,
-        "dsir_select": _dsir_select,
-        "dedup_cluster_keep": _dedup_cluster_keep,
-        "heavy_hitters": _heavy_hitters,
-        "dedup_minhash_resolve": _dedup_minhash_resolve,
-        "winnow_fingerprints": _winnow_fps,
-        "kg_hyperball": _kg_hyperball,
-        "simhash_dup_hist": _simhash_pairs,
-        "kg_transe_rank": _kg_transe_rank,
-        "kg_neighborhood_fn": _kg_neighborhood_fn,
     }
 
 
@@ -8674,6 +8935,11 @@ def oracle_sql() -> dict[str, str]:
     from deepee_spark.operators import sharding as _sharding_sql
 
     return {
+        "j12_salted_linking": _J12_SALTED_SQL,
+        "wordpiece_file_vocab": _WORDPIECE_FILE_SQL,
+        "rcee_anchor_windows": _rcee_anchor_windows_sql(),
+        "rcee_question_stems": _rcee_question_stems_sql(),
+        "m2_viterbi_roles": _M2_VITERBI_SQL,
         "q1_pricing_summary": _Q1_SQL,
         "a1_vocab_build": _A1_SQL,
         "ee_trigger_counts": _EE_TRIGGER_SQL,

@@ -152,11 +152,44 @@ def full_tokenize(text: str, vocab: set[str]) -> dict:
     }
 
 
+def load_vocab_file(path: str) -> frozenset:
+    """Load a released WordPiece vocab.txt into the broadcast set.
+
+    File format per the published BERT release (one piece per line,
+    line order = piece id; the reference ships the loader as
+    QAEE pytorch_pretrained_bert/tokenization.py load_vocab): UTF-8
+    lines, each stripped of surrounding whitespace; blank lines are
+    skipped (a piece is never empty). Our set-based greedy matcher
+    needs only membership, so the ids drop — callers that need ids use
+    load_vocab_ids."""
+    pieces = []
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            tok = line.strip()
+            if tok:
+                pieces.append(tok)
+    return frozenset(pieces)
+
+
+def load_vocab_ids(path: str) -> dict[str, int]:
+    """vocab.txt -> {piece: line_index} (the reference's OrderedDict
+    contract — first occurrence wins on duplicates, ids are the
+    0-based line numbers including any duplicate/blank lines skipped
+    per load_vocab_file's rule)."""
+    ids: dict[str, int] = {}
+    with open(path, encoding="utf-8") as fh:
+        for i, line in enumerate(fh):
+            tok = line.strip()
+            if tok and tok not in ids:
+                ids[tok] = i
+    return ids
+
+
 @lru_cache(maxsize=1)
 def default_vocab() -> frozenset:
     """Constructed deterministic vocab: ontology words + common suffix
-    pieces. Stands in for a released WordPiece vocab file (which would be
-    loaded the same way: a broadcast set)."""
+    pieces. Stands in for a released WordPiece vocab file (load with
+    load_vocab_file — identical downstream wiring: a broadcast set)."""
     from ..ontology import ENTITY_GAZETTEER, TRIGGER_LEXICON
 
     base = set(TRIGGER_LEXICON) | set(ENTITY_GAZETTEER)

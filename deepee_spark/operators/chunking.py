@@ -108,3 +108,147 @@ SELECT doc_id,
        array_to_string(toks[start_tok + 1 : start_tok + {window}], ' ') AS passage
 FROM w
 """
+
+
+# ---------------------------------------------------------------------------
+# RCEE QuestionGeneration data prep (the one reference file the SURVEY
+# never inventoried — closed in round 4 per the r3 verdict).
+# ---------------------------------------------------------------------------
+
+def anchor_windows(
+    df: DataFrame,
+    before: int = 5,
+    after: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    start_col: str = "anchor_start",
+    end_col: str = "anchor_end",
+) -> DataFrame:
+    """±k-token context windows around an anchor span — RCEE
+    QuestionGeneration/data_preparation.py:8-26 generate_context
+    semantics: ``' '.join(words[max(0, start-k) : end+k])`` (python
+    slice, so an end past the token count clamps to it). The anchor is
+    a (start, end) token span (trigger mention position in RCEE; any
+    mention span here). Whitespace tokens, same baseline as
+    passage_windows.
+
+    -> (doc_id, anchor_start, anchor_end, ctx_start, n_tok, passage);
+    ctx_start = max(0, start-before), n_tok = the clamped window
+    length. One narrow projection, zero shuffles."""
+    if before < 0 or after < 0:
+        raise ValueError("before/after must be >= 0")
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(start_col).cast("long").alias("anchor_start"),
+        F.col(end_col).cast("long").alias("anchor_end"),
+        F.split(F.trim(text_col), r"\s+").alias("toks"),
+    ).withColumn("n", F.size("toks").cast("long"))
+    lo = F.greatest(F.col("anchor_start") - before, F.lit(0).cast("long"))
+    hi = F.least(F.col("anchor_end") + after, F.col("n"))
+    return toks.select(
+        "doc_id",
+        "anchor_start",
+        "anchor_end",
+        lo.alias("ctx_start"),
+        F.greatest(hi - lo, F.lit(0).cast("long")).alias("n_tok"),
+        F.array_join(
+            F.slice(
+                "toks",
+                (lo + 1).cast("int"),
+                F.greatest(hi - lo, F.lit(0).cast("long")).cast("int"),
+            ),
+            " ",
+        ).alias("passage"),
+    )
+
+
+def anchor_windows_oracle_sql(
+    source_sql: str, before: int = 5, after: int = 5
+) -> str:
+    """DuckDB twin of anchor_windows over (doc_id, anchor_start,
+    anchor_end, text) rows."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, CAST(anchor_start AS BIGINT) AS anchor_start,
+         CAST(anchor_end AS BIGINT) AS anchor_end,
+         regexp_split_to_array(trim(text), '\\s+') AS toks,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n
+  FROM ({source_sql})
+),
+w AS (
+  SELECT doc_id, anchor_start, anchor_end, toks, n,
+         greatest(anchor_start - {before}, 0) AS lo,
+         least(anchor_end + {after}, n) AS hi
+  FROM t
+)
+SELECT doc_id, anchor_start, anchor_end,
+       lo AS ctx_start,
+       greatest(hi - lo, 0) AS n_tok,
+       array_to_string(toks[lo + 1 : hi], ' ') AS passage
+FROM w
+"""
+
+
+def question_stems(
+    df: DataFrame, id_col: str = "q_id", question_col: str = "question"
+) -> DataFrame:
+    """Question-to-stem filtering — RCEE QuestionGeneration/
+    data_preparation.py:29-48 generate_question rules over a question
+    corpus (SQuAD/wiki in the reference; any question table here):
+
+      rule A: tokens[0] in (What, Who) AND tokens[1] in (is, are) AND
+              tokens[2] == 'the'  ->  stem = ' '.join(tokens[4:])
+              (tokens[3], the head noun, is deliberately skipped —
+              the reference wants the post-head remainder)
+      rule B: tokens[0] in (Where, When)  ->  stem = ' '.join(tokens[1:])
+
+    Empty stems drop (the reference's ``if temp``); questions matching
+    neither rule drop. Whitespace tokens, case-sensitive match like the
+    reference. -> (q_id, rule, stem). Pure narrow expressions."""
+    toks = F.split(F.trim(F.col(question_col)), r"\s+")
+    t0, t1, t2 = F.get(toks, 0), F.get(toks, 1), F.get(toks, 2)
+    n = F.size(toks)
+    rule_a = (
+        t0.isin("What", "Who") & t1.isin("is", "are") & (t2 == F.lit("the"))
+    )
+    rule_b = t0.isin("Where", "When")
+    stem_a = F.array_join(F.slice(toks, 5, F.greatest(n - 4, F.lit(0))), " ")
+    stem_b = F.array_join(F.slice(toks, 2, F.greatest(n - 1, F.lit(0))), " ")
+    out = df.select(
+        F.col(id_col).alias("q_id"),
+        F.when(rule_a, F.lit("head_of")).when(rule_b, F.lit("wh_rest")).alias(
+            "rule"
+        ),
+        F.when(rule_a, stem_a).when(rule_b, stem_b).alias("stem"),
+    )
+    return out.filter(F.col("rule").isNotNull() & (F.col("stem") != ""))
+
+
+def question_stems_oracle_sql(source_sql: str) -> str:
+    """DuckDB twin of question_stems over (q_id, question) rows."""
+    return f"""
+WITH t AS (
+  SELECT q_id, regexp_split_to_array(trim(question), '\\s+') AS toks
+  FROM ({source_sql})
+),
+r AS (
+  SELECT q_id, toks,
+         CASE
+           WHEN toks[1] IN ('What', 'Who') AND toks[2] IN ('is', 'are')
+                AND toks[3] = 'the' THEN 'head_of'
+           WHEN toks[1] IN ('Where', 'When') THEN 'wh_rest'
+         END AS rule
+  FROM t
+)
+SELECT q_id, rule,
+       CASE rule WHEN 'head_of'
+                 THEN array_to_string(toks[5 : len(toks)], ' ')
+                 ELSE array_to_string(toks[2 : len(toks)], ' ')
+       END AS stem
+FROM r
+WHERE rule IS NOT NULL
+  AND (CASE rule WHEN 'head_of'
+                 THEN array_to_string(toks[5 : len(toks)], ' ')
+                 ELSE array_to_string(toks[2 : len(toks)], ' ')
+       END) <> ''
+"""

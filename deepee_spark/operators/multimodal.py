@@ -14,7 +14,9 @@ Design (training-data pipeline over ~100 TB of media):
     unless `DETERMINISTIC_FAKE_DECODE` is on (default in tests/bench),
     in which case a seeded hash of the payload yields a stable fake
     pixel array of the metadata's true shape. Audio is NOT stubbed:
-    int16-PCM decode is pure NumPy (`np.frombuffer`) and real.
+    int16-PCM decode is pure NumPy (`np.frombuffer`) and real, and
+    RIFF/WAVE containers parse for real too (parse_wav: stdlib struct
+    chunk walk, PCM16 only, loud ValueError on anything else).
 
 Operators:
   image_features   — per-image channel means/stds + 8-bin luma histogram
@@ -107,9 +109,86 @@ def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
 
 
 def decode_pcm16(payload: bytes) -> np.ndarray:
-    """int16 little-endian PCM -> float32 in [-1, 1). Pure NumPy, real."""
+    """int16 little-endian PCM -> float32 in [-1, 1). Pure NumPy, real.
+
+    Accepts either raw PCM16 bytes or a RIFF/WAVE container (detected
+    by magic); WAV payloads route through parse_wav so codec-bearing
+    audio columns need no caller-side switch."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        _, _, samples = parse_wav(payload)
+        return samples
     n = len(payload) - (len(payload) % 2)
     return np.frombuffer(payload[:n], dtype="<i2").astype(np.float32) / 32768.0
+
+
+def parse_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Minimal RIFF/WAVE container parse (PCM16 only) -> (sample_rate,
+    n_channels, float32 samples interleaved, in [-1, 1)).
+
+    The honest-container path for audio, same pattern as the PIL
+    conditional for images (r3 verdict task 9): chunk walk over the
+    RIFF structure — 'fmt ' must declare format tag 1 (integer PCM) at
+    16 bits; the 'data' chunk's bytes decode exactly like raw PCM16.
+    Unknown chunks (LIST, fact, ...) are skipped per spec; raises
+    ValueError on a non-RIFF buffer, a missing/short fmt or data
+    chunk, or an unsupported codec — never a silent wrong decode.
+    Pure stdlib struct + NumPy, no external codec."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE buffer")
+    pos, n = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("short fmt chunk")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            if len(body) < size:
+                raise ValueError("data chunk truncated")
+            data = body
+        # chunks are word-aligned: odd sizes carry a pad byte
+        pos += 8 + size + (size % 2)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"unsupported wav codec (format={audio_format}, bits={bits}); "
+            "only integer PCM16 is parsed here"
+        )
+    m = len(data) - (len(data) % 2)
+    samples = np.frombuffer(data[:m], dtype="<i2").astype(np.float32) / 32768.0
+    return sample_rate, n_channels, samples
+
+
+def write_wav_bytes(
+    samples: np.ndarray, sample_rate: int, n_channels: int = 1
+) -> bytes:
+    """Inverse of parse_wav for fixtures/export: float [-1,1) or int16
+    samples -> a canonical PCM16 RIFF/WAVE buffer."""
+    import struct
+
+    if samples.dtype != np.int16:
+        samples = np.clip(
+            np.asarray(samples, dtype=np.float64) * 32768.0, -32768, 32767
+        ).astype("<i2")
+    raw = samples.astype("<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate,
+        sample_rate * n_channels * 2, n_channels * 2, 16,
+    )
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(raw)) + raw + (b"\x00" if len(raw) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
 
 def synth_media_df(spark, n: int, kinds=("image", "audio", "video")) -> DataFrame:

@@ -137,3 +137,60 @@ def test_real_codec_path_guard_or_roundtrip(monkeypatch):
     assert np.array_equal(decoded, pixels)
     with pytest.raises(ValueError):
         mm.decode_image(buf.getvalue(), width=3, height=4)  # meta mismatch
+
+
+def test_wav_container_roundtrip_and_decode_dispatch():
+    # r3 verdict task 9: an honest WAV container path beside raw PCM16
+    import numpy as np
+    import pytest as _pytest
+
+    from deepee_spark.operators.multimodal import (
+        decode_pcm16,
+        parse_wav,
+        write_wav_bytes,
+    )
+
+    wave = (np.sin(np.arange(400) * 0.05) * 12000).astype("<i2")
+    buf = write_wav_bytes(wave, sample_rate=8000)
+    sr, nch, samples = parse_wav(buf)
+    assert (sr, nch) == (8000, 1)
+    np.testing.assert_array_equal(
+        samples, wave.astype(np.float32) / 32768.0
+    )
+    # decode_pcm16 dispatches on the RIFF magic: container and raw
+    # payloads of the same samples decode identically
+    np.testing.assert_array_equal(decode_pcm16(buf), samples)
+    np.testing.assert_array_equal(decode_pcm16(wave.tobytes()), samples)
+    # odd-sized data chunk gets a pad byte and still roundtrips
+    odd = write_wav_bytes(wave[:3], 8000)
+    assert len(parse_wav(odd)[2]) == 3
+    # loud failures, never a silent wrong decode
+    with _pytest.raises(ValueError):
+        parse_wav(b"OggS" + bytes(40))
+    float_fmt = bytearray(buf)
+    float_fmt[20] = 3  # IEEE float format tag
+    with _pytest.raises(ValueError):
+        parse_wav(bytes(float_fmt))
+
+
+def test_audio_features_accepts_wav_payloads(spark):
+    import numpy as np
+
+    from deepee_spark.operators.multimodal import (
+        audio_features,
+        write_wav_bytes,
+    )
+
+    wave = (np.sin(np.arange(800) * 0.03) * 9000).astype("<i2")
+    meta = (None, None, 8000, 100, "pcm_s16le")
+    rows = [
+        (1, "u1", "audio", bytearray(wave.tobytes()), meta),
+        (2, "u2", "audio", bytearray(write_wav_bytes(wave, 8000)),
+         (None, None, 8000, 100, "wav")),
+    ]
+    from deepee_spark.operators.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in audio_features(df).collect()}
+    assert got[1].n_samples == got[2].n_samples == 800
+    assert got[1].rms == got[2].rms and got[1].zcr == got[2].zcr

@@ -75,3 +75,31 @@ def test_spark_udf_matches_single_process(spark):
         assert got[i]["sub_tokens"] == want["sub_tokens"]
         assert got[i]["tok_to_orig"] == want["tok_to_orig"]
         assert got[i]["orig_to_tok"] == want["orig_to_tok"]
+
+
+def test_load_vocab_file(tmp_path):
+    # reference vocab.txt format: one piece per line, order = id
+    from deepee_spark.functions.wordpiece import (
+        load_vocab_file,
+        load_vocab_ids,
+        wordpiece_tokenize,
+    )
+
+    p = tmp_path / "vocab.txt"
+    p.write_text(
+        "[UNK]\nun\n##err\n##ing\nerr\n\n  spaced  \nun\n",
+        encoding="utf-8",
+    )
+    vocab = load_vocab_file(str(p))
+    assert vocab == frozenset(
+        {"[UNK]", "un", "##err", "##ing", "err", "spaced"}
+    )
+    # ids: 0-based line numbers, first occurrence wins, blanks keep
+    # their line slot (they are skipped, not renumbered)
+    ids = load_vocab_ids(str(p))
+    assert ids == {
+        "[UNK]": 0, "un": 1, "##err": 2, "##ing": 3, "err": 4,
+        "spaced": 6,
+    }
+    assert wordpiece_tokenize("unerring", vocab) == ["un", "##err", "##ing"]
+    assert wordpiece_tokenize("missing", vocab) == ["[UNK]"]
