@@ -341,6 +341,101 @@ def _pr_iteration(
     )
 
 
+def pagerank_int_converged(
+    edges: DataFrame,
+    seed_ranks: DataFrame | None = None,
+    damping_pct: int = 85,
+    max_iters: int = 100,
+    tol_units: int = 100,
+) -> tuple[DataFrame, int]:
+    """PageRank iterated to a tolerance-band fixpoint, with an
+    optional WARM START from a previous snapshot's scores — the
+    incremental crawl-drop path (r3 verdict task 8): a daily drop
+    perturbs a sliver of a 10^12-edge graph, so re-running from the
+    uniform vector spends extra full-graph rounds closing distance the
+    previous snapshot already closed; seeding from yesterday's ranks
+    saves log(uniform_error / drop_shift) / log(1/damping) rounds —
+    modest on a toy graph, real at corpus scale where every round is a
+    full edge shuffle (measured in BENCH/BASELINE.md §7).
+
+    Convergence is max |rank_i - rank_{i-1}| <= tol_units (micro-units
+    of PR_SCALE=1e9; the default 100 = 1e-7 relative). It is NOT
+    exact-equality on purpose: the truncating integer recurrence does
+    not generally have a reachable exact fixpoint — iterates enter a
+    small limit cycle whose amplitude depends on the div-truncation
+    pattern, and different starting vectors can land on different
+    members of that band (verified empirically: exact-fixpoint
+    convergence stalls forever on graphs with high-gain funnel loops).
+    Different starts therefore agree to within the band, not bitwise:
+    cold vs warm finals differ by O(tol_units), never more than the
+    contraction lets the per-round tolerance accumulate
+    (tol_units / (1 - damping) worst case; the pytest pins an
+    empirical bound well inside that).
+
+    Same recurrence, arithmetic, and per-iteration plan as
+    pagerank_int (_pr_iteration: one groupBy(dst) shuffle +
+    shuffle_hash joins against persisted pre-partitioned invariants);
+    the additions are the seed join at round 0 and one O(V) partial-
+    agged max-|delta| probe per round. New nodes absent from the seed
+    get the uniform r0; seed rows for departed nodes drop via the join
+    onto the CURRENT node set.
+
+    Returns (ranks, rounds_run); rounds_run == max_iters means the
+    tolerance was never met (caller decides whether that is an error).
+    """
+    e = edges.select("src", "dst").distinct()
+    n_parts = edges.sparkSession.sparkContext.defaultParallelism
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .repartition(n_parts, "node")
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node", F.lit(0).cast("long").alias("rank")
+        ), 0
+    r0 = PR_SCALE // n
+    teleport = ((100 - damping_pct) * r0) // 100
+    outdeg = e.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("outdeg")
+    )
+    links = e.join(outdeg, "src").repartition(n_parts, "src").persist()
+    if seed_ranks is None:
+        rank = nodes.select("node", F.lit(r0).cast("long").alias("rank"))
+    else:
+        rank = nodes.join(
+            seed_ranks.select("node", F.col("rank").alias("_seed")),
+            "node",
+            "left",
+        ).select(
+            "node",
+            F.coalesce("_seed", F.lit(r0)).cast("long").alias("rank"),
+        )
+    rank = rank.localCheckpoint()
+    rounds = 0
+    for _ in range(max_iters):
+        new = _pr_iteration(
+            links, rank, nodes, teleport, damping_pct
+        ).localCheckpoint()
+        rounds += 1
+        max_delta = (
+            new.join(
+                rank.select("node", F.col("rank").alias("_old")), "node"
+            )
+            .agg(F.max(F.abs(F.col("rank") - F.col("_old"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        rank = new
+        if max_delta is not None and max_delta <= tol_units:
+            break
+    nodes.unpersist()
+    links.unpersist()
+    return rank, rounds
+
+
 def pagerank_int_weighted(
     edges: DataFrame, iters: int = 3, damping_pct: int = 85
 ) -> DataFrame:

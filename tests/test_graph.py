@@ -1396,3 +1396,41 @@ def test_node2vec_rejects_non_integer_bias(spark):
     ):
         with _pytest.raises(ValueError):
             node2vec_walks(df, **kwargs)
+
+
+def test_pagerank_warm_start_band_equivalent_and_faster(spark):
+    # r3 verdict task 8: warm-starting from the previous snapshot\'s
+    # scores must land in the SAME tolerance band as a cold start on
+    # the updated graph, in fewer rounds. Exact-integer equality is
+    # deliberately NOT asserted — the truncating recurrence orbits a
+    # small limit cycle, so different starts agree to O(tol_units)
+    # (see the operator docstring; constants cross-checked against a
+    # single-process integer simulation of the same recurrence).
+    from deepee_spark.operators.graph import pagerank_int_converged
+
+    base = [(f"n{i}", f"n{(i * 7 + 3) % 40}") for i in range(120)]
+    base += [(f"n{i}", "hub") for i in range(0, 40, 5)]
+    base += [("hub", "n0"), ("hub", "n13")]
+    delta = [("new_a", "n2"), ("n3", "new_a"), ("n11", "n28")]
+    df_a = spark.createDataFrame(base, "src string, dst string")
+    df_b = spark.createDataFrame(base + delta, "src string, dst string")
+
+    ranks_a, rounds_a = pagerank_int_converged(df_a)
+    assert 0 < rounds_a < 100  # actually converged
+    cold, rounds_cold = pagerank_int_converged(df_b)
+    warm, rounds_warm = pagerank_int_converged(df_b, seed_ranks=ranks_a)
+    assert rounds_cold < 100 and rounds_warm < 100
+    # same tolerance band: per-node gap bounded by tol_units (the
+    # simulation shows ~34 here; 100 is the certified band)
+    import pyspark.sql.functions as F
+
+    gap = (
+        cold.join(warm.select("node", F.col("rank").alias("w")), "node")
+        .agg(F.max(F.abs(F.col("rank") - F.col("w"))).alias("d"))
+        .collect()[0]["d"]
+    )
+    assert gap <= 100, gap
+    # node sets identical (new node present, nothing dropped)
+    assert cold.count() == warm.count() == 122
+    # warm start saves rounds on a drop-sized delta
+    assert rounds_warm < rounds_cold, (rounds_warm, rounds_cold)
