@@ -142,6 +142,12 @@ def main() -> None:
         "kg_entity_salience",
         "kg_coref_pronouns",
         "kg_node2vec_walks",
+        # round-4 additions
+        "j12_salted_linking",
+        "wordpiece_file_vocab",
+        "rcee_anchor_windows",
+        "rcee_question_stems",
+        "m2_viterbi_roles",
     ]
     qs = entry.queries()
     timings: dict[str, float] = {}

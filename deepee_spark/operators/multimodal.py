@@ -24,7 +24,10 @@ Operators:
                      decoded array), re-emitted as raw RGB bytes
   audio_features   — frame RMS / zero-crossing-rate / peak over PCM16
   video_frame_sample — explode k evenly-spaced frames per video into
-                     (media_id, frame_idx, frame_ms) rows, decode stubbed
+                     (media_id, frame_idx, frame_ms) rows; AVI payloads
+                     contribute their own container timing
+                     (parse_avi_header — real RIFF metadata walk),
+                     pixel decode stubbed
 
 The reference has no media path (DeepEE is text-only); these operators
 are the engine-side plumbing a DeepEE-style KG pipeline needs once web
@@ -380,6 +383,80 @@ _FRAME_SCHEMA = T.StructType(
 )
 
 
+def parse_avi_header(payload: bytes) -> dict:
+    """Minimal RIFF/AVI container-METADATA parse -> {n_frames, width,
+    height, usec_per_frame, duration_ms}.
+
+    The video sibling of parse_wav (container honesty without a codec):
+    AVI is RIFF too, so the same stdlib struct chunk walk reaches the
+    'avih' main header inside the 'hdrl' LIST — frame count, frame
+    period, and pixel dimensions are real container fields, read for
+    real. Frame PIXEL decode stays stubbed (no ffmpeg in this
+    container), clearly separated: this function never touches 'movi'
+    payload bytes. Raises ValueError on non-AVI buffers or a missing/
+    short avih chunk — never a silent wrong parse."""
+    import struct
+
+    if (
+        len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"AVI "
+    ):
+        raise ValueError("not a RIFF/AVI buffer")
+
+    def walk(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            yield cid, pos + 8, min(pos + 8 + size, end)
+            pos += 8 + size + (size % 2)
+
+    for cid, s, e in walk(payload, 12, len(payload)):
+        if cid == b"LIST" and payload[s : s + 4] == b"hdrl":
+            for cid2, s2, e2 in walk(payload, s + 4, e):
+                if cid2 == b"avih":
+                    if e2 - s2 < 40:
+                        raise ValueError("short avih chunk")
+                    usec, _, _, _, n_frames = struct.unpack(
+                        "<IIIII", payload[s2 : s2 + 20]
+                    )
+                    width, height = struct.unpack(
+                        "<II", payload[s2 + 32 : s2 + 40]
+                    )
+                    return {
+                        "n_frames": int(n_frames),
+                        "width": int(width),
+                        "height": int(height),
+                        "usec_per_frame": int(usec),
+                        "duration_ms": int(n_frames) * int(usec) // 1000,
+                    }
+    raise ValueError("missing hdrl/avih chunk")
+
+
+def write_avi_bytes(
+    n_frames: int, width: int, height: int, usec_per_frame: int,
+    movi: bytes = b"",
+) -> bytes:
+    """Inverse of parse_avi_header for fixtures/export: a canonical
+    minimal AVI (hdrl LIST with one avih + an opaque movi LIST)."""
+    import struct
+
+    avih = struct.pack(
+        "<IIIII", usec_per_frame, 0, 0, 0, n_frames
+    ) + struct.pack("<III", 0, 0, 0) + struct.pack(
+        "<II", width, height
+    ) + bytes(16)
+    hdrl_body = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    movi_body = b"movi" + movi
+    chunks = (
+        b"AVI "
+        + b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+        + b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+        + (b"\x00" if len(movi_body) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
 def video_frame_sample(media: DataFrame, k: int = 4) -> DataFrame:
     """Explode k evenly-spaced sample frames per video. Frame DECODE is
     stubbed (deterministic hash of payload+index stands in for pixels);
@@ -394,8 +471,14 @@ def video_frame_sample(media: DataFrame, k: int = 4) -> DataFrame:
             for mid, payload, m in zip(
                 pdf["media_id"].to_numpy(), pdf["payload"], pdf["meta"]
             ):
-                dur = int(m["duration_ms"])
-                seed = _seed_from(bytes(payload))
+                p = bytes(payload)
+                # real-container dispatch (same pattern as decode_pcm16):
+                # AVI payloads carry their own authoritative timing
+                if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+                    dur = parse_avi_header(p)["duration_ms"]
+                else:
+                    dur = int(m["duration_ms"])
+                seed = _seed_from(p)
                 for j in range(k):
                     ms = dur * j // k
                     out.append(

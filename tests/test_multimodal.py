@@ -194,3 +194,41 @@ def test_audio_features_accepts_wav_payloads(spark):
     got = {r.media_id: r for r in audio_features(df).collect()}
     assert got[1].n_samples == got[2].n_samples == 800
     assert got[1].rms == got[2].rms and got[1].zcr == got[2].zcr
+
+
+def test_avi_header_roundtrip_and_frame_timing(spark):
+    # video sibling of the WAV test: real RIFF/AVI metadata parse,
+    # pixel decode still stubbed
+    import pytest as _pytest
+
+    from deepee_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        parse_avi_header,
+        video_frame_sample,
+        write_avi_bytes,
+    )
+
+    buf = write_avi_bytes(
+        n_frames=120, width=320, height=240, usec_per_frame=33333,
+        movi=b"\x01\x02junkframes",
+    )
+    h = parse_avi_header(buf)
+    assert h == {
+        "n_frames": 120, "width": 320, "height": 240,
+        "usec_per_frame": 33333, "duration_ms": 120 * 33333 // 1000,
+    }
+    with _pytest.raises(ValueError):
+        parse_avi_header(b"RIFF\x00\x00\x00\x00WAVE")  # not AVI
+    with _pytest.raises(ValueError):
+        parse_avi_header(b"RIFF\x04\x00\x00\x00AVI ")  # no hdrl
+    # video_frame_sample trusts the container's own timing for AVI
+    rows = [
+        (1, "u1", "video", bytearray(buf), (320, 240, None, 9999, "avi")),
+        (2, "u2", "video", bytearray(b"rawjunk"), (8, 8, None, 2000, "fake/video")),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {(r.media_id, r.frame_idx): r.frame_ms
+           for r in video_frame_sample(df, k=4).collect()}
+    dur_avi = 120 * 33333 // 1000  # 3999 ms from the container, not meta
+    assert got[(1, 3)] == dur_avi * 3 // 4
+    assert got[(2, 3)] == 2000 * 3 // 4
