@@ -877,3 +877,49 @@ def test_nbayes_scoring_broadcasts_model(spark):
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 1 or \
         "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_anchor_windows_no_shuffle(spark):
+    """RCEE anchor windows are a narrow map: zero Exchange, no Python
+    row eval (same gate as passage_windows)."""
+    from deepee_spark.operators.chunking import anchor_windows
+
+    df = spark.createDataFrame(
+        [(1, 0, 1, "a b c")],
+        "doc_id long, anchor_start long, anchor_end long, text string",
+    )
+    plan = formatted_plan(anchor_windows(df))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_salted_linking_plan_no_dim_broadcast(spark):
+    """The non-broadcast linking path must survive with broadcasting
+    disabled: the salted (norm, _salt) join plans as a keyed shuffle
+    join (SMJ/SHJ) — the shape that holds when the alias table exceeds
+    any executor — and NOT as a BroadcastHashJoin that only works while
+    the dim happens to fit. Off-AQE, threshold -1, so the assertion is
+    about the declarative plan, not a lucky small-input rewrite."""
+    from deepee_spark.operators.linking import link_mentions
+
+    mentions = spark.createDataFrame(
+        [(i, f"washington {i % 3}") for i in range(100)],
+        "mention_id long, surface string",
+    )
+    aliases = spark.createDataFrame(
+        [("washington 0", "e1", 0.9), ("washington 1", "e2", 0.8),
+         ("washington 2", "e3", 0.7)],
+        "alias string, entity_id string, prior double",
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = link_mentions(
+            mentions, aliases, fuzzy=False, broadcast_aliases=False
+        )
+        plan = formatted_plan(out)
+        assert "BroadcastHashJoin" not in plan, plan
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+        assert out.count() == 100
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
