@@ -1401,3 +1401,87 @@ class Pipeline:
             resume,
             partition_by=["kind"],
         )
+
+    def enrich_nodes_incremental(
+        self,
+        nodes: DataFrame,
+        edges: DataFrame,
+        input_fingerprint: str,
+        resume: bool = True,
+        tol_units: int = 100,
+        max_iters: int = 100,
+    ) -> DataFrame:
+        """Daily-drop variant of enrich_nodes: PageRank WARM-STARTED
+        from the previous committed node_stats snapshot
+        (operators/graph.pagerank_int_converged — BENCH/BASELINE.md §7:
+        9 -> 6 rounds at 300k edges with a 0.1% delta; the saving grows
+        with graph scale and each avoided round at 10^12 edges is a
+        full edge shuffle).
+
+        Seeding safety: the seed only positions iteration 0 — the
+        recurrence runs entirely on the CURRENT edge set, so a stale or
+        partial seed costs rounds, never correctness (band-fixpoint
+        equivalence is pinned in tests/test_graph.py). Any previous
+        node_stats snapshot qualifies as a seed regardless of its
+        fingerprint; when none exists this degrades to a cold
+        converged run. Unlike enrich_nodes' fixed-iteration
+        bit-identical contract, the converged variant commits
+        band-exact scores (tol_units micro-units) — documented in the
+        table meta via the fingerprint suffix so the two contracts
+        never mix under one fingerprint."""
+        from deepee_spark.operators.graph import pagerank_int_converged
+
+        fp = f"{input_fingerprint}/node_stats/conv{tol_units}/v1"
+
+        def build() -> DataFrame:
+            seed = None
+            try:
+                prev = self.catalog.read(self.spark, "node_stats")
+                if "rank" in prev.columns:
+                    seed = prev.select(
+                        F.col("node_id").alias("node"), "rank"
+                    )
+            except FileNotFoundError:
+                pass
+            e = edges.select(
+                F.col("subj").alias("src"), F.col("obj").alias("dst")
+            )
+            pr, _rounds = pagerank_int_converged(
+                e, seed_ranks=seed, tol_units=tol_units,
+                max_iters=max_iters,
+            )
+            out_deg = e.groupBy("src").agg(
+                F.count(F.lit(1)).cast("long").alias("out_degree")
+            )
+            in_deg = e.groupBy("dst").agg(
+                F.count(F.lit(1)).cast("long").alias("in_degree")
+            )
+            return (
+                nodes.join(
+                    pr.withColumnRenamed("node", "node_id"), "node_id", "left"
+                )
+                .join(
+                    out_deg.withColumnRenamed("src", "node_id"),
+                    "node_id",
+                    "left",
+                )
+                .join(
+                    in_deg.withColumnRenamed("dst", "node_id"),
+                    "node_id",
+                    "left",
+                )
+                .select(
+                    nodes["*"],
+                    F.coalesce("rank", F.lit(0)).cast("long").alias("rank"),
+                    F.coalesce("out_degree", F.lit(0))
+                    .cast("long")
+                    .alias("out_degree"),
+                    F.coalesce("in_degree", F.lit(0))
+                    .cast("long")
+                    .alias("in_degree"),
+                )
+            )
+
+        return self._stage(
+            "node_stats", fp, build, resume, partition_by=["kind"]
+        )

@@ -801,6 +801,43 @@ def test_enrich_nodes_stage(spark, main_run):
     assert any(p.startswith("kind=") for p in os.listdir(sdir))
 
 
+def test_enrich_nodes_incremental_warm_start(spark, main_run):
+    """The warm-started converged variant: seeds from the previous
+    node_stats snapshot when one exists, reaches a band-fixpoint on the
+    CURRENT edges, and commits under its own fingerprint so the
+    fixed-iteration and converged contracts never collide."""
+    cat, pipe, triples = main_run
+    nodes, edges = pipe.materialize_graph(triples, f"corpus:{N_DOCS}")
+    # fixed-iteration stats first -> becomes the seed snapshot
+    pipe.enrich_nodes(nodes, edges, f"corpus:{N_DOCS}")
+    stats = pipe.enrich_nodes_incremental(nodes, edges, f"corpus:{N_DOCS}")
+    assert stats.count() == nodes.count()
+    assert "node_stats" in pipe.ran
+    # converged rank is a genuine fixpoint: one more exact iteration
+    # moves nothing beyond the tolerance band
+    from collections import defaultdict
+
+    from deepee_spark.operators.graph import PR_SCALE
+
+    e = sorted({(r.subj, r.obj) for r in edges.select("subj", "obj").collect()})
+    vs = sorted({a for a, _ in e} | {b for _, b in e})
+    r0 = PR_SCALE // len(vs)
+    tp = (15 * r0) // 100
+    outdeg = defaultdict(int)
+    for a, _ in e:
+        outdeg[a] += 1
+    got = {r.node_id: r.rank for r in stats.collect() if r.node_id in set(vs)}
+    s = defaultdict(int)
+    for a, b in e:
+        s[b] += got[a] // outdeg[a]
+    nxt = {v: tp + (85 * s[v]) // 100 for v in vs}
+    assert max(abs(nxt[v] - got[v]) for v in vs) <= 100
+    # resume: same fingerprint skips
+    before = list(pipe.skipped)
+    pipe.enrich_nodes_incremental(nodes, edges, f"corpus:{N_DOCS}")
+    assert pipe.skipped[len(before):] == ["node_stats"]
+
+
 def test_accumulate_degrees_across_drops(spark, tmp_path):
     """Two crawl drops merge their per-node observation-degree deltas
     into one counter table that equals a full-table recount; a replayed
