@@ -15,8 +15,12 @@ the read-only weights.
 
 Enabled by session.get_spark via
     spark.python.daemon.module = deepee_spark.daemon
-(deepee_spark must be importable by executors — it is shipped with
---py-files, which is on sys.path before the daemon starts).
+Importability: the worker factory imports this module BEFORE --py-files
+reach any sys.path, so a zip-only deployment would die here with
+ModuleNotFoundError — get_spark therefore self-heals by putting the
+package's own root (repo dir, or the .zip it was imported from) on
+spark.executorEnv.PYTHONPATH / the driver env (session.py pkg_root
+note; regression-tested end-to-end by tests/test_submit.py).
 """
 
 from __future__ import annotations

@@ -43,6 +43,25 @@ def get_spark(
     for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
         os.environ.setdefault(var, "1")
 
+    # The custom worker daemon (spark.python.daemon.module below) is
+    # imported by the JVM's worker factory BEFORE --py-files reach any
+    # sys.path — a zip-only `spark-submit --py-files deepee_spark.zip`
+    # deployment therefore dies in every stage with
+    # ModuleNotFoundError: deepee_spark (found by tests/test_submit.py).
+    # Self-heal: put this package's own root — a directory in a repo
+    # checkout, the .zip itself when imported from one (python imports
+    # fine from zip paths) — on the worker PYTHONPATH. executorEnv
+    # covers executor-spawned daemons; on a multi-node cluster the
+    # driver-local path must be visible to executors (shared FS, or
+    # pass --conf spark.executorEnv.PYTHONPATH=<staged zip> yourself).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env_pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in env_pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + env_pp if env_pp else "")
+        )
+    exec_pp = pkg_root if not env_pp else pkg_root + os.pathsep + env_pp
+
     # Same heap-retention mallopt as deepee_spark/daemon.py (see the
     # rationale there) for DRIVER-side numpy/pandas (toPandas, oracle
     # comparisons): without it every large collect faults fresh pages.
@@ -96,6 +115,8 @@ def get_spark(
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.executorEnv.MKL_NUM_THREADS", "1")
+        # daemon importability for zip deployments — see pkg_root note
+        .config("spark.executorEnv.PYTHONPATH", exec_pp)
         .config("spark.python.factory.idleWorkerMaxPoolSize", str(2 ** 30))
         # The worker-factory cache key includes the UDF env vars, and
         # simplifiedTraceback injects SPARK_SIMPLIFIED_TRACEBACK for pandas

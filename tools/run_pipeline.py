@@ -3,6 +3,10 @@
 Production invocation (north rule: spark-submit --py-files, resumable):
 
     zip -r deepee_spark.zip deepee_spark
+    # multi-node clusters: also make the zip visible to executors for
+    # the custom worker daemon (shared FS path, or
+    # --conf spark.executorEnv.PYTHONPATH=<staged zip>); single-node /
+    # local runs self-heal via session.get_spark
     spark-submit --master <cluster> --py-files deepee_spark.zip \
         tools/run_pipeline.py --input <documents table> \
         --warehouse <stage-table root> --run-id nightly-42 --resume
