@@ -441,3 +441,31 @@ def test_k3_checkpoint_roundtrip_bitwise(spark, catalog):
     assert vocab2 == vocab
     assert np.array_equal(tensors2["trigger"]["w_out"],
                           tensors["trigger"]["w_out"])
+
+
+def test_viterbi_tiebreak_is_backward_lexicographic_minimum():
+    """Pins the property the m2_viterbi_roles oracle relies on: among
+    all maximal-score paths, numpy argmax-first backpointers select the
+    lexicographic MINIMUM reading labels from the LAST step backwards.
+    Randomized small-integer emissions force frequent ties."""
+    import itertools
+
+    import numpy as np
+
+    from deepee_spark.kernels.bilstm import viterbi_decode
+
+    rng = np.random.default_rng(20260821)
+    L, C = 4, 3
+    trans = rng.integers(-2, 3, size=(C, C)).astype(np.float64)
+    for _case in range(200):
+        em = rng.integers(0, 4, size=(1, L, C)).astype(np.float64)
+        got = tuple(viterbi_decode(em, trans)[0])
+        best = None
+        for path in itertools.product(range(C), repeat=L):
+            tot = sum(em[0, t, path[t]] for t in range(L)) + sum(
+                trans[path[t], path[t + 1]] for t in range(L - 1)
+            )
+            key = (-tot,) + tuple(reversed(path))
+            if best is None or key < best[0]:
+                best = (key, path)
+        assert got == best[1], (got, best[1], em.tolist())
