@@ -103,3 +103,40 @@ def test_read_warc_spark(spark, tmp_path):
     assert len(resp) == 1 and bytes(resp[0].html) == body
     by_file = {r.path: r for r in df.filter("rec_idx = 0").collect()}
     assert len(by_file) == 2
+
+
+def test_warc_resync_property_junk_never_costs_following_records():
+    # property: arbitrary junk spliced BETWEEN record encodings (as long
+    # as it cannot be mistaken for a record boundary mid-scan, i.e. the
+    # junk itself contains no CRLF WARC/ magic) never costs any record
+    # that follows it
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    recs, _ = _recs()
+    encoded = [write_warc_bytes([r]) for r in recs]
+
+    junk = st.binary(min_size=1, max_size=60).filter(
+        lambda b: b"\r\nWARC/" not in b
+        and not b.startswith(b"WARC/")
+        and b.strip(b"\r\n") != b""
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.one_of(st.none(), junk), min_size=4, max_size=4))
+    def check(gaps):
+        buf = b""
+        for g, enc in zip(gaps, encoded + [b""]):
+            if g is not None:
+                buf += g + b"\r\n"
+            buf += enc
+        dropped: list = []
+        out = parse_warc_bytes(buf, dropped)
+        got = [r["target_uri"] for r in out]
+        want = [r["target_uri"] for r in recs]
+        # every real record survives, in order, regardless of junk
+        assert got == want, (got, gaps)
+        # one reported span per junk segment (trailing junk included)
+        assert len(dropped) == sum(1 for g in gaps if g is not None)
+
+    check()
