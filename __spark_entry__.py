@@ -8704,6 +8704,52 @@ FROM best WHERE rn = 1
 """
 
 
+SEMDEDUP_K = 8
+SEMDEDUP_TAU = 0.3
+
+
+def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (operators/dedup.semantic_dedup —
+    Abbas et al. 2023): coarse-cell blocking by the IVF codebook rule,
+    within-cell gemm cosine, keep-lowest-id. tau=0.3 sits inside the
+    synthetic embeddings' within-cell cosine range (max 0.49 at
+    sf0.01) so the kept/dropped split is non-trivial."""
+    from deepee_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < SEMDEDUP_K).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    return semantic_dedup(
+        emb, "vec_id", "embedding", 64, cent, min_cosine=SEMDEDUP_TAU
+    )
+
+
+_SEMDEDUP_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS c_id, embedding AS c_emb
+  FROM embeddings WHERE vec_id < {SEMDEDUP_K}),
+assigned AS (
+  SELECT vec_id, embedding, c_id AS cell FROM (
+    SELECT e.vec_id, e.embedding, c.c_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY ROUND({_DOT_SQL.format(a='e.embedding', b='c.c_emb')}, 6) DESC,
+                      c.c_id ASC) AS rk
+    FROM embeddings e CROSS JOIN cent c) WHERE rk = 1),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ROUND({_DOT_SQL.format(a='a.embedding', b='b.embedding')} /
+              (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')}) *
+               sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')})),
+              6) >= {SEMDEDUP_TAU})
+SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+       (d.vec_id IS NULL) AS kept
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -8773,9 +8819,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_harmonic_centrality": _kg_harmonic,
         "dedup_setjoin": _dedup_setjoin,
         "kg_random_walks": _kg_random_walks,
-        "kg_skipgram_pairs": _kg_skipgram_pairs,
+        # semdedup is NEW round-4 code -> takes the 50th window slot;
+        # kg_skipgram_pairs (unchanged since r3, judge-verified) moves
+        # to the round-5 candidates
+        "semdedup": _semdedup,
         # -- positions 51+: remaining never-driver-seen (round-5
         #    window candidates) --
+        "kg_skipgram_pairs": _kg_skipgram_pairs,
         "text_unigram_logprob": _unigram_logprob,
         "kg_outlink_hosts": _kg_outlink_hosts,
         "kg_anchor_aliases": _kg_anchor_aliases,
@@ -8935,6 +8985,7 @@ def oracle_sql() -> dict[str, str]:
     from deepee_spark.operators import sharding as _sharding_sql
 
     return {
+        "semdedup": _SEMDEDUP_SQL,
         "j12_salted_linking": _J12_SALTED_SQL,
         "wordpiece_file_vocab": _WORDPIECE_FILE_SQL,
         "rcee_anchor_windows": _rcee_anchor_windows_sql(),

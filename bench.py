@@ -148,6 +148,7 @@ def main() -> None:
         "rcee_anchor_windows",
         "rcee_question_stems",
         "m2_viterbi_roles",
+        "semdedup",
     ]
     qs = entry.queries()
     timings: dict[str, float] = {}

@@ -551,3 +551,78 @@ def band_rows(
     return sigs.select(id_col, F.explode(band_structs).alias("bk")).select(
         id_col, "bk.band", "bk.band_key"
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    centroids: DataFrame,
+    min_cosine: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public): embeddings are blocked into coarse
+    cells by a small quantizer codebook, cosine near-dup pairs are
+    scored ONLY within a cell, and of every near-dup relation the
+    lowest-id member is kept.
+
+    ``centroids``: (c_id, c_vec) — the coarse codebook (k-means
+    centroids in the paper; ANY stable quantizer works because the
+    cells only bound the pair search, they carry no semantics of their
+    own). It is dimension-scale and broadcast. Assignment is argmax
+    dot with the IVF tie-break (dot desc rounded to 6dp, c_id asc) —
+    the same rule as the ANN coarse quantizer, so one codebook can
+    serve both retrieval and dedup.
+
+    Keep rule: a row drops iff SOME lower-id row in its cell has
+    cosine >= min_cosine with it (the pair emitter already orders
+    id_a < id_b, so "appears as id_b" == "has an earlier near-dup").
+    Deterministic, engine-replicable, and one-sided like the
+    keep-first rules of the textual dedup family.
+
+    Scale shape: one broadcast-assign projection (no shuffle beyond
+    the explicit cell repartition), then embedding_dup_pairs'
+    per-cell gemm cogroup — quadratic only within a cell, so the
+    codebook size is the knob that bounds cell population exactly as
+    in the paper (|cell| ~ N/k). Returns (id, cell, kept)."""
+    from pyspark.sql import Window as W
+
+    c_id, c_vec = centroids.columns[0], centroids.columns[1]
+    from .similarity import dot as _dot_expr
+
+    w = W.partitionBy("pid").orderBy(F.desc("cdot"), F.asc("cid"))
+    assigned = (
+        df.select(
+            F.col(id_col).alias("pid"), F.col(vec_col).alias("v")
+        )
+        .crossJoin(
+            F.broadcast(
+                centroids.select(
+                    F.col(c_id).alias("cid"), F.col(c_vec).alias("cv")
+                )
+            )
+        )
+        .withColumn(
+            "cdot", F.round(_dot_expr(F.col("v"), F.col("cv"), dim), 6)
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("pid", "v", F.col("cid").alias("cell"))
+    )
+    pairs = embedding_dup_pairs(
+        assigned,
+        id_col="pid",
+        vec_col="v",
+        dim=dim,
+        min_cosine=min_cosine,
+        block_col="cell",
+    )
+    dropped = pairs.select(F.col("id_b").alias("pid")).distinct()
+    return assigned.join(
+        dropped.withColumn("_drop", F.lit(True)), "pid", "left"
+    ).select(
+        F.col("pid").alias(id_col),
+        "cell",
+        F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
+    )

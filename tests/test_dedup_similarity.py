@@ -510,3 +510,43 @@ def test_simhash_dup_pairs_lossless_blocking(spark):
     assert got == want
     with _pytest.raises(ValueError):
         simhash_dup_pairs(df, "id", "simhash", max_hamming=4, blocks=4)
+
+
+def test_semantic_dedup_keep_first_within_cells(spark):
+    # hand fixture: two cells (codebook = axis vectors); within cell 0,
+    # ids 10/11/12 are near-identical (cos ~1) -> keep 10 only; id 13
+    # is orthogonal-ish -> kept. Cell 1 has a single member -> kept.
+    import math
+
+    from deepee_spark.operators.dedup import semantic_dedup
+
+    dim = 4
+    rows = [
+        (10, [1.0, 0.0, 0.1, 0.0]),
+        (11, [0.99, 0.0, 0.12, 0.0]),   # dup of 10
+        (12, [1.01, 0.0, 0.08, 0.0]),   # dup of 10 (and 11)
+        (13, [0.6, 0.0, -0.8, 0.0]),    # cell 0 but far from all
+        (20, [0.0, 1.0, 0.0, 0.2]),     # alone in cell 1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "c_id long, c_vec array<double>",
+    )
+    out = {
+        r.vec_id: (r.cell, r.kept)
+        for r in semantic_dedup(
+            emb, "vec_id", "embedding", dim, cent, min_cosine=0.95
+        ).collect()
+    }
+    assert out == {
+        10: (0, True), 11: (0, False), 12: (0, False),
+        13: (0, True), 20: (1, True),
+    }
+    # independent check of the fixture's intent
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a) * sum(x * x for x in b))
+
+    assert cos(rows[0][1], rows[1][1]) > 0.95
+    assert cos(rows[0][1], rows[3][1]) < 0.95
