@@ -626,3 +626,46 @@ def semantic_dedup(
         "cell",
         F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
     )
+
+
+def lsh_plan(
+    threshold: float, n_hashes: int, fp_weight: float = 1.0
+) -> dict:
+    """Banded-MinHash parameter planning (the standard S-curve math,
+    Leskovec/Rajaraman/Ullman MMDS ch.3 — public): choose (bands,
+    rows) for a signature of ``n_hashes`` so the collision S-curve
+    P(candidate | J) = 1 - (1 - J^rows)^bands best separates pairs at
+    the target Jaccard ``threshold``.
+
+    Scored by estimated error mass: false-negative rate at J =
+    threshold plus ``fp_weight`` times the false-positive rate at
+    J = threshold/2 (the verify step prunes FPs cheaply, so callers
+    that trust their verifier pass fp_weight < 1 to buy recall).
+    Driver-side pure math — runs once per job to size band_rows /
+    minhash_signatures, never per row.
+
+    Returns {bands, rows, p_at_threshold, p_at_half, est_threshold}
+    where est_threshold is the curve's (1/bands)^(1/rows) knee."""
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1)")
+    if n_hashes < 2:
+        raise ValueError("need at least 2 hashes")
+    best = None
+    for rows in range(1, n_hashes + 1):
+        bands = n_hashes // rows
+        if bands < 1:
+            break
+        p_hit = 1.0 - (1.0 - threshold ** rows) ** bands
+        p_fp = 1.0 - (1.0 - (threshold / 2.0) ** rows) ** bands
+        err = (1.0 - p_hit) + fp_weight * p_fp
+        cand = (err, rows, bands, p_hit, p_fp)
+        if best is None or cand[0] < best[0]:
+            best = cand
+    _, rows, bands, p_hit, p_fp = best
+    return {
+        "bands": bands,
+        "rows": rows,
+        "p_at_threshold": round(p_hit, 6),
+        "p_at_half": round(p_fp, 6),
+        "est_threshold": round((1.0 / bands) ** (1.0 / rows), 6),
+    }

@@ -550,3 +550,27 @@ def test_semantic_dedup_keep_first_within_cells(spark):
 
     assert cos(rows[0][1], rows[1][1]) > 0.95
     assert cos(rows[0][1], rows[3][1]) < 0.95
+
+
+def test_lsh_plan_s_curve_properties():
+    from deepee_spark.operators.dedup import lsh_plan
+
+    import pytest as _pytest
+
+    # recall-leaning at J=0.45/32 hashes reproduces EXACTLY the 16x2
+    # banding operators/linking.py documents ("catch J=0.45 w.p. ~0.98")
+    p45 = lsh_plan(0.45, 32, fp_weight=0.3)
+    assert (p45["bands"], p45["rows"]) == (16, 2)
+    assert p45["p_at_threshold"] > 0.9  # catches true near-dups
+    p9 = lsh_plan(0.9, 128)
+    assert p9["rows"] > p45["rows"]  # higher threshold -> longer bands
+    assert p9["est_threshold"] > p45["est_threshold"]
+    # recall-greedy caller accepts more FPs -> shorter rows
+    loose = lsh_plan(0.8, 64, fp_weight=0.1)
+    strict = lsh_plan(0.8, 64, fp_weight=5.0)
+    assert loose["rows"] <= strict["rows"]
+    assert loose["p_at_threshold"] >= strict["p_at_threshold"]
+    with _pytest.raises(ValueError):
+        lsh_plan(1.5, 32)
+    with _pytest.raises(ValueError):
+        lsh_plan(0.5, 1)
