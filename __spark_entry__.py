@@ -8704,6 +8704,51 @@ FROM best WHERE rn = 1
 """
 
 
+def _bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit — the standard vocabulary-quality
+    metric (pieces per word; chars per piece) computed over the corpus
+    vocabulary AFTER applying the fixed learned merge table
+    (operators/bpe.segment_words). Integer-exact e6 fractions so the
+    cross-engine hash is stable. One aggregate over the (word, cnt)
+    vocab — cost bounded by distinct word forms at any corpus size."""
+    from deepee_spark.operators.bpe import segment_words
+
+    seg = segment_words(_t(spark, sf_dir, "documents"), _BPE_FIXED_MERGES)
+    return seg.agg(
+        F.sum("cnt").cast("long").alias("n_words"),
+        F.sum(F.col("cnt") * F.size("pieces")).cast("long").alias("n_pieces"),
+        F.sum(F.col("cnt") * F.length("word")).cast("long").alias("n_chars"),
+    ).select(
+        "n_words",
+        "n_pieces",
+        "n_chars",
+        F.expr("1000000 * n_pieces DIV n_words").cast("long").alias(
+            "fertility_e6"
+        ),
+        F.expr("1000000 * n_chars DIV n_pieces").cast("long").alias(
+            "chars_per_piece_e6"
+        ),
+    )
+
+
+def _bpe_fertility_sql() -> str:
+    from deepee_spark.operators.bpe import segment_oracle_sql
+
+    return f"""
+WITH seg AS ({segment_oracle_sql(_BPE_FIXED_MERGES)}),
+agg AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_words,
+         CAST(SUM(cnt * len(string_split(pieces, ' '))) AS BIGINT)
+           AS n_pieces,
+         CAST(SUM(cnt * length(word)) AS BIGINT) AS n_chars
+  FROM seg)
+SELECT n_words, n_pieces, n_chars,
+       CAST(1000000 * n_pieces // n_words AS BIGINT) AS fertility_e6,
+       CAST(1000000 * n_chars // n_pieces AS BIGINT) AS chars_per_piece_e6
+FROM agg
+"""
+
+
 SEMDEDUP_K = 8
 SEMDEDUP_TAU = 0.3
 
@@ -8825,6 +8870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _semdedup,
         # -- positions 51+: remaining never-driver-seen (round-5
         #    window candidates) --
+        "bpe_fertility": _bpe_fertility,
         "kg_skipgram_pairs": _kg_skipgram_pairs,
         "text_unigram_logprob": _unigram_logprob,
         "kg_outlink_hosts": _kg_outlink_hosts,
@@ -8985,6 +9031,7 @@ def oracle_sql() -> dict[str, str]:
     from deepee_spark.operators import sharding as _sharding_sql
 
     return {
+        "bpe_fertility": _bpe_fertility_sql(),
         "semdedup": _SEMDEDUP_SQL,
         "j12_salted_linking": _J12_SALTED_SQL,
         "wordpiece_file_vocab": _WORDPIECE_FILE_SQL,
