@@ -82,3 +82,28 @@ def hot_key_report(
             "rank",
         )
     )
+
+
+def plan_salt_k(
+    df: DataFrame,
+    key_cols: list[str],
+    target_rows_per_task: int = 1_000_000,
+    max_k: int = 1024,
+) -> int:
+    """Choose the salting factor from measured skew: k = ceil(max key
+    group / target_rows_per_task), clamped to [1, max_k].
+
+    The missing half of salted_join's contract — its docstring says
+    "k ~ max-key-rows / target" and this computes exactly that from
+    hot_key_report's top-1 row (one partial-agged shuffle + a 1-row
+    collect; run once per job, driver-side, like dedup.lsh_plan).
+    k == 1 means the join is not skewed enough to salt — callers can
+    skip the salt entirely and save the dim-side explode."""
+    if target_rows_per_task < 1:
+        raise ValueError("target_rows_per_task must be >= 1")
+    top = hot_key_report(df, key_cols, top_k=1).collect()
+    if not top:
+        return 1
+    hottest = int(top[0]["n_rows"])
+    k = -(-hottest // target_rows_per_task)  # ceil
+    return max(1, min(k, max_k))

@@ -1170,3 +1170,30 @@ def test_weighted_bottom_k_bruteforce_bias_and_guards(spark):
 
     with _pytest.raises(ValueError):
         weighted_bottom_k(df, "key", "wt", k=0)
+
+
+def test_plan_salt_k_from_measured_skew(spark):
+    from deepee_spark.operators.skew import plan_salt_k, salted_join
+
+    import pyspark.sql.functions as F
+
+    # 1000 rows of 'hot', 10 of everything else
+    fact = spark.range(1100).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") < 1000, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 10).cast("string")))
+        .alias("key"),
+    )
+    assert plan_salt_k(fact, ["key"], target_rows_per_task=100) == 10
+    assert plan_salt_k(fact, ["key"], target_rows_per_task=100, max_k=4) == 4
+    # not skewed enough -> 1 (caller can skip salting)
+    assert plan_salt_k(fact, ["key"], target_rows_per_task=10_000) == 1
+    # the planned k keeps the salted join correct
+    dim = spark.createDataFrame(
+        [("hot", 1)] + [(f"k{i}", i) for i in range(10)], "key string, v int"
+    )
+    k = plan_salt_k(fact, ["key"], target_rows_per_task=100)
+    out = salted_join(fact, dim, key="key", salt_on="row_id", k=k)
+    assert out.count() == 1100
+    with __import__("pytest").raises(ValueError):
+        plan_salt_k(fact, ["key"], target_rows_per_task=0)
