@@ -8749,6 +8749,71 @@ FROM agg
 """
 
 
+def _w1_joint_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint-conditioned P-R curve (operators/metrics.joint_pr_curve —
+    DMCNN dataProcess_argument_bag_preinfo.py sort_by_score): the
+    argument-bag eval where credit requires the upstream trigger bag
+    to be right too. Labels/scores derive from event_id so NA rows,
+    upstream mismatches, and the degenerate early-prefix branches all
+    occur; event_id is the deterministic tie key."""
+    from deepee_spark.operators.metrics import joint_pr_curve
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    base = ev.select(
+        "event_id",
+        F.round(F.col("value"), 3).alias("score"),
+        (F.col("event_id") % 7).alias("pred"),
+        ((F.col("event_id") * 3) % 7).alias("gold"),
+        (F.col("event_id") % 4).alias("up_pred"),
+        ((F.col("event_id") * 5) % 4).alias("up_gold"),
+    )
+    return joint_pr_curve(
+        base, "score", "pred", "gold", "up_pred", "up_gold",
+        na_label=6, upstream_na_label=3, tie_keys=["event_id"],
+    )
+
+
+_W1_JOINT_SQL = """
+WITH base AS (
+  SELECT event_id, ROUND(value, 3) AS score,
+         event_id % 7 AS pred, (event_id * 3) % 7 AS gold,
+         event_id % 4 AS up_pred, (event_id * 5) % 4 AS up_gold
+  FROM events WHERE event_id < 3000),
+flags AS (
+  SELECT event_id, score,
+         CASE WHEN pred = gold AND gold <> 6
+                   AND up_pred = up_gold AND up_gold <> 3
+              THEN 1 ELSE 0 END AS hit,
+         CASE WHEN pred <> 6 THEN 1 ELSE 0 END AS pos,
+         CASE WHEN gold <> 6 THEN 1 ELSE 0 END AS gpos
+  FROM base),
+tot AS (SELECT SUM(gpos) AS n_gold FROM flags),
+run AS (
+  SELECT event_id, score,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS n_pred,
+         CAST(SUM(pos) OVER w AS BIGINT) AS n_pos_pred,
+         CAST(SUM(hit) OVER w AS BIGINT) AS n_correct
+  FROM flags
+  WINDOW w AS (ORDER BY score DESC, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+pr AS (
+  SELECT event_id, score, n_pred, n_pos_pred, n_correct,
+         CASE WHEN n_pos_pred = 0 THEN 1.0
+              WHEN t.n_gold = 0 THEN 0.0
+              ELSE CAST(n_correct AS DOUBLE) / n_pos_pred END AS p,
+         CASE WHEN n_pos_pred = 0 THEN 0.0
+              WHEN t.n_gold = 0 THEN 1.0
+              ELSE CAST(n_correct AS DOUBLE) / t.n_gold END AS r
+  FROM run, tot t)
+SELECT event_id, score, n_pred, n_pos_pred, n_correct,
+       ROUND(p, 6) AS precision,
+       ROUND(r, 6) AS recall,
+       ROUND(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r)
+                  ELSE 0.0 END, 6) AS f1
+FROM pr
+"""
+
+
 SEMDEDUP_K = 8
 SEMDEDUP_TAU = 0.3
 
@@ -8871,6 +8936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- positions 51+: remaining never-driver-seen (round-5
         #    window candidates) --
         "bpe_fertility": _bpe_fertility,
+        "w1_joint_pr_curve": _w1_joint_pr_curve,
         "kg_skipgram_pairs": _kg_skipgram_pairs,
         "text_unigram_logprob": _unigram_logprob,
         "kg_outlink_hosts": _kg_outlink_hosts,
@@ -9032,6 +9098,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "bpe_fertility": _bpe_fertility_sql(),
+        "w1_joint_pr_curve": _W1_JOINT_SQL,
         "semdedup": _SEMDEDUP_SQL,
         "j12_salted_linking": _J12_SALTED_SQL,
         "wordpiece_file_vocab": _WORDPIECE_FILE_SQL,

@@ -415,3 +415,71 @@ def bcubed_prf(
         " DIV (b3_precision_e6 + b3_recall_e6) ELSE 0 END"
     ).cast("long")
     return out.withColumn("b3_f1_e6", f1)
+
+
+def joint_pr_curve(
+    df: DataFrame,
+    score_col: str,
+    pred_col: str,
+    gold_col: str,
+    upstream_pred_col: str,
+    upstream_gold_col: str,
+    na_label: int,
+    upstream_na_label: int,
+    tie_keys: list[str],
+) -> DataFrame:
+    """Joint-conditioned sorted P-R curve (DMCNN
+    dataProcess_argument_bag_preinfo.py:52-113 sort_by_score — the
+    pipelined-bag eval the plain W1 curve does not cover): an argument
+    prediction counts as CORRECT only when its own label matches gold
+    (both non-NA, reference id 61) AND the upstream trigger bag's
+    prediction matches its gold (both non-NA, reference id 21) — a
+    downstream stage never gets credit on top of an upstream mistake.
+    Denominators follow the reference exactly: predicted-positive =
+    own label != NA; gold-positive = own gold != NA; the degenerate
+    branches replicate :91-97 (no positive predictions yet -> P=1,
+    R=0; positive predictions but an empty positive gold set -> P=0,
+    R=1).
+
+    Scale shape: same two-level ranked_cumsum as pr_curve — running
+    (correct, positive-pred) sums over (score DESC, tie_keys ASC)
+    without any single-partition window. The reference's
+    consecutive-duplicate (P, R) suppression is presentation for its
+    matplotlib plot and is deliberately NOT replicated — every prefix
+    rank is emitted."""
+    hit = (
+        (F.col(pred_col) == F.col(gold_col))
+        & (F.col(gold_col) != na_label)
+        & (F.col(upstream_pred_col) == F.col(upstream_gold_col))
+        & (F.col(upstream_gold_col) != upstream_na_label)
+    ).cast("long")
+    pos = (F.col(pred_col) != na_label).cast("long")
+    base = df.select(
+        *tie_keys, F.col(score_col).alias("_score"),
+        hit.alias("_hit"), pos.alias("_pos"),
+        (F.col(gold_col) != na_label).cast("long").alias("_gpos"),
+    )
+    n_gold_pos = base.agg(F.sum("_gpos")).collect()[0][0] or 0
+    curve = ranked_cumsum(base, "_score", tie_keys, ["_hit", "_pos"])
+    p = (
+        F.when(F.col("cum__pos") == 0, F.lit(1.0))
+        .when(F.lit(n_gold_pos) == 0, F.lit(0.0))
+        .otherwise(F.col("cum__hit") / F.col("cum__pos"))
+    )
+    r = (
+        F.when(F.col("cum__pos") == 0, F.lit(0.0))
+        .when(F.lit(n_gold_pos) == 0, F.lit(1.0))
+        .otherwise(F.col("cum__hit") / F.lit(n_gold_pos))
+    )
+    return curve.select(
+        *tie_keys,
+        F.col("_score").alias(score_col),
+        F.col("rank").alias("n_pred"),
+        F.col("cum__pos").alias("n_pos_pred"),
+        F.col("cum__hit").alias("n_correct"),
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(
+            F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0)), 6
+        ).alias("f1"),
+    )

@@ -1197,3 +1197,62 @@ def test_plan_salt_k_from_measured_skew(spark):
     assert out.count() == 1100
     with __import__("pytest").raises(ValueError):
         plan_salt_k(fact, ["key"], target_rows_per_task=0)
+
+
+def test_joint_pr_curve_matches_reference_loop(spark):
+    # single-process replay of DMCNN dataProcess_argument_bag_preinfo
+    # sort_by_score (incl. the degenerate branches), NA ids remapped
+    from deepee_spark.operators.metrics import joint_pr_curve
+
+    NA, UP_NA = 6, 3
+    rows = [
+        # (id, score, pred, gold, up_pred, up_gold)
+        (1, 0.9, 2, 2, 1, 1),   # fully correct
+        (2, 0.8, NA, 2, 1, 1),  # NA prediction: not positive
+        (3, 0.7, 2, 2, 2, 1),   # upstream wrong: no credit
+        (4, 0.6, 3, 3, UP_NA, UP_NA),  # upstream NA: no credit
+        (5, 0.5, 4, 5, 0, 0),   # own label wrong
+        (6, 0.4, 1, 1, 2, 2),   # fully correct
+        (7, 0.4, NA, NA, 1, 1), # tie on score, NA/NA row
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, score double, pred long, gold long, "
+        "up_pred long, up_gold long",
+    )
+    got = {
+        r.n_pred: (r.n_pos_pred, r.n_correct, r.precision, r.recall)
+        for r in joint_pr_curve(
+            df, "score", "pred", "gold", "up_pred", "up_gold",
+            NA, UP_NA, ["event_id"],
+        ).collect()
+    }
+    # reference loop
+    order = sorted(rows, key=lambda t: (-t[1], t[0]))
+    n_gold = sum(1 for t in rows if t[3] != NA)
+    pos = hit = 0
+    for i, t in enumerate(order, 1):
+        if t[2] != NA:
+            pos += 1
+        if (t[2] == t[3] != NA) and (t[4] == t[5] != UP_NA):
+            hit += 1
+        if pos == 0:
+            p, r = 1.0, 0.0
+        elif n_gold == 0:
+            p, r = 0.0, 1.0
+        else:
+            p, r = hit / pos, hit / n_gold
+        assert got[i] == (pos, hit, round(p, 6), round(r, 6)), (i, got[i])
+    # degenerate branch: the first row is NA -> P=1, R=0 at rank 1
+    shuffled = [(1, 0.9, NA, 2, 1, 1), (2, 0.8, 2, 2, 1, 1)]
+    df2 = spark.createDataFrame(
+        shuffled,
+        "event_id long, score double, pred long, gold long, "
+        "up_pred long, up_gold long",
+    )
+    first = (
+        joint_pr_curve(df2, "score", "pred", "gold", "up_pred",
+                       "up_gold", NA, UP_NA, ["event_id"])
+        .filter("n_pred = 1").collect()[0]
+    )
+    assert (first.precision, first.recall) == (1.0, 0.0)
