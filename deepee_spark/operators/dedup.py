@@ -669,3 +669,106 @@ def lsh_plan(
         "p_at_half": round(p_fp, 6),
         "est_threshold": round((1.0 / bands) ** (1.0 / rows), 6),
     }
+
+
+def semantic_dedup_drop(
+    drop: DataFrame,
+    history: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    centroids: DataFrame,
+    min_cosine: float = 0.95,
+) -> DataFrame:
+    """Cross-drop incremental SemDeDup — the embedding twin of the
+    MinHash band-index incremental path (plans/pipeline.
+    dedup_drop_against_history): a new crawl drop's embeddings are
+    near-dup-checked against BOTH the accumulated corpus and
+    themselves, per coarse cell, so daily cost is the drop's own cells,
+    never a rescan of the corpus pair space.
+
+    Rules (equivalent BY CONSTRUCTION to running semantic_dedup over
+    history-then-drop with history ids ordered first — pinned by
+    test):
+      - a drop row DROPS if ANY history row in its cell has
+        cosine >= min_cosine with it (history rows are all "earlier",
+        kept or not — the keep-first rule looks at all earlier rows);
+      - otherwise the within-drop keep-lowest-id rule applies.
+
+    Scale shape: one broadcast-assign per side, then ONE cogrouped
+    per-cell gemm for drop x history plus semantic_dedup's drop x drop
+    cogroup. The history side streams through the cogroup partition by
+    cell — it is never collected, broadcast, or re-paired with itself.
+    Returns (id, cell, kept) for the DROP rows only."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window as W
+
+    from .similarity import dot as _dot_expr
+
+    c_id, c_vec = centroids.columns[0], centroids.columns[1]
+    cent = F.broadcast(
+        centroids.select(F.col(c_id).alias("cid"), F.col(c_vec).alias("cv"))
+    )
+
+    def assign(df: DataFrame) -> DataFrame:
+        w = W.partitionBy("pid").orderBy(F.desc("cdot"), F.asc("cid"))
+        return (
+            df.select(F.col(id_col).alias("pid"), F.col(vec_col).alias("v"))
+            .crossJoin(cent)
+            .withColumn(
+                "cdot", F.round(_dot_expr(F.col("v"), F.col("cv"), dim), 6)
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("pid", "v", F.col("cid").alias("cell"))
+        )
+
+    drop_a = assign(drop)
+    hist_a = assign(history)
+    loose = float(min_cosine) - 1e-6
+    empty = pd.DataFrame({"pid": []})
+
+    def _hist_hits(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # left = drop rows of one cell, right = history rows of the cell
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        A = np.stack(left["v"].to_numpy()).astype(np.float64)
+        B = np.stack(right["v"].to_numpy()).astype(np.float64)
+        C = (A @ B.T) / np.outer(
+            np.linalg.norm(A, axis=1), np.linalg.norm(B, axis=1)
+        )
+        # exact boundary rule shared with embedding_dup_pairs: loose
+        # gemm prefilter here, round-to-6-then-threshold on the exact
+        # recomputed cosine below would need the pair rows — instead
+        # replicate the round-at-6 rule directly (cosine is float64
+        # both engines; rounding removes the boundary sensitivity)
+        hit = (np.round(C, 6) >= min_cosine).any(axis=1)
+        return pd.DataFrame({"pid": left["pid"].to_numpy()[hit]})
+
+    n_parts = drop.sparkSession.sparkContext.defaultParallelism
+    id_dt = drop.schema[id_col].dataType.simpleString()
+    hist_hit = (
+        drop_a.select("pid", "cell", "v")
+        .repartition(n_parts, "cell")
+        .groupby("cell")
+        .cogroup(
+            hist_a.select("pid", "cell", "v").repartition(n_parts, "cell")
+            .groupby("cell")
+        )
+        .applyInPandas(lambda l, r: _hist_hits(l, r), f"pid {id_dt}")
+        .withColumn("_hist_dup", F.lit(True))
+    )
+    within = semantic_dedup(
+        drop, id_col, vec_col, dim, centroids, min_cosine
+    ).select(F.col(id_col).alias("pid"), "cell", F.col("kept").alias("_wk"))
+    return (
+        within.join(hist_hit, "pid", "left")
+        .select(
+            F.col("pid").alias(id_col),
+            "cell",
+            (F.col("_wk") & F.coalesce(~F.col("_hist_dup"), F.lit(True)))
+            .alias("kept"),
+        )
+    )

@@ -574,3 +574,56 @@ def test_lsh_plan_s_curve_properties():
         lsh_plan(1.5, 32)
     with _pytest.raises(ValueError):
         lsh_plan(0.5, 1)
+
+
+def test_semantic_dedup_drop_equals_full_run(spark):
+    # cross-drop incremental == one full semantic_dedup over
+    # history-then-drop when history ids order first
+    import numpy as np
+
+    from deepee_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_drop,
+    )
+
+    rng = np.random.default_rng(20260821)
+    dim = 16
+
+    def mk(n, id0):
+        base = rng.standard_normal((max(n // 3, 1), dim))
+        rows = []
+        for i in range(n):
+            v = base[i % len(base)] + 0.05 * rng.standard_normal(dim)
+            rows.append((id0 + i, [float(x) for x in v]))
+        return rows
+
+    hist_rows = mk(40, 0)
+    drop_rows = mk(25, 1000)   # ids strictly after history
+    hist = spark.createDataFrame(
+        hist_rows, "vec_id long, embedding array<double>"
+    )
+    drop = spark.createDataFrame(
+        drop_rows, "vec_id long, embedding array<double>"
+    )
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(dim)]) for i in range(4)],
+        "c_id long, c_vec array<double>",
+    )
+    tau = 0.9
+    full = {
+        r.vec_id: r.kept
+        for r in semantic_dedup(
+            hist.unionByName(drop), "vec_id", "embedding", dim, cent, tau
+        ).collect()
+        if r.vec_id >= 1000
+    }
+    inc = {
+        r.vec_id: r.kept
+        for r in semantic_dedup_drop(
+            drop, hist, "vec_id", "embedding", dim, cent, tau
+        ).collect()
+    }
+    assert inc == full
+    # sanity: the fixture actually exercises both drop reasons
+    assert any(not k for k in inc.values())
+    assert any(k for k in inc.values())
