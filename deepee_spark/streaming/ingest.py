@@ -436,3 +436,88 @@ def stream_cms_to_catalog(
         q.awaitTermination()
         return None
     return writer.start()
+
+
+def stream_semantic_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    catalog,
+    checkpoint_dir: str,
+    centroids: DataFrame,
+    dim: int = 64,
+    min_cosine: float = 0.95,
+    kept_table: str = "emb_kept",
+    history_table: str = "emb_history",
+    available_now: bool = True,
+):
+    """Streaming SemDeDup — semantic_dedup_drop at micro-batch cadence
+    (the embedding twin of stream_frontier_gate's admission shape):
+    each batch of (vec_id, embedding) rows is near-dup-checked against
+    the accumulated ``history_table`` per coarse cell, surviving rows
+    FAST-APPEND to ``kept_table``, and ALL batch rows append to
+    ``history_table`` (the keep-first rule looks at every earlier row,
+    kept or not, so history must carry both — exactly the batch
+    operator's contract, which is what makes stream == batch replay
+    provable).
+
+    Crash consistency mirrors the frontier gate: the two commits are
+    individually epoch-stamped, kept-append FIRST, and verdicts are
+    always computed against history as of BEFORE this epoch's history
+    append — a replayed epoch recomputes the identical kept set and
+    re-runs only the missing commit. maxFilesPerTrigger=1 keeps one
+    crawl drop per micro-batch so cross-drop ordering is file order."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..operators.dedup import semantic_dedup, semantic_dedup_drop
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        fp_kept = f"stream-semdedup:{source_dir}:kept:epoch={epoch_id}"
+        fp_hist = f"stream-semdedup:{source_dir}:hist:epoch={epoch_id}"
+        if not _epoch_done(catalog, kept_table, fp_kept):
+            try:
+                hist = catalog.read(spark, history_table).select(
+                    "vec_id", "embedding"
+                )
+            except FileNotFoundError:
+                hist = None
+            if hist is None:
+                verdicts = semantic_dedup(
+                    batch_df, "vec_id", "embedding", dim, centroids,
+                    min_cosine,
+                )
+            else:
+                verdicts = semantic_dedup_drop(
+                    batch_df, hist, "vec_id", "embedding", dim,
+                    centroids, min_cosine,
+                )
+            kept = batch_df.join(
+                verdicts.filter("kept").select("vec_id"), "vec_id",
+                "left_semi",
+            )
+            catalog.append(kept, kept_table, fp_kept)
+        if not _epoch_done(catalog, history_table, fp_hist):
+            catalog.append(batch_df, history_table, fp_hist)
+
+    emb = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    writer = (
+        emb.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

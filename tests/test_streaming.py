@@ -590,3 +590,67 @@ def test_stream_facts_match_batch(spark, tmp_path):
         spark, src, cat, str(tmp_path / "ckpt"), available_now=True
     )
     assert cat.read(spark, "table_facts").count() == batch.count()
+
+
+def test_stream_semantic_dedup_equals_batch(spark, tmp_path):
+    """Streaming SemDeDup over two drops == one batch semantic_dedup
+    over all rows with drop-1 ids first; a replayed run (same
+    checkpoint, no new files) appends nothing."""
+    import numpy as np
+
+    from deepee_spark.operators.dedup import semantic_dedup
+    from deepee_spark.sources.tables import StageCatalog
+    from deepee_spark.streaming.ingest import stream_semantic_dedup
+
+    rng = np.random.default_rng(7)
+    dim = 16
+
+    def mk(n, id0, base):
+        return [
+            (id0 + i,
+             [float(x) for x in
+              base[i % len(base)] + 0.05 * rng.standard_normal(dim)])
+            for i in range(n)
+        ]
+
+    base = rng.standard_normal((6, dim))
+    d1 = mk(20, 0, base)
+    d2 = mk(15, 1000, base)  # near-dups across drops by construction
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(dim)]) for i in range(3)],
+        "c_id long, c_vec array<double>",
+    )
+    schema = "vec_id long, embedding array<double>"
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    cat = StageCatalog(str(tmp_path / "cat"))
+
+    spark.createDataFrame(d1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream_semantic_dedup(spark, src, cat, ckpt, cent, dim, 0.9)
+    spark.createDataFrame(d2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream_semantic_dedup(spark, src, cat, ckpt, cent, dim, 0.9)
+
+    kept_stream = {
+        r.vec_id for r in cat.read(spark, "emb_kept").collect()
+    }
+    full = spark.createDataFrame(d1 + d2, schema)
+    kept_batch = {
+        r.vec_id
+        for r in semantic_dedup(
+            full, "vec_id", "embedding", dim, cent, 0.9
+        ).collect()
+        if r.kept
+    }
+    assert kept_stream == kept_batch
+    assert kept_stream and len(kept_stream) < len(d1) + len(d2)
+    # replay with no new input: nothing appended
+    n_hist = cat.read(spark, "emb_history").count()
+    stream_semantic_dedup(spark, src, cat, ckpt, cent, dim, 0.9)
+    assert cat.read(spark, "emb_history").count() == n_hist
+    assert {
+        r.vec_id for r in cat.read(spark, "emb_kept").collect()
+    } == kept_batch
