@@ -149,6 +149,8 @@ def main() -> None:
         "rcee_question_stems",
         "m2_viterbi_roles",
         "semdedup",
+        "bpe_fertility",
+        "w1_joint_pr_curve",
     ]
     qs = entry.queries()
     timings: dict[str, float] = {}
