@@ -8814,6 +8814,32 @@ FROM pr
 """
 
 
+def _kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means codebook training with integer-exact micro-unit
+    means (operators/similarity.lloyd_codebook) — the honest quantizer
+    behind the IVF/SemDeDup cells: 2 Lloyd iterations at k=8 over the
+    embeddings table, output = the final cell assignment. Every mean
+    is an exact BIGINT sum DIV count, so the twin replays the whole
+    recurrence bit-identically (round_even == bround, BIGINT // ==
+    DIV)."""
+    from deepee_spark.operators.similarity import lloyd_codebook
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _cb = lloyd_codebook(
+        emb, "vec_id", "embedding", 64, k=8, iters=2
+    )
+    return assigned
+
+
+def _kmeans_cells_sql() -> str:
+    from deepee_spark.operators.similarity import lloyd_oracle_sql
+
+    return lloyd_oracle_sql(
+        "SELECT vec_id AS pid, embedding AS v FROM embeddings",
+        64, k=8, iters=2,
+    )
+
+
 SEMDEDUP_K = 8
 SEMDEDUP_TAU = 0.3
 
@@ -8937,6 +8963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    window candidates) --
         "bpe_fertility": _bpe_fertility,
         "w1_joint_pr_curve": _w1_joint_pr_curve,
+        "kmeans_cells": _kmeans_cells,
         "kg_skipgram_pairs": _kg_skipgram_pairs,
         "text_unigram_logprob": _unigram_logprob,
         "kg_outlink_hosts": _kg_outlink_hosts,
@@ -9099,6 +9126,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bpe_fertility": _bpe_fertility_sql(),
         "w1_joint_pr_curve": _W1_JOINT_SQL,
+        "kmeans_cells": _kmeans_cells_sql(),
         "semdedup": _SEMDEDUP_SQL,
         "j12_salted_linking": _J12_SALTED_SQL,
         "wordpiece_file_vocab": _WORDPIECE_FILE_SQL,

@@ -151,6 +151,7 @@ def main() -> None:
         "semdedup",
         "bpe_fertility",
         "w1_joint_pr_curve",
+        "kmeans_cells",
     ]
     qs = entry.queries()
     timings: dict[str, float] = {}

@@ -416,3 +416,156 @@ def sparse_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "doc", "score_e6")
     )
+
+
+def lloyd_codebook(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 8,
+    iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd k-means codebook training with INTEGER-EXACT means — the
+    honest upgrade of the seed-pick coarse quantizer the IVF and
+    SemDeDup paths use (their contract only needs stable cells; this
+    trains the cells that minimize quantization error like the real
+    systems do).
+
+    Determinism/cross-engine exactness: float means are shuffle-order
+    dependent (float addition does not commute bitwise), so centroids
+    are maintained in MICRO-UNITS — each coordinate bround(1e6*x) cast
+    long at init, per-iteration means as exact BIGINT sums DIV counts.
+    Assignment is argmax of round(dot(v, cent_micro)/1e6, 6) with the
+    IVF tie-break (dot desc, c_id asc). Every operation replays
+    bit-identically in the SQL twin. Cells that lose all members keep
+    their previous centroid (documented; mirrored by the twin).
+
+    Scale shape per iteration: one broadcast of the k x dim codebook,
+    one argmax projection (no shuffle), one groupBy(cell) aggregate of
+    dim positional sums (partial-agged). Returns (assignment, codebook)
+    = ((id, cell), (c_id, centroid array<long> micro-units))."""
+    if k < 1 or iters < 0:
+        raise ValueError("need k >= 1 and iters >= 0")
+    from pyspark.sql import Window as W
+
+    base = emb.select(F.col(id_col).alias("pid"), F.col(vec_col).alias("v"))
+    micro = F.transform(
+        F.col("v"), lambda x: F.bround(x * 1_000_000).cast("long")
+    )
+    seed = (
+        base.orderBy("pid").limit(k)
+        .select(F.col("pid").alias("c_id"), micro.alias("cent"))
+    )
+    # stable c_ids 0..k-1 in pid order (seed pids are arbitrary)
+    w0 = W.orderBy("c_id")
+    codebook = seed.select(
+        (F.row_number().over(w0) - 1).cast("long").alias("c_id"), "cent"
+    )
+
+    def assign(cb: DataFrame) -> DataFrame:
+        d = F.aggregate(
+            F.zip_with("v", "cent", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w = W.partitionBy("pid").orderBy(F.desc("cdot"), F.asc("c_id"))
+        return (
+            base.crossJoin(F.broadcast(cb))
+            .withColumn("cdot", F.round(d / 1_000_000.0, 6))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("pid", "v", F.col("c_id").alias("cell"))
+        )
+
+    for _ in range(iters):
+        assigned = assign(codebook)
+        sums = assigned.select(
+            "cell",
+            F.posexplode(
+                F.transform(
+                    F.col("v"),
+                    lambda x: F.bround(x * 1_000_000).cast("long"),
+                )
+            ).alias("pos", "val"),
+        ).groupBy("cell", "pos").agg(
+            F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        new_cent = (
+            sums.withColumn("m", F.expr("s DIV n"))
+            .groupBy("cell")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("pos", "m"))
+            ).alias("pm"))
+            .select(
+                F.col("cell").alias("c_id"),
+                F.transform(F.col("pm"), lambda x: x["m"]).alias("cent"),
+            )
+        )
+        codebook = (
+            codebook.alias("old")
+            .join(new_cent.alias("new"), "c_id", "left")
+            .select(
+                "c_id",
+                F.coalesce(F.col("new.cent"), F.col("old.cent")).alias(
+                    "cent"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return assign(codebook).select(
+        F.col("pid").alias(id_col), "cell"
+    ), codebook
+
+
+def lloyd_oracle_sql(
+    emb_sql: str, dim: int, k: int = 8, iters: int = 2
+) -> str:
+    """DuckDB twin of lloyd_codebook's final ASSIGNMENT over
+    ``emb_sql`` (a SELECT yielding pid, v): unrolled CTE per Lloyd
+    iteration. round_even matches Spark's bround (HALF_EVEN); DuckDB's
+    BIGINT ``//`` truncates toward zero exactly like Spark's DIV, so
+    the micro-unit centroid recurrence replays bit-identically."""
+    micro = (
+        "list_transform({v}, x -> CAST(round_even(x * 1000000, 0) AS BIGINT))"
+    )
+    dot = (
+        "ROUND(list_sum(list_transform(list_zip({v}, {c}), "
+        "z -> z[1] * z[2])) / 1000000.0, 6)"
+    )
+    parts = [
+        f"WITH e AS ({emb_sql}),",
+        f"""cent0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY pid) - 1 AS BIGINT) AS c_id,
+         {micro.format(v='v')} AS cent
+  FROM (SELECT pid, v FROM e ORDER BY pid LIMIT {k})),""",
+    ]
+    for t in range(iters):
+        parts.append(f"""assign{t} AS (
+  SELECT pid, v, c_id AS cell FROM (
+    SELECT e.pid, e.v, c.c_id,
+           row_number() OVER (PARTITION BY e.pid
+             ORDER BY {dot.format(v='e.v', c='c.cent')} DESC,
+                      c.c_id ASC) AS rk
+    FROM e CROSS JOIN cent{t} c) WHERE rk = 1),
+sums{t} AS (
+  SELECT cell, pos, SUM(val) AS s, COUNT(*) AS n FROM (
+    SELECT cell,
+           UNNEST(range(1, {dim + 1})) AS pos,
+           UNNEST({micro.format(v='v')}) AS val
+    FROM assign{t})
+  GROUP BY cell, pos),
+cent{t + 1} AS (
+  SELECT o.c_id, COALESCE(nc.cent, o.cent) AS cent
+  FROM cent{t} o LEFT JOIN (
+    SELECT cell AS c_id, list(s // n ORDER BY pos) AS cent
+    FROM sums{t} GROUP BY cell) nc USING (c_id)),""")
+    parts.append(f"""final_assign AS (
+  SELECT pid, c_id AS cell FROM (
+    SELECT e.pid, c.c_id,
+           row_number() OVER (PARTITION BY e.pid
+             ORDER BY {dot.format(v='e.v', c='c.cent')} DESC,
+                      c.c_id ASC) AS rk
+    FROM e CROSS JOIN cent{iters} c) WHERE rk = 1)
+SELECT pid AS vec_id, CAST(cell AS BIGINT) AS cell FROM final_assign""")
+    return "\n".join(parts)

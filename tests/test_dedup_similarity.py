@@ -627,3 +627,71 @@ def test_semantic_dedup_drop_equals_full_run(spark):
     # sanity: the fixture actually exercises both drop reasons
     assert any(not k for k in inc.values())
     assert any(k for k in inc.values())
+
+
+def _lloyd_reference(rows, dim, k, iters):
+    # single-process replay of the integer-exact recurrence
+    import math
+
+    def micro(v):
+        out = []
+        for x in v:
+            m = x * 1_000_000
+            f = math.floor(m)
+            diff = m - f
+            if diff > 0.5 or (diff == 0.5 and f % 2 == 1):
+                f += 1
+            out.append(int(f))
+        return out
+
+    rows = sorted(rows)
+    cents = {i: micro(v) for i, (_, v) in enumerate(rows[:k])}
+
+    def assign():
+        a = {}
+        for pid, v in rows:
+            best = None
+            for cid in sorted(cents):
+                d = round(sum(x * c for x, c in zip(v, cents[cid])) / 1e6, 6)
+                key = (-d, cid)
+                if best is None or key < best[0]:
+                    best = (key, cid)
+            a[pid] = best[1]
+        return a
+
+    for _ in range(iters):
+        a = assign()
+        sums = {}
+        for pid, v in rows:
+            c = a[pid]
+            s, n = sums.setdefault(c, ([0] * dim, 0))
+            mv = micro(v)
+            sums[c] = ([x + y for x, y in zip(s, mv)], n + 1)
+        for c, (s, n) in sums.items():
+            # python // floors; SQL DIV truncates toward zero
+            cents[c] = [
+                x // n if x >= 0 else -((-x) // n) for x in s
+            ]
+    return assign(), cents
+
+
+def test_lloyd_codebook_matches_reference(spark):
+    import numpy as np
+
+    from deepee_spark.operators.similarity import lloyd_codebook
+
+    rng = np.random.default_rng(11)
+    dim, k, iters = 8, 3, 2
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(dim)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cb = lloyd_codebook(emb, "vec_id", "embedding", dim, k, iters)
+    got_assign = {r.vec_id: r.cell for r in assigned.collect()}
+    got_cents = {r.c_id: list(r.cent) for r in cb.collect()}
+    ref_assign, ref_cents = _lloyd_reference(rows, dim, k, iters)
+    assert got_cents == ref_cents
+    assert got_assign == ref_assign
+    # all k cells non-empty on this fixture and partition the ids
+    assert set(got_assign) == set(range(40))
+    assert set(got_assign.values()) == set(range(k))
