@@ -8519,11 +8519,18 @@ def _wordpiece_file_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         pieces.append(et[:4])
         if len(et) > 4:
             pieces.append("##" + et[4:])
+    body = "\n".join(pieces) + "\n"
+    # content-derived filename: concurrent runs over DIFFERENT sf dirs
+    # (bench at sf0.1 beside a contract check at sf0.01) must never
+    # race each other's fixture — same content shares a file harmlessly
+    import hashlib
+
     path = os.path.join(
-        tempfile.gettempdir(), "deepee_vocab_fixture.txt"
+        tempfile.gettempdir(),
+        f"deepee_vocab_{hashlib.sha256(body.encode()).hexdigest()[:16]}.txt",
     )
     with open(path, "w", encoding="utf-8") as fh:
-        fh.write("\n".join(pieces) + "\n")
+        fh.write(body)
     vocab = load_vocab_file(path)
     tok = wordpiece_udf(vocab)(F.col("event_type"))
     return ev.select(

@@ -184,7 +184,12 @@ w AS (
 SELECT doc_id, anchor_start, anchor_end,
        lo AS ctx_start,
        greatest(hi - lo, 0) AS n_tok,
-       array_to_string(toks[lo + 1 : hi], ' ') AS passage
+       -- clamp the slice end at 0: DuckDB treats a NEGATIVE bound as
+       -- end-relative, which would turn a degenerate window (hi < 0,
+       -- e.g. a sentinel anchor_end) into a non-empty passage while
+       -- Spark's length-0 slice yields '' — greatest() keeps the two
+       -- engines byte-identical on that edge
+       array_to_string(toks[lo + 1 : greatest(hi, 0)], ' ') AS passage
 FROM w
 """
 

@@ -652,9 +652,7 @@ def lsh_plan(
         raise ValueError("need at least 2 hashes")
     best = None
     for rows in range(1, n_hashes + 1):
-        bands = n_hashes // rows
-        if bands < 1:
-            break
+        bands = n_hashes // rows  # >= 1 for every rows in range
         p_hit = 1.0 - (1.0 - threshold ** rows) ** bands
         p_fp = 1.0 - (1.0 - (threshold / 2.0) ** rows) ** bands
         err = (1.0 - p_hit) + fp_weight * p_fp
@@ -727,7 +725,6 @@ def semantic_dedup_drop(
 
     drop_a = assign(drop)
     hist_a = assign(history)
-    loose = float(min_cosine) - 1e-6
     empty = pd.DataFrame({"pid": []})
 
     def _hist_hits(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -760,15 +757,26 @@ def semantic_dedup_drop(
         .applyInPandas(lambda l, r: _hist_hits(l, r), f"pid {id_dt}")
         .withColumn("_hist_dup", F.lit(True))
     )
-    within = semantic_dedup(
-        drop, id_col, vec_col, dim, centroids, min_cosine
-    ).select(F.col(id_col).alias("pid"), "cell", F.col("kept").alias("_wk"))
+    # within-drop keep-first over the SAME assignment (drop_a) — the
+    # cells were already computed for the history cogroup, so the
+    # centroid crossJoin + per-pid window is paid once, not twice
+    within_pairs = embedding_dup_pairs(
+        drop_a, id_col="pid", vec_col="v", dim=dim,
+        min_cosine=min_cosine, block_col="cell",
+    )
+    within_dropped = within_pairs.select(
+        F.col("id_b").alias("pid")
+    ).distinct().withColumn("_wd", F.lit(True))
     return (
-        within.join(hist_hit, "pid", "left")
+        drop_a.select("pid", "cell")
+        .join(within_dropped, "pid", "left")
+        .join(hist_hit, "pid", "left")
         .select(
             F.col("pid").alias(id_col),
             "cell",
-            (F.col("_wk") & F.coalesce(~F.col("_hist_dup"), F.lit(True)))
-            .alias("kept"),
+            (
+                F.coalesce(~F.col("_wd"), F.lit(True))
+                & F.coalesce(~F.col("_hist_dup"), F.lit(True))
+            ).alias("kept"),
         )
     )

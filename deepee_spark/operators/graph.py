@@ -347,7 +347,7 @@ def pagerank_int_converged(
     damping_pct: int = 85,
     max_iters: int = 100,
     tol_units: int = 100,
-) -> tuple[DataFrame, int]:
+) -> tuple[DataFrame, int, bool]:
     """PageRank iterated to a tolerance-band fixpoint, with an
     optional WARM START from a previous snapshot's scores — the
     incremental crawl-drop path (r3 verdict task 8): a daily drop
@@ -380,8 +380,10 @@ def pagerank_int_converged(
     get the uniform r0; seed rows for departed nodes drop via the join
     onto the CURRENT node set.
 
-    Returns (ranks, rounds_run); rounds_run == max_iters means the
-    tolerance was never met (caller decides whether that is an error).
+    Returns (ranks, rounds_run, converged); the explicit flag exists
+    because rounds_run == max_iters is AMBIGUOUS — convergence can land
+    exactly on the final allowed round (caller decides whether
+    converged=False is an error).
     """
     e = edges.select("src", "dst").distinct()
     n_parts = edges.sparkSession.sparkContext.defaultParallelism
@@ -396,7 +398,7 @@ def pagerank_int_converged(
     if n == 0:
         return nodes.select(
             "node", F.lit(0).cast("long").alias("rank")
-        ), 0
+        ), 0, True
     r0 = PR_SCALE // n
     teleport = ((100 - damping_pct) * r0) // 100
     outdeg = e.groupBy("src").agg(
@@ -416,6 +418,7 @@ def pagerank_int_converged(
         )
     rank = rank.localCheckpoint()
     rounds = 0
+    converged = False
     for _ in range(max_iters):
         new = _pr_iteration(
             links, rank, nodes, teleport, damping_pct
@@ -430,10 +433,11 @@ def pagerank_int_converged(
         )
         rank = new
         if max_delta is not None and max_delta <= tol_units:
+            converged = True
             break
     nodes.unpersist()
     links.unpersist()
-    return rank, rounds
+    return rank, rounds, converged
 
 
 def pagerank_int_weighted(

@@ -116,10 +116,19 @@ def decode_pcm16(payload: bytes) -> np.ndarray:
 
     Accepts either raw PCM16 bytes or a RIFF/WAVE container (detected
     by magic); WAV payloads route through parse_wav so codec-bearing
-    audio columns need no caller-side switch."""
+    audio columns need no caller-side switch. A RIFF-magic payload that
+    FAILS strict container parsing (truncated chunks, float-PCM format
+    tag) degrades to the raw-PCM interpretation instead of raising —
+    this function runs inside bulk pandas UDFs over a 100 TB corpus,
+    where one corrupt row must never abort the stage (the WARC-resync
+    principle); callers that want the loud contract use parse_wav
+    directly."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        _, _, samples = parse_wav(payload)
-        return samples
+        try:
+            _, _, samples = parse_wav(payload)
+            return samples
+        except ValueError:
+            pass
     n = len(payload) - (len(payload) % 2)
     return np.frombuffer(payload[:n], dtype="<i2").astype(np.float32) / 32768.0
 
@@ -473,10 +482,16 @@ def video_frame_sample(media: DataFrame, k: int = 4) -> DataFrame:
             ):
                 p = bytes(payload)
                 # real-container dispatch (same pattern as decode_pcm16):
-                # AVI payloads carry their own authoritative timing
+                # AVI payloads carry their own authoritative timing; a
+                # corrupt container falls back to the meta column
+                # instead of aborting the whole stage on one bad row
+                dur = None
                 if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
-                    dur = parse_avi_header(p)["duration_ms"]
-                else:
+                    try:
+                        dur = parse_avi_header(p)["duration_ms"]
+                    except ValueError:
+                        dur = None
+                if dur is None:
                     dur = int(m["duration_ms"])
                 seed = _seed_from(p)
                 for j in range(k):

@@ -91,9 +91,11 @@ _PROP_CONTENT_V = (
 # [^>]* spans would otherwise cross a content attribute, double-emitting
 # `p -> stray inner text` beside the content binding whenever such a tag
 # has non-empty inner text. Java regex (Spark-side only; the oracles are
-# fixture-replays, not regex) supports the tempered scan
-# (?:(?!\bcontent=)[^>])* that walks the tag while refusing content=.
-_NO_CONTENT = r"""(?:(?!\bcontent=)[^>])*"""
+# fixture-replays, not regex) supports the tempered scan that walks the
+# tag while refusing content=. The (?<![\w-]) lookbehind keeps the guard
+# to the STANDALONE attribute name: data-content= (Bootstrap popovers)
+# or xyzcontent= must not block extraction.
+_NO_CONTENT = r"""(?:(?!(?<![\w-])content=)[^>])*"""
 _PROP_TEXT_K = (
     r"""(?si)<\w+""" + _NO_CONTENT
     + r"""\bitemprop=['"]([^'"]+)['"]""" + _NO_CONTENT + r""">[^<]*</"""

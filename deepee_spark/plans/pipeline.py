@@ -1446,7 +1446,7 @@ class Pipeline:
             e = edges.select(
                 F.col("subj").alias("src"), F.col("obj").alias("dst")
             )
-            pr, _rounds = pagerank_int_converged(
+            pr, _rounds, _converged = pagerank_int_converged(
                 e, seed_ranks=seed, tol_units=tol_units,
                 max_iters=max_iters,
             )

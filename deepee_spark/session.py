@@ -17,6 +17,7 @@ Design notes for 100 TB / 1000-executor scale:
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -60,7 +61,22 @@ def get_spark(
         os.environ["PYTHONPATH"] = (
             pkg_root + (os.pathsep + env_pp if env_pp else "")
         )
-    exec_pp = pkg_root if not env_pp else pkg_root + os.pathsep + env_pp
+    # MERGE with (never override) a user-supplied
+    # --conf spark.executorEnv.PYTHONPATH: builder.config wins over
+    # spark-submit conf at context creation, so blindly setting ours
+    # would silently discard the staged-zip path the multi-node docs
+    # tell users to pass. The submit value is recoverable driver-side
+    # from PYSPARK_SUBMIT_ARGS.
+    submit_pp = ""
+    _m = re.search(
+        r"spark\.executorEnv\.PYTHONPATH=(\S+)",
+        os.environ.get("PYSPARK_SUBMIT_ARGS", ""),
+    )
+    if _m:
+        submit_pp = _m.group(1).strip("'\"")
+    exec_pp = os.pathsep.join(
+        p for p in (submit_pp, pkg_root, env_pp) if p
+    )
 
     # Same heap-retention mallopt as deepee_spark/daemon.py (see the
     # rationale there) for DRIVER-side numpy/pandas (toPandas, oracle

@@ -1415,11 +1415,11 @@ def test_pagerank_warm_start_band_equivalent_and_faster(spark):
     df_a = spark.createDataFrame(base, "src string, dst string")
     df_b = spark.createDataFrame(base + delta, "src string, dst string")
 
-    ranks_a, rounds_a = pagerank_int_converged(df_a)
-    assert 0 < rounds_a < 100  # actually converged
-    cold, rounds_cold = pagerank_int_converged(df_b)
-    warm, rounds_warm = pagerank_int_converged(df_b, seed_ranks=ranks_a)
-    assert rounds_cold < 100 and rounds_warm < 100
+    ranks_a, rounds_a, conv_a = pagerank_int_converged(df_a)
+    assert conv_a and 0 < rounds_a < 100  # actually converged
+    cold, rounds_cold, conv_c = pagerank_int_converged(df_b)
+    warm, rounds_warm, conv_w = pagerank_int_converged(df_b, seed_ranks=ranks_a)
+    assert conv_c and conv_w
     # same tolerance band: per-node gap bounded by tol_units (the
     # simulation shows ~34 here; 100 is the certified band)
     import pyspark.sql.functions as F

@@ -146,3 +146,16 @@ def test_microdata_content_tag_stray_text_no_double_emit(spark):
     assert not any(o == "stray text" for (_, _, o) in rows)
     assert ("u1#item0", "name", "Ada") in rows
     assert len(rows) == 3
+
+
+def test_microdata_data_content_attribute_does_not_block_inner_text(spark):
+    # review finding: the content= guard must match only the STANDALONE
+    # attribute name — data-content= (Bootstrap popovers) is not content=
+    page = """<div itemscope itemtype="https://schema.org/Person">
+    <span data-content="tooltip" itemprop="name">Ada</span>
+    <b itemprop="title" data-content="x">Countess</b>
+    </div>"""
+    out = microdata_triples(_docs(spark, [("u1", page)]))
+    rows = {(r.pred, r.obj) for r in out.collect()}
+    assert ("name", "Ada") in rows
+    assert ("title", "Countess") in rows
