@@ -8847,6 +8847,63 @@ def _kmeans_cells_sql() -> str:
     )
 
 
+def _semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over TRAINED quantizer cells — the capstone
+    composition: lloyd_codebook's 2-iteration k-means assignment
+    (kmeans_cells) supplies the blocking cells, embedding_dup_pairs
+    scores within-cell cosine, keep-lowest-id resolves. This is the
+    production shape (the paper clusters with k-means); the seed-pick
+    variant (semdedup) stays as the cheap-blocking twin. Oracle =
+    the lloyd unrolled-CTE twin composed with the pair/keep SQL."""
+    from deepee_spark.operators.dedup import embedding_dup_pairs
+    from deepee_spark.operators.similarity import lloyd_codebook
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _cb = lloyd_codebook(
+        emb, "vec_id", "embedding", 64, k=8, iters=2
+    )
+    d = emb.join(assigned, "vec_id").select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("v"), "cell"
+    )
+    pairs = embedding_dup_pairs(
+        d, id_col="pid", vec_col="v", dim=64,
+        min_cosine=SEMDEDUP_TAU, block_col="cell",
+    )
+    dropped = pairs.select(F.col("id_b").alias("pid")).distinct()
+    return d.join(
+        dropped.withColumn("_d", F.lit(True)), "pid", "left"
+    ).select(
+        F.col("pid").alias("vec_id"),
+        "cell",
+        F.coalesce(~F.col("_d"), F.lit(True)).alias("kept"),
+    )
+
+
+def _semdedup_trained_sql() -> str:
+    from deepee_spark.operators.similarity import lloyd_oracle_sql
+
+    lloyd = lloyd_oracle_sql(
+        "SELECT vec_id AS pid, embedding AS v FROM embeddings",
+        64, k=8, iters=2,
+    )
+    return f"""
+WITH cells AS ({lloyd}),
+d AS (
+  SELECT e.vec_id, e.embedding, c.cell
+  FROM embeddings e JOIN cells c ON e.vec_id = c.vec_id),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM d a JOIN d b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ROUND({_DOT_SQL.format(a='a.embedding', b='b.embedding')} /
+              (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')}) *
+               sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')})),
+              6) >= {{tau}})
+SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+       (dr.vec_id IS NULL) AS kept
+FROM d a LEFT JOIN dropped dr ON a.vec_id = dr.vec_id
+""".replace("{tau}", str(SEMDEDUP_TAU))
+
+
 SEMDEDUP_K = 8
 SEMDEDUP_TAU = 0.3
 
@@ -8971,6 +9028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_fertility": _bpe_fertility,
         "w1_joint_pr_curve": _w1_joint_pr_curve,
         "kmeans_cells": _kmeans_cells,
+        "semdedup_trained": _semdedup_trained,
         "kg_skipgram_pairs": _kg_skipgram_pairs,
         "text_unigram_logprob": _unigram_logprob,
         "kg_outlink_hosts": _kg_outlink_hosts,
@@ -9134,6 +9192,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_fertility": _bpe_fertility_sql(),
         "w1_joint_pr_curve": _W1_JOINT_SQL,
         "kmeans_cells": _kmeans_cells_sql(),
+        "semdedup_trained": _semdedup_trained_sql(),
         "semdedup": _SEMDEDUP_SQL,
         "j12_salted_linking": _J12_SALTED_SQL,
         "wordpiece_file_vocab": _WORDPIECE_FILE_SQL,

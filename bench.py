@@ -152,6 +152,7 @@ def main() -> None:
         "bpe_fertility",
         "w1_joint_pr_curve",
         "kmeans_cells",
+        "semdedup_trained",
     ]
     qs = entry.queries()
     timings: dict[str, float] = {}
