@@ -8904,6 +8904,43 @@ FROM d a LEFT JOIN dropped dr ON a.vec_id = dr.vec_id
 """.replace("{tau}", str(SEMDEDUP_TAU))
 
 
+def _text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization with the ASCII fast-path gate
+    (operators/textstats.nfc_normalize): odd event_ids get a
+    decomposed e + COMBINING ACUTE (U+0301) suffix that NFC folds to
+    U+00E9; even ids stay pure ASCII and must bypass the pandas UDF
+    unchanged. Twin: DuckDB's native nfc_normalize()."""
+    from deepee_spark.operators.textstats import nfc_normalize
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    text = F.when(
+        F.col("event_id") % 2 == 1,
+        F.concat(F.col("event_type"), F.lit(" cafe\u0301 "),
+                 F.col("event_id").cast("string")),
+    ).otherwise(
+        F.concat(F.col("event_type"), F.lit(" plain "),
+                 F.col("event_id").cast("string"))
+    )
+    base = ev.select("event_id", text.alias("text"))
+    return nfc_normalize(base).select(
+        "event_id", F.col("text_nfc").alias("norm"), "nfc_changed"
+    )
+
+
+_TEXT_NFC_SQL = """
+WITH base AS (
+  SELECT event_id,
+         CASE WHEN event_id % 2 = 1
+              THEN event_type || ' cafe' || chr(769) || ' ' || CAST(event_id AS VARCHAR)
+              ELSE event_type || ' plain ' || CAST(event_id AS VARCHAR)
+         END AS text
+  FROM events WHERE event_id < 3000)
+SELECT event_id, nfc_normalize(text) AS norm,
+       nfc_normalize(text) <> text AS nfc_changed
+FROM base
+"""
+
+
 SEMDEDUP_K = 8
 SEMDEDUP_TAU = 0.3
 
@@ -9029,6 +9066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_joint_pr_curve": _w1_joint_pr_curve,
         "kmeans_cells": _kmeans_cells,
         "semdedup_trained": _semdedup_trained,
+        "text_nfc_normalize": _text_nfc_normalize,
         "kg_skipgram_pairs": _kg_skipgram_pairs,
         "text_unigram_logprob": _unigram_logprob,
         "kg_outlink_hosts": _kg_outlink_hosts,
@@ -9193,6 +9231,7 @@ def oracle_sql() -> dict[str, str]:
         "w1_joint_pr_curve": _W1_JOINT_SQL,
         "kmeans_cells": _kmeans_cells_sql(),
         "semdedup_trained": _semdedup_trained_sql(),
+        "text_nfc_normalize": _TEXT_NFC_SQL,
         "semdedup": _SEMDEDUP_SQL,
         "j12_salted_linking": _J12_SALTED_SQL,
         "wordpiece_file_vocab": _WORDPIECE_FILE_SQL,

@@ -153,6 +153,7 @@ def main() -> None:
         "w1_joint_pr_curve",
         "kmeans_cells",
         "semdedup_trained",
+        "text_nfc_normalize",
     ]
     qs = entry.queries()
     timings: dict[str, float] = {}

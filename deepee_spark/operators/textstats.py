@@ -4,6 +4,7 @@ document fingerprinting. All whole-stage-codegen expressions.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -369,4 +370,43 @@ def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
     return out.withColumn(
         "n_chars_total", F.length(F.col(text_col)).cast("long")
+    )
+
+
+def nfc_normalize(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode NFC normalization with a filter-then-map gate — the
+    standard pre-tokenization canonicalization (decomposed e + U+0301
+    and precomposed U+00E9 must be ONE token form, or every downstream
+    exact-match op — vocab build, dedup shingles, alias linking —
+    silently splits on an invisible byte difference).
+
+    Gate: pure-ASCII strings are NFC by definition, so the pandas UDF
+    (python unicodedata — batched via Arrow, the only place the
+    normalization tables live) runs ONLY on rows the cheap JVM-side
+    non-ASCII regexp flags; on a predominantly-ASCII web corpus that is
+    the mojibake.py discipline — the expensive path sees a sliver.
+
+    Adds ``<text_col>_nfc`` and ``nfc_changed``. DuckDB twin:
+    nfc_normalize()."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    # NOTE: hints must be module-resolvable (future-annotations makes
+    # them strings; pyspark evaluates them against the function's
+    # globals), hence the module-level pandas import below.
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t)
+            if isinstance(t, str)
+            else t
+        )
+
+    non_ascii = F.col(text_col).rlike(r"[^\x00-\x7F]")
+    normed = F.when(non_ascii, _nfc(F.col(text_col))).otherwise(
+        F.col(text_col)
+    )
+    return df.withColumn(f"{text_col}_nfc", normed).withColumn(
+        "nfc_changed", F.col(f"{text_col}_nfc") != F.col(text_col)
     )

@@ -77,3 +77,38 @@ def test_repair_suspects_gated_composition(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r.text for r in repair_suspects(df).collect()}
     assert out == {1: "café au lait", 2: "already clean", 3: "naïve — test"}
+
+
+def test_nfc_normalize_gate_and_equivalence(spark):
+    import unicodedata
+
+    from deepee_spark.operators.textstats import nfc_normalize
+
+    rows = [
+        (1, "plain ascii"),
+        (2, "café"),            # decomposed -> café
+        (3, "café"),             # already NFC
+        (4, "Å ring"),          # decomposed ring -> Å
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.text_nfc, r.nfc_changed)
+           for r in nfc_normalize(df).collect()}
+    for i, t in rows:
+        want = unicodedata.normalize("NFC", t)
+        assert got[i] == (want, want != t), (i, got[i])
+    assert got[2][0] == "café" and got[2][1] is True
+    assert got[3][1] is False and got[1][1] is False
+    # cross-engine: DuckDB nfc_normalize agrees
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    oracle = {
+        i: n for i, n in con.execute(
+            "SELECT doc_id, nfc_normalize(text) FROM t"
+        ).fetchall()
+    }
+    assert {i: v[0] for i, v in got.items()} == oracle
+    con.close()
