@@ -8941,6 +8941,57 @@ FROM base
 """
 
 
+def _robots_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay directive extraction (operators/robots.
+    extract_crawl_delays): per-host robots bodies built from events —
+    hosts by user_id, one integer and one decimal directive (max-wins
+    resolution), a comment to strip, and invalid bodies on every third
+    host that must emit nothing."""
+    from deepee_spark.operators.robots import extract_crawl_delays
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 60)
+    uid = F.col("user_id")
+    body = (
+        F.when(uid % 3 == 2, F.lit("Crawl-delay: soon\nDisallow: /"))
+        .otherwise(
+            F.concat(
+                F.lit("User-agent: *\nCrawl-delay: "),
+                (uid % 7).cast("string"),
+                F.lit("  # politeness\nCrawl-delay: "),
+                (uid % 5).cast("string"), F.lit(".5\nDisallow: /tmp"),
+            )
+        )
+    )
+    hosts = (
+        ev.select(uid.alias("user_id"))
+        .distinct()
+        .select(
+            F.concat(F.lit("h"), F.col("user_id").cast("string"),
+                     F.lit(".example.org")).alias("host"),
+            body.alias("robots"),
+        )
+    )
+    return extract_crawl_delays(hosts)
+
+
+def _robots_crawl_delay_sql() -> str:
+    from deepee_spark.operators.robots import crawl_delays_oracle_sql
+
+    src = """
+SELECT 'h' || CAST(user_id AS VARCHAR) || '.example.org' AS host,
+       CASE WHEN user_id % 3 = 2
+            THEN 'Crawl-delay: soon' || chr(10) || 'Disallow: /'
+            ELSE 'User-agent: *' || chr(10) || 'Crawl-delay: '
+                 || CAST(user_id % 7 AS VARCHAR)
+                 || '  # politeness' || chr(10) || 'Crawl-delay: '
+                 || CAST(user_id % 5 AS VARCHAR) || '.5' || chr(10)
+                 || 'Disallow: /tmp'
+       END AS robots
+FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 60)
+"""
+    return crawl_delays_oracle_sql(src)
+
+
 SEMDEDUP_K = 8
 SEMDEDUP_TAU = 0.3
 
@@ -9067,6 +9118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_cells": _kmeans_cells,
         "semdedup_trained": _semdedup_trained,
         "text_nfc_normalize": _text_nfc_normalize,
+        "robots_crawl_delay": _robots_crawl_delay,
         "kg_skipgram_pairs": _kg_skipgram_pairs,
         "text_unigram_logprob": _unigram_logprob,
         "kg_outlink_hosts": _kg_outlink_hosts,
@@ -9232,6 +9284,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_cells": _kmeans_cells_sql(),
         "semdedup_trained": _semdedup_trained_sql(),
         "text_nfc_normalize": _TEXT_NFC_SQL,
+        "robots_crawl_delay": _robots_crawl_delay_sql(),
         "semdedup": _SEMDEDUP_SQL,
         "j12_salted_linking": _J12_SALTED_SQL,
         "wordpiece_file_vocab": _WORDPIECE_FILE_SQL,

@@ -154,6 +154,7 @@ def main() -> None:
         "kmeans_cells",
         "semdedup_trained",
         "text_nfc_normalize",
+        "robots_crawl_delay",
     ]
     qs = entry.queries()
     timings: dict[str, float] = {}

@@ -153,3 +153,55 @@ def extract_sitemap_urls(
         robots.select(F.col(host_col).alias("host"), urls.alias("_u"))
         .select("host", F.posexplode("_u").alias("idx", "sitemap_url"))
     )
+
+
+_DELAY_RE = (
+    r"^\s*[Cc][Rr][Aa][Ww][Ll]-[Dd][Ee][Ll][Aa][Yy]\s*:\s*([0-9]+(?:\.[0-9]+)?)"
+)
+
+
+def extract_crawl_delays(
+    df: DataFrame, host_col: str = "host", robots_col: str = "robots"
+) -> DataFrame:
+    """(host, crawl_delay_ms): the `Crawl-delay:` directive feeding the
+    politeness scheduler (non-standard but honored by major crawlers;
+    same single-agent reading as parse_robots). Multiple directives on
+    one host resolve to the MOST CONSERVATIVE (maximum) delay —
+    deterministic and safe-side. Values parse as seconds (integer or
+    decimal) and emit as integer milliseconds; hosts without a valid
+    directive emit no row (caller supplies the fleet default).
+    Same scale shape as parse_robots: line explode + one partial-agged
+    groupBy(host)."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(robots_col), "\n")).alias("line"),
+    ).withColumn("line", F.regexp_replace("line", "#.*$", ""))
+    vals = lines.select(
+        "host",
+        F.regexp_extract("line", _DELAY_RE, 1).alias("secs"),
+    ).filter(F.col("secs") != "")
+    return vals.groupBy("host").agg(
+        F.max(F.bround(F.col("secs").cast("double") * 1000).cast("long"))
+        .alias("crawl_delay_ms")
+    )
+
+
+def crawl_delays_oracle_sql(robots_sql: str) -> str:
+    """DuckDB twin over (host, robots) rows."""
+    return f"""
+WITH lines AS (
+  SELECT host,
+         regexp_replace(UNNEST(string_split(robots, chr(10))),
+                        '#.*$', '') AS line
+  FROM ({robots_sql})),
+vals AS (
+  SELECT host,
+         regexp_extract(line,
+           '^\\s*[Cc][Rr][Aa][Ww][Ll]-[Dd][Ee][Ll][Aa][Yy]\\s*:\\s*([0-9]+(?:\\.[0-9]+)?)',
+           1) AS secs
+  FROM lines)
+SELECT host,
+       CAST(MAX(CAST(round_even(CAST(secs AS DOUBLE) * 1000, 0) AS BIGINT))
+            AS BIGINT) AS crawl_delay_ms
+FROM vals WHERE secs <> '' GROUP BY host
+"""

@@ -135,3 +135,36 @@ def test_extract_sitemap_urls(spark):
         ("a.ex", 0, "https://a.ex/s1.xml"),
         ("a.ex", 1, "https://a.ex/s2.xml"),
     ]
+
+
+def test_extract_crawl_delays(spark):
+    import duckdb
+
+    from deepee_spark.operators.robots import (
+        crawl_delays_oracle_sql,
+        extract_crawl_delays,
+    )
+
+    rows = [
+        ("a.com", "User-agent: *\nCrawl-delay: 2\nDisallow: /x"),
+        ("b.com", "Crawl-delay: 0.5  # be gentle\nCrawl-delay: 10"),
+        ("c.com", "Crawl-delay: nonsense\nDisallow: /"),
+        ("d.com", "no directives here"),
+    ]
+    df = spark.createDataFrame(rows, "host string, robots string")
+    got = {
+        r.host: r.crawl_delay_ms
+        for r in extract_crawl_delays(df).collect()
+    }
+    # max wins on b.com; invalid/missing hosts emit nothing
+    assert got == {"a.com": 2000, "b.com": 10000}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE r(host VARCHAR, robots VARCHAR)")
+    con.executemany("INSERT INTO r VALUES (?,?)", rows)
+    oracle = dict(
+        con.execute(
+            crawl_delays_oracle_sql("SELECT host, robots FROM r")
+        ).fetchall()
+    )
+    assert got == oracle
+    con.close()
