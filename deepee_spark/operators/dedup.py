@@ -581,34 +581,22 @@ def semantic_dedup(
     Deterministic, engine-replicable, and one-sided like the
     keep-first rules of the textual dedup family.
 
-    Scale shape: one broadcast-assign projection (no shuffle beyond
-    the explicit cell repartition), then embedding_dup_pairs'
-    per-cell gemm cogroup — quadratic only within a cell, so the
-    codebook size is the knob that bounds cell population exactly as
-    in the paper (|cell| ~ N/k). Returns (id, cell, kept)."""
-    from pyspark.sql import Window as W
+    Scale shape: the assignment is ONE collected-literal argmax
+    projection (similarity.assign_cells — genuinely no shuffle and no
+    N*k row expansion; the codebook is quantizer-sized by
+    construction), then embedding_dup_pairs' per-cell gemm cogroup —
+    quadratic only within a cell, so the codebook size is the knob
+    that bounds cell population exactly as in the paper (|cell| ~
+    N/k). Returns (id, cell:bigint, kept)."""
+    from .similarity import assign_cells, dot as _dot_expr
 
     c_id, c_vec = centroids.columns[0], centroids.columns[1]
-    from .similarity import dot as _dot_expr
-
-    w = W.partitionBy("pid").orderBy(F.desc("cdot"), F.asc("cid"))
-    assigned = (
-        df.select(
-            F.col(id_col).alias("pid"), F.col(vec_col).alias("v")
-        )
-        .crossJoin(
-            F.broadcast(
-                centroids.select(
-                    F.col(c_id).alias("cid"), F.col(c_vec).alias("cv")
-                )
-            )
-        )
-        .withColumn(
-            "cdot", F.round(_dot_expr(F.col("v"), F.col("cv"), dim), 6)
-        )
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("pid", "v", F.col("cid").alias("cell"))
+    assigned = assign_cells(
+        df.select(F.col(id_col).alias("pid"), F.col(vec_col).alias("v")),
+        centroids.select(
+            F.col(c_id).alias("c_id"), F.col(c_vec).alias("cent")
+        ),
+        lambda v, cv: F.round(_dot_expr(v, cv, dim), 6),
     )
     pairs = embedding_dup_pairs(
         assigned,
@@ -693,39 +681,33 @@ def semantic_dedup_drop(
         kept or not — the keep-first rule looks at all earlier rows);
       - otherwise the within-drop keep-lowest-id rule applies.
 
-    Scale shape: one broadcast-assign per side, then ONE cogrouped
-    per-cell gemm for drop x history plus semantic_dedup's drop x drop
-    cogroup. The history side streams through the cogroup partition by
-    cell — it is never collected, broadcast, or re-paired with itself.
-    Returns (id, cell, kept) for the DROP rows only."""
+    Scale shape: one collected-literal argmax assignment per side
+    (similarity.assign_cells — no shuffle, no N*k expansion), then ONE
+    cogrouped per-cell gemm for drop x history plus semantic_dedup's
+    drop x drop cogroup. The history side streams through the cogroup
+    partition by cell — it is never collected, broadcast, or re-paired
+    with itself. Returns (id, cell, kept) for the DROP rows only."""
     import numpy as np
     import pandas as pd
 
-    from pyspark.sql import Window as W
-
-    from .similarity import dot as _dot_expr
+    from .similarity import assign_cells, dot as _dot_expr
 
     c_id, c_vec = centroids.columns[0], centroids.columns[1]
-    cent = F.broadcast(
-        centroids.select(F.col(c_id).alias("cid"), F.col(c_vec).alias("cv"))
+    cent = centroids.select(
+        F.col(c_id).alias("c_id"), F.col(c_vec).alias("cent")
     )
 
     def assign(df: DataFrame) -> DataFrame:
-        w = W.partitionBy("pid").orderBy(F.desc("cdot"), F.asc("cid"))
-        return (
-            df.select(F.col(id_col).alias("pid"), F.col(vec_col).alias("v"))
-            .crossJoin(cent)
-            .withColumn(
-                "cdot", F.round(_dot_expr(F.col("v"), F.col("cv"), dim), 6)
-            )
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("pid", "v", F.col("cid").alias("cell"))
+        return assign_cells(
+            df.select(F.col(id_col).alias("pid"), F.col(vec_col).alias("v")),
+            cent,
+            lambda v, cv: F.round(_dot_expr(v, cv, dim), 6),
         )
 
     drop_a = assign(drop)
     hist_a = assign(history)
-    empty = pd.DataFrame({"pid": []})
+    empty = pd.DataFrame({"pid": [], "maxc": []})
+    loose = float(min_cosine) - 1e-6
 
     def _hist_hits(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         # left = drop rows of one cell, right = history rows of the cell
@@ -736,13 +718,18 @@ def semantic_dedup_drop(
         C = (A @ B.T) / np.outer(
             np.linalg.norm(A, axis=1), np.linalg.norm(B, axis=1)
         )
-        # exact boundary rule shared with embedding_dup_pairs: loose
-        # gemm prefilter here, round-to-6-then-threshold on the exact
-        # recomputed cosine below would need the pair rows — instead
-        # replicate the round-at-6 rule directly (cosine is float64
-        # both engines; rounding removes the boundary sensitivity)
-        hit = (np.round(C, 6) >= min_cosine).any(axis=1)
-        return pd.DataFrame({"pid": left["pid"].to_numpy()[hit]})
+        # emit the raw per-row MAX cosine with only a loose prefilter;
+        # the exact boundary rule (Spark F.round HALF_UP at 6dp, the
+        # SAME expression embedding_dup_pairs applies to the within-
+        # drop pairs) runs Spark-side below. round is monotone, so
+        # round(max) >= tau iff some pair rounds past tau — previously
+        # this path used np.round (HALF_EVEN) and could disagree with
+        # the within-drop verdict at an exact 7th-digit tie (ADVICE r4)
+        m = C.max(axis=1)
+        keep = m >= loose
+        return pd.DataFrame(
+            {"pid": left["pid"].to_numpy()[keep], "maxc": m[keep]}
+        )
 
     n_parts = drop.sparkSession.sparkContext.defaultParallelism
     id_dt = drop.schema[id_col].dataType.simpleString()
@@ -754,12 +741,16 @@ def semantic_dedup_drop(
             hist_a.select("pid", "cell", "v").repartition(n_parts, "cell")
             .groupby("cell")
         )
-        .applyInPandas(lambda l, r: _hist_hits(l, r), f"pid {id_dt}")
+        .applyInPandas(
+            lambda l, r: _hist_hits(l, r), f"pid {id_dt}, maxc double"
+        )
+        .filter(F.round("maxc", 6) >= min_cosine)
+        .select("pid")
         .withColumn("_hist_dup", F.lit(True))
     )
     # within-drop keep-first over the SAME assignment (drop_a) — the
     # cells were already computed for the history cogroup, so the
-    # centroid crossJoin + per-pid window is paid once, not twice
+    # argmax assignment projection is paid once, not twice
     within_pairs = embedding_dup_pairs(
         drop_a, id_col="pid", vec_col="v", dim=dim,
         min_cosine=min_cosine, block_col="cell",

@@ -30,6 +30,25 @@ from pyspark.sql import functions as F
 from .negatives import md5_long48
 
 
+def _positive_int(name: str, value) -> int:
+    """Coerce an integral parameter via ``operator.index()`` — accepts
+    int and numpy integer scalars, rejects floats (no silent
+    truncation) and bool (True is not a walk length)."""
+    import operator
+
+    if isinstance(value, bool):
+        raise ValueError(f"{name} must be a positive integer, got bool")
+    try:
+        value = operator.index(value)
+    except TypeError:
+        raise ValueError(
+            f"{name} must be a positive integer, got {type(value).__name__}"
+        ) from None
+    if value < 1:
+        raise ValueError(f"{name} must be a positive integer")
+    return value
+
+
 def neighbor_index(edges: DataFrame) -> DataFrame:
     """-> (src, pick, dst, outdeg): each node's out-neighbors indexed
     0..outdeg-1 in dst order (deterministic), with the out-degree on
@@ -236,17 +255,16 @@ def node2vec_walks(
     edge set on (prev, dst) for the triangle flag; the cum-weight
     window partitions by (start, walk) — per-frontier-row groups of
     outdeg rows, never a global window."""
-    # isinstance checks, not just bounds: the q : p*q : p scheme is
+    # integral checks, not just bounds: the q : p*q : p scheme is
     # integer-exact by contract — a float p=1.5 would silently truncate
-    # through cast('long') and skew the bias without any error
-    if not (isinstance(p, int) and isinstance(q, int)) or p < 1 or q < 1:
-        raise ValueError("p and q must be positive integers")
-    if (
-        not (isinstance(walks_per_node, int) and isinstance(length, int))
-        or walks_per_node < 1
-        or length < 1
-    ):
-        raise ValueError("walks_per_node and length must be positive integers")
+    # through cast('long') and skew the bias without any error.
+    # operator.index() accepts any __index__-able integral (numpy
+    # int64 from config arithmetic included) while rejecting floats;
+    # bool is excluded explicitly (True would silently pass as 1).
+    p = _positive_int("p", p)
+    q = _positive_int("q", q)
+    walks_per_node = _positive_int("walks_per_node", walks_per_node)
+    length = _positive_int("length", length)
     from pyspark.sql import Window as W
 
     n_parts = edges.sparkSession.sparkContext.defaultParallelism

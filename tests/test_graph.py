@@ -1393,9 +1393,20 @@ def test_node2vec_rejects_non_integer_bias(spark):
         {"p": 1.5, "q": 1}, {"p": 1, "q": 2.0}, {"p": 0, "q": 1},
         {"p": 1, "q": 1, "walks_per_node": 1.0},
         {"p": 1, "q": 1, "length": 2.5},
+        # ADVICE r4: bool must not pass as 1
+        {"p": True, "q": 1}, {"p": 1, "q": 1, "length": True},
     ):
         with _pytest.raises(ValueError):
             node2vec_walks(df, **kwargs)
+    # ADVICE r4: numpy integer scalars (config/meta arithmetic) are
+    # integral and MUST be accepted — operator.index coerces them
+    import numpy as _np
+
+    out = node2vec_walks(
+        df, p=_np.int64(1), q=_np.int32(2),
+        walks_per_node=_np.int64(1), length=_np.int64(2),
+    )
+    assert out.count() > 0
 
 
 def test_pagerank_warm_start_band_equivalent_and_faster(spark):

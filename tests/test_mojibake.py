@@ -112,3 +112,35 @@ def test_nfc_normalize_gate_and_equivalence(spark):
     }
     assert {i: v[0] for i, v in got.items()} == oracle
     con.close()
+
+
+def test_nfc_gate_is_structural_not_when_wrapped(spark):
+    """ADVICE r4: F.when(gate, pandas_udf(...)) does NOT gate — Spark
+    hoists the UDF into an ArrowEvalPython node evaluated for every
+    row. The fixed gate is structural: the plan must hold exactly ONE
+    ArrowEvalPython node, fed ONLY by the positive non-ASCII rlike
+    filter branch of the union; the ASCII branch stays pure JVM (a
+    null text row routes through the ASCII branch — pinned above by
+    the row-5 empty string and here by an explicit None)."""
+    from deepee_spark.operators.textstats import nfc_normalize
+
+    df = spark.createDataFrame(
+        [(1, "plain"), (2, "café"), (3, None)], "doc_id long, text string"
+    )
+    out = nfc_normalize(df)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # one ArrowEvalPython node: once in the tree, once in the detail
+    assert plan.count("ArrowEvalPython") == 2, plan
+    # the tree: Union over [ascii branch (no Arrow), exotic branch]
+    tree = plan.split("\n\n")[0]
+    branches = tree.split("Union")[-1]
+    assert branches.count("ArrowEvalPython") == 1, tree
+    rows = {r.doc_id: (r.text_nfc, r.nfc_changed) for r in out.collect()}
+    assert rows[3] == (None, None)
+    assert rows[1] == ("plain", False)

