@@ -94,6 +94,7 @@ def link_mentions(
     aliases: DataFrame,
     fuzzy: bool = True,
     broadcast_aliases: bool = True,
+    salt_k: int | None = None,
 ) -> DataFrame:
     """mentions(mention_id, surface) x aliases(alias, entity_id, prior)
     -> (mention_id, surface, entity_id, link_score, link_method).
@@ -107,6 +108,12 @@ def link_mentions(
     owns ~30% of mentions) — that path uses the k-way salted join
     (operators/skew.py), mention_id as the salt source. Both paths are
     semantically identical (tested).
+
+    ``salt_k``: salting factor for the non-broadcast path. None keeps
+    salted_join's default; the adaptive caller measures the hot key
+    with skew.plan_salt_k (hot_key_report's top-1 over the normalized
+    surfaces) and passes the planned k — the measure -> size -> join
+    loop the r4 verdict asked to compose end-to-end (task 8).
     """
     m = mentions.withColumn("norm", normalize_surface(F.col("surface")))
     a = aliases.withColumn("norm", normalize_surface(F.col("alias")))
@@ -126,7 +133,10 @@ def link_mentions(
     else:
         from .skew import salted_join
 
-        matched = salted_join(m, a_best, key="norm", salt_on="mention_id")
+        kw = {} if salt_k is None else {"k": int(salt_k)}
+        matched = salted_join(
+            m, a_best, key="norm", salt_on="mention_id", **kw
+        )
     exact = matched.select(
         "mention_id",
         "surface",

@@ -160,3 +160,79 @@ def stream_politeness(requests: DataFrame, gap_s: int = 5) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+class _NoState:
+    """Empty-initial-state shim so a streaming group function body can
+    run under batch applyInPandas (the replay/backfill oracle path —
+    same convention as cep.batch_pattern_match)."""
+
+    exists = False
+    get = None
+
+    def update(self, _):
+        pass
+
+
+def batch_dedup_replay(
+    docs: DataFrame,
+    key_col: str = "key",
+    fp_col: str = "fingerprint",
+    url_col: str = "url",
+) -> DataFrame:
+    """Batch replay of stream_dedup's group body (_dedup_group) with a
+    DETERMINISTIC arrival order: within each key the rows fold in
+    url-ascending order (a live stream's arrival order is not a
+    property of the data, so replay pins a total order — the same
+    contract a re-run of a persisted stream log would give). Emits the
+    first occurrence of every (key, fingerprint) with n_seen_before =
+    number of distinct fingerprints the key had already emitted.
+
+    Input already carries (key, fingerprint, url) — the caller picks
+    the content hash (stream_dedup uses xxhash64; the contract query
+    uses the md5_long48 cross-engine hash) so the replay twin is
+    oracle-checkable. Scale shape: one keyed shuffle into the
+    applyInPandas cogroup, state never materialized (replay IS the
+    fold)."""
+
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(url_col, kind="mergesort")
+        out = list(_dedup_group(key, iter([pdf]), _NoState()))
+        return (
+            pd.concat(out)
+            if out
+            else pd.DataFrame(
+                columns=["key", "fingerprint", "url", "n_seen_before"]
+            )
+        )
+
+    keyed = docs.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(fp_col).cast("long").alias("fingerprint"),
+        F.col(url_col).alias("url"),
+    )
+    return keyed.groupBy("key").applyInPandas(run, OUT_SCHEMA)
+
+
+def batch_politeness_replay(requests: DataFrame, gap_s: int = 5) -> DataFrame:
+    """Batch replay of stream_politeness' group body
+    (_politeness_group_fn) via applyInPandas with an empty initial
+    state: per host the requests fold in (ts_s, url) order —
+    deterministic, so the whole-input replay must equal the batch
+    running-max operator (operators/urls.politeness_schedule) row for
+    row; that equality is exactly what the contract oracle checks
+    cross-engine. One keyed shuffle on host."""
+    fn = _politeness_group_fn(gap_s)
+
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        out = list(fn(key, iter([pdf]), _NoState()))
+        return (
+            pd.concat(out)
+            if out
+            else pd.DataFrame(
+                columns=["host", "url", "ts_s", "fetch_at", "wait_s"]
+            )
+        )
+
+    keyed = requests.select("host", "url", F.col("ts_s").cast("long"))
+    return keyed.groupBy("host").applyInPandas(run, POLITE_OUT_SCHEMA)

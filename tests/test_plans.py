@@ -974,3 +974,51 @@ def test_codebook_assignment_zero_shuffle_and_fallback_parity(spark):
     a = sorted((r["pid"], r["cell"]) for r in lit_path.collect())
     b = sorted((r["pid"], r["cell"]) for r in fb_path.collect())
     assert a == b
+
+
+def test_planned_salt_k_flows_from_measured_skew(spark):
+    """r4 verdict task 8 plan gate: the adaptive linking path's salting
+    factor must be the PLANNER's k = ceil(hot-key rows / target) from
+    skew.plan_salt_k's measurement, not salted_join's default 16.
+    Fixture: one 120-row hot norm + a 5-row cold one; target 50 ->
+    k = 3. The fact-side salt literal pmod(xxhash64(mention_id), k) is
+    read off the physical plan, and the planned path must agree
+    row-for-row with the broadcast path."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from deepee_spark.operators.linking import (
+        link_mentions,
+        normalize_surface,
+    )
+    from deepee_spark.operators.skew import plan_salt_k
+
+    mentions = spark.createDataFrame(
+        [(i, "washington") for i in range(120)]
+        + [(1000 + i, f"rare{i}") for i in range(5)],
+        "mention_id long, surface string",
+    )
+    aliases = spark.createDataFrame(
+        [("washington", "e1", 0.9), ("rare0", "e2", 0.5)],
+        "alias string, entity_id string, prior double",
+    )
+    k = plan_salt_k(
+        mentions.withColumn("norm", normalize_surface(F.col("surface"))),
+        ["norm"],
+        target_rows_per_task=50,
+    )
+    assert k == 3  # ceil(120 / 50), measured — not the default 16
+    out = link_mentions(
+        mentions, aliases, fuzzy=False, broadcast_aliases=False, salt_k=k
+    )
+    plan = formatted_plan(out)
+    assert re.search(r"pmod\(xxhash64\(mention_id#\d+L?, 42\), 3\)", plan), (
+        plan
+    )
+    assert "), 16)" not in plan  # the default never leaks in
+    ref = link_mentions(mentions, aliases, fuzzy=False,
+                        broadcast_aliases=True)
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, ref.collect()))
+    assert got == want and len(got) == 125
