@@ -7278,25 +7278,25 @@ IVF_TOPK = 3
 def _ann_ivf_topk(spark, sf):
     from pyspark.sql import Window as W
 
+    from deepee_spark.operators.similarity import assign_cells
+
     emb = _t(spark, sf, "embeddings")
     cent = emb.filter(F.col("vec_id") < IVF_K).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
     )
-    # assignment: every vector -> nearest centroid by dot (tie: c_id asc)
-    assign_w = W.partitionBy("vec_id").orderBy(
-        F.desc("cdot"), F.asc("c_id")
-    )
-    assigned = (
-        emb.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id",
-            "embedding",
-            "c_id",
-            F.round(_dot(F.col("embedding"), F.col("c_emb")), 6).alias("cdot"),
-        )
-        .withColumn("rk", F.row_number().over(assign_w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "embedding", F.col("c_id").alias("bucket"))
+    # corpus-side assignment: every vector -> nearest centroid by dot
+    # (tie: c_id asc), via the collected-literal argmax projection —
+    # zero shuffle, no N*k expansion (same rule the SQL twin unrolls;
+    # the tiny nprobe-query side below keeps its window, it needs
+    # top-nprobe rows, not an argmax)
+    assigned = assign_cells(
+        emb.select(F.col("vec_id").alias("pid"), F.col("embedding").alias("v")),
+        cent.select("c_id", F.col("c_emb").alias("cent")),
+        lambda v, cv: F.round(_dot(v, cv), 6),
+    ).select(
+        F.col("pid").alias("vec_id"),
+        F.col("v").alias("embedding"),
+        F.col("cell").alias("bucket"),
     )
     # queries probe their nprobe nearest buckets
     q = emb.filter(F.col("vec_id") < 5).select(

@@ -155,6 +155,11 @@ def main() -> None:
         "semdedup_trained",
         "text_nfc_normalize",
         "robots_crawl_delay",
+        # round-5 additions
+        "j12_planned_salt",
+        "cep_funnel_replay",
+        "politeness_replay",
+        "stream_dedup_replay",
     ]
     qs = entry.queries()
     timings: dict[str, float] = {}

@@ -25,6 +25,9 @@ QUERIES = [
     "kg_hits",
     "kg_node2vec_walks",
     "kg_pagerank",
+    # r4 verdict task 4: +31% r3->r4 with one burst-contaminated trial
+    # ([3.406, 8.919]) and no plan-touching commit — adjudicate here
+    "dedup_ngram_jaccard",
 ]
 
 
