@@ -84,9 +84,11 @@ def main():
 
     qs, oracles = entry.queries(), entry.oracle_sql()
     failures = []
+    n_checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_checked += 1
         try:
             sdf = fn(spark, sf_dir)
             s_pdf = sdf.toPandas()
@@ -131,7 +133,10 @@ def main():
         else:
             print(f"OK   {name} ({len(s_pdf)} rows)")
 
-    print(f"\n{len(failures)} failures / {len(qs)} queries")
+    print(
+        f"\n{len(failures)} failures / {n_checked} checked "
+        f"({len(qs)} total queries)"
+    )
     if failures:
         sys.exit(1)
 
