@@ -9232,6 +9232,68 @@ FROM r JOIN firsts f ON r.key = f.key AND r.fp = f.fp AND r.rn = f.frn
 """
 
 
+def _politeness_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay-aware politeness END-TO-END (round 5): robots
+    bodies -> robots.extract_crawl_delays -> per-host gap =
+    max(ceil(delay_ms/1000), fleet default 2 s) ->
+    urls.politeness_schedule_adaptive's constant-gap window unroll.
+    Even-numbered hosts declare 'Crawl-delay: <n>.5' (the .5 exercises
+    the ms->s ceil), odd hosts have no robots row and fall back to the
+    default. Oracle steps the recurrence via recursive CTE over the
+    same robots-parse twin."""
+    from deepee_spark.operators.robots import extract_crawl_delays
+    from deepee_spark.operators.urls import politeness_schedule_adaptive
+
+    ev = _t(spark, sf_dir, "events")
+    hn = F.col("user_id") % 12
+    req = ev.select(
+        F.concat(F.lit("ahost"), hn.cast("string")).alias("host"),
+        F.concat(
+            F.lit("https://ahost"), hn.cast("string"), F.lit("/e/"),
+            F.col("event_id").cast("string"),
+        ).alias("url"),
+        F.unix_timestamp("ts").cast("long").alias("ts_s"),
+    )
+    robots = (
+        ev.select(hn.alias("hn")).distinct()
+        .filter(F.col("hn") % 2 == 0)
+        .select(
+            F.concat(F.lit("ahost"), F.col("hn").cast("string"))
+            .alias("host"),
+            F.concat(
+                F.lit("User-agent: *\nCrawl-delay: "),
+                (F.col("hn") / 2 % 5 + 2).cast("long").cast("string"),
+                F.lit(".5\nDisallow: /tmp"),
+            ).alias("robots"),
+        )
+    )
+    return politeness_schedule_adaptive(
+        req, extract_crawl_delays(robots), default_gap_s=2
+    )
+
+
+def _politeness_adaptive_sql() -> str:
+    from deepee_spark.operators.robots import crawl_delays_oracle_sql
+    from deepee_spark.operators.urls import politeness_adaptive_oracle_sql
+
+    req = (
+        "SELECT 'ahost' || CAST(user_id % 12 AS VARCHAR) AS host,"
+        " 'https://ahost' || CAST(user_id % 12 AS VARCHAR) || '/e/' ||"
+        " CAST(event_id AS VARCHAR) AS url,"
+        " CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events"
+    )
+    robots = """
+SELECT 'ahost' || CAST(hn AS VARCHAR) AS host,
+       'User-agent: *' || chr(10) || 'Crawl-delay: ' ||
+       CAST(CAST(hn / 2 % 5 + 2 AS BIGINT) AS VARCHAR) || '.5' ||
+       chr(10) || 'Disallow: /tmp' AS robots
+FROM (SELECT DISTINCT user_id % 12 AS hn FROM events) WHERE hn % 2 = 0
+"""
+    return politeness_adaptive_oracle_sql(
+        req, crawl_delays_oracle_sql(robots), default_gap_s=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -9310,6 +9372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_funnel_replay": _cep_funnel_replay,
         "politeness_replay": _politeness_replay,
         "stream_dedup_replay": _stream_dedup_replay,
+        "politeness_adaptive": _politeness_adaptive,
         # -- driver-green in r04 (the r4 window, all green) --
         "openie_triples": _openie_triples,
         "kg_scc": _kg_scc,
@@ -9498,6 +9561,7 @@ def oracle_sql() -> dict[str, str]:
         "cep_funnel_replay": _CEP_REPLAY_SQL,
         "politeness_replay": _politeness_replay_sql(),
         "stream_dedup_replay": _stream_dedup_replay_sql(),
+        "politeness_adaptive": _politeness_adaptive_sql(),
         "wordpiece_file_vocab": _WORDPIECE_FILE_SQL,
         "rcee_anchor_windows": _rcee_anchor_windows_sql(),
         "rcee_question_stems": _rcee_question_stems_sql(),

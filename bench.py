@@ -160,6 +160,7 @@ def main() -> None:
         "cep_funnel_replay",
         "politeness_replay",
         "stream_dedup_replay",
+        "politeness_adaptive",
     ]
     qs = entry.queries()
     timings: dict[str, float] = {}

@@ -160,3 +160,97 @@ SELECT r.host, r.url, r.ts_s,
        CAST(s.fetch_at - r.ts_s AS BIGINT) AS wait_s
 FROM ranked r JOIN sched s ON s.host = r.host AND s.rn = r.rn
 """
+
+
+def politeness_schedule_adaptive(
+    df: DataFrame,
+    host_gaps: DataFrame,
+    default_gap_s: int,
+    host_col: str = "host",
+    url_col: str = "url",
+    ts_col: str = "ts_s",
+    delay_col: str = "crawl_delay_ms",
+) -> DataFrame:
+    """Per-host politeness with robots Crawl-delay overrides — the
+    composition the crawler actually runs: ``host_gaps`` is
+    robots.extract_crawl_delays' (host, crawl_delay_ms) dimension; a
+    host's gap is max(ceil(crawl_delay_ms / 1000), default_gap_s)
+    seconds (the crawler never goes faster than its own fleet floor,
+    and never faster than the site asks), hosts without a directive
+    use the default.
+
+    The gap is CONSTANT WITHIN a host, so politeness_schedule's
+    window unroll still applies with the joined per-host value:
+    fetch_at_i = max_{j<=i}(ts_j - j*g_h) + i*g_h. Scale shape: ONE
+    broadcast join of the host-gap dimension (robots tables are
+    host-cardinality — tiny next to the request stream) + the same
+    single host-partitioned sort; no applyInPandas, no recursion,
+    exact BIGINT seconds. Returns the input plus gap_s, fetch_at,
+    wait_s. Oracle: politeness_adaptive_oracle_sql steps the
+    recurrence itself (different algorithm, same semantics)."""
+    from pyspark.sql import Window as W
+
+    if default_gap_s < 0:
+        raise ValueError("default_gap_s must be >= 0")
+    gaps = host_gaps.select(
+        F.col(host_col).alias("_g_host"),
+        F.greatest(
+            F.expr(f"({delay_col} + 999) DIV 1000"),
+            F.lit(default_gap_s).cast("long"),
+        ).cast("long").alias("_gap_s"),
+    )
+    with_gap = (
+        df.join(F.broadcast(gaps), df[host_col] == gaps["_g_host"], "left")
+        .drop("_g_host")
+        .withColumn(
+            "gap_s",
+            F.coalesce(F.col("_gap_s"), F.lit(default_gap_s).cast("long")),
+        )
+        .drop("_gap_s")
+    )
+    order = W.partitionBy(host_col).orderBy(ts_col, url_col)
+    run = W.partitionBy(host_col).orderBy(ts_col, url_col).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    with_rn = with_gap.withColumn("_rn", F.row_number().over(order))
+    fetch_at = (
+        F.max(F.col(ts_col) - F.col("_rn") * F.col("gap_s")).over(run)
+        + F.col("_rn") * F.col("gap_s")
+    ).cast("long")
+    return (
+        with_rn.withColumn("fetch_at", fetch_at)
+        .withColumn(
+            "wait_s", (F.col("fetch_at") - F.col(ts_col)).cast("long")
+        )
+        .drop("_rn")
+    )
+
+
+def politeness_adaptive_oracle_sql(
+    requests_sql: str, gaps_sql: str, default_gap_s: int
+) -> str:
+    """DuckDB twin of politeness_schedule_adaptive: ``requests_sql``
+    yields (host, url, ts_s), ``gaps_sql`` yields (host,
+    crawl_delay_ms). Steps the defining recurrence via a recursive
+    CTE — NOT the window unroll the Spark side uses."""
+    d = int(default_gap_s)
+    return f"""
+WITH RECURSIVE ranked AS (
+  SELECT r.host, r.url, r.ts_s,
+         CAST(COALESCE(GREATEST((g.crawl_delay_ms + 999) // 1000, {d}),
+                       {d}) AS BIGINT) AS gap_s,
+         ROW_NUMBER() OVER (PARTITION BY r.host
+                            ORDER BY r.ts_s, r.url) AS rn
+  FROM ({requests_sql}) r
+  LEFT JOIN ({gaps_sql}) g ON g.host = r.host),
+sched(host, rn, fetch_at) AS (
+  SELECT host, rn, ts_s FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT r.host, r.rn, GREATEST(r.ts_s, s.fetch_at + r.gap_s)
+  FROM ranked r JOIN sched s ON r.host = s.host AND r.rn = s.rn + 1
+)
+SELECT r.host, r.url, r.ts_s, r.gap_s,
+       CAST(s.fetch_at AS BIGINT) AS fetch_at,
+       CAST(s.fetch_at - r.ts_s AS BIGINT) AS wait_s
+FROM ranked r JOIN sched s ON s.host = r.host AND s.rn = r.rn
+"""

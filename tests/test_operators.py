@@ -1285,3 +1285,50 @@ def test_joint_pr_curve_matches_reference_loop(spark):
         .filter("n_pred = 1").collect()[0]
     )
     assert (first.precision, first.recall) == (1.0, 0.0)
+
+
+def test_politeness_adaptive_gap_rules_and_fold(spark):
+    """Crawl-delay-aware scheduling (urls.politeness_schedule_adaptive):
+    per-host gap = max(ceil(delay_ms/1000), default); hosts without a
+    directive use the default; schedule equals a per-host python fold
+    of the recurrence at the chosen gap."""
+    from deepee_spark.operators.urls import politeness_schedule_adaptive
+
+    req = spark.createDataFrame(
+        [
+            ("slow", "u1", 100), ("slow", "u2", 101), ("slow", "u3", 130),
+            ("fast", "u4", 100), ("fast", "u5", 101),
+            ("none", "u6", 100), ("none", "u7", 101),
+        ],
+        "host string, url string, ts_s long",
+    )
+    gaps = spark.createDataFrame(
+        # slow: 9.5s -> ceil 10 > default 3; fast: 1s -> floor at default
+        [("slow", 9500), ("fast", 1000)],
+        "host string, crawl_delay_ms long",
+    )
+    out = {
+        r["url"]: (r["gap_s"], r["fetch_at"], r["wait_s"])
+        for r in politeness_schedule_adaptive(req, gaps, 3).collect()
+    }
+    assert out["u1"] == (10, 100, 0)
+    assert out["u2"] == (10, 110, 9)
+    assert out["u3"] == (10, 130, 0)  # past the backlog
+    assert out["u4"] == (3, 100, 0)   # directive below fleet floor
+    assert out["u5"] == (3, 103, 2)
+    assert out["u6"] == (3, 100, 0)   # no directive -> default
+    assert out["u7"] == (3, 103, 2)
+    # python fold twin over every host
+    rows = sorted(
+        (r["host"], r["ts_s"], r["url"], r["gap_s"], r["fetch_at"])
+        for r in politeness_schedule_adaptive(req, gaps, 3).collect()
+    )
+    last: dict[str, int] = {}
+    for host, ts, url, gap, fetch_at in rows:
+        want = ts if host not in last else max(ts, last[host] + gap)
+        assert fetch_at == want, (host, url)
+        last[host] = want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        politeness_schedule_adaptive(req, gaps, -1)
