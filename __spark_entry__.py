@@ -7278,21 +7278,24 @@ IVF_TOPK = 3
 def _ann_ivf_topk(spark, sf):
     from pyspark.sql import Window as W
 
-    from deepee_spark.operators.similarity import assign_cells
+    from deepee_spark.operators.similarity import assign_cells, unrolled_dot
 
     emb = _t(spark, sf, "embeddings")
     cent = emb.filter(F.col("vec_id") < IVF_K).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
     )
     # corpus-side assignment: every vector -> nearest centroid by dot
-    # (tie: c_id asc), via the collected-literal argmax projection —
-    # zero shuffle, no N*k expansion (same rule the SQL twin unrolls;
-    # the tiny nprobe-query side below keeps its window, it needs
-    # top-nprobe rows, not an argmax)
+    # (tie: c_id asc), via assign_cells' partial-agged max_by argmax —
+    # ~N rows through the exchange, never the old N*k window expansion
+    # (same rule the SQL twin unrolls; the tiny nprobe-query side
+    # below keeps its window, it needs top-nprobe rows, not an argmax)
     assigned = assign_cells(
         emb.select(F.col("vec_id").alias("pid"), F.col("embedding").alias("v")),
         cent.select("c_id", F.col("c_emb").alias("cent")),
-        lambda v, cv: F.round(_dot(v, cv), 6),
+        lambda v, cv: F.round(
+            unrolled_dot(v, cv) if isinstance(cv, list)
+            else _dot(F.col(v), cv), 6
+        ),
     ).select(
         F.col("pid").alias("vec_id"),
         F.col("v").alias("embedding"),

@@ -581,14 +581,14 @@ def semantic_dedup(
     Deterministic, engine-replicable, and one-sided like the
     keep-first rules of the textual dedup family.
 
-    Scale shape: the assignment is ONE collected-literal argmax
-    projection (similarity.assign_cells — genuinely no shuffle and no
-    N*k row expansion; the codebook is quantizer-sized by
-    construction), then embedding_dup_pairs' per-cell gemm cogroup —
-    quadratic only within a cell, so the codebook size is the knob
-    that bounds cell population exactly as in the paper (|cell| ~
-    N/k). Returns (id, cell:bigint, kept)."""
-    from .similarity import assign_cells, dot as _dot_expr
+    Scale shape: the assignment is similarity.assign_cells'
+    broadcast + partial-agged max_by argmax (~N rows through the
+    exchange, never the r4-flagged N*k expansion; the codebook is
+    quantizer-sized by construction), then embedding_dup_pairs'
+    per-cell gemm cogroup — quadratic only within a cell, so the
+    codebook size is the knob that bounds cell population exactly as
+    in the paper (|cell| ~ N/k). Returns (id, cell:bigint, kept)."""
+    from .similarity import assign_cells, dot as _dot_expr, unrolled_dot
 
     c_id, c_vec = centroids.columns[0], centroids.columns[1]
     assigned = assign_cells(
@@ -596,7 +596,11 @@ def semantic_dedup(
         centroids.select(
             F.col(c_id).alias("c_id"), F.col(c_vec).alias("cent")
         ),
-        lambda v, cv: F.round(_dot_expr(v, cv, dim), 6),
+        lambda v, cv: F.round(
+            unrolled_dot(v, cv) if isinstance(cv, list)
+            else _dot_expr(F.col(v), cv, dim),
+            6,
+        ),
     )
     pairs = embedding_dup_pairs(
         assigned,
@@ -681,16 +685,17 @@ def semantic_dedup_drop(
         kept or not — the keep-first rule looks at all earlier rows);
       - otherwise the within-drop keep-lowest-id rule applies.
 
-    Scale shape: one collected-literal argmax assignment per side
-    (similarity.assign_cells — no shuffle, no N*k expansion), then ONE
-    cogrouped per-cell gemm for drop x history plus semantic_dedup's
-    drop x drop cogroup. The history side streams through the cogroup
-    partition by cell — it is never collected, broadcast, or re-paired
-    with itself. Returns (id, cell, kept) for the DROP rows only."""
+    Scale shape: one max_by argmax assignment per side
+    (similarity.assign_cells — ~N rows exchanged, no N*k expansion),
+    then ONE cogrouped per-cell gemm for drop x history plus
+    semantic_dedup's drop x drop cogroup. The history side streams
+    through the cogroup partition by cell — it is never collected,
+    broadcast, or re-paired with itself. Returns (id, cell, kept) for
+    the DROP rows only."""
     import numpy as np
     import pandas as pd
 
-    from .similarity import assign_cells, dot as _dot_expr
+    from .similarity import assign_cells, dot as _dot_expr, unrolled_dot
 
     c_id, c_vec = centroids.columns[0], centroids.columns[1]
     cent = centroids.select(
@@ -701,7 +706,11 @@ def semantic_dedup_drop(
         return assign_cells(
             df.select(F.col(id_col).alias("pid"), F.col(vec_col).alias("v")),
             cent,
-            lambda v, cv: F.round(_dot_expr(v, cv, dim), 6),
+            lambda v, cv: F.round(
+                unrolled_dot(v, cv) if isinstance(cv, list)
+                else _dot_expr(F.col(v), cv, dim),
+                6,
+            ),
         )
 
     drop_a = assign(drop)

@@ -925,19 +925,25 @@ def test_salted_linking_plan_no_dim_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
 
 
-def test_codebook_assignment_zero_shuffle_and_fallback_parity(spark):
+def test_codebook_assignment_no_expanded_shuffle_and_path_parity(spark):
     """r4 verdict task 2: the coarse-quantizer assignment
     (similarity.assign_cells, used by lloyd_codebook and the SemDeDup
-    family) collects the driver-sized codebook and computes the argmax
-    in ONE literal projection — the plan must contain NO Exchange, NO
-    Window and NO nested-loop join (the old crossJoin + row_number
-    shape hash-Exchanged N*k expanded rows per call). The gated
-    fallback (codebook past the literal cap) may broadcast-join but
-    must partial-agg: exactly one Exchange, on pid, carrying ~N rows —
-    and both paths must agree row-for-row."""
+    family) must never hash-Exchange the N*k EXPANDED relation the old
+    crossJoin + row_number shape paid. DEFAULT path: broadcast cross
+    join + partial-agged max_by — exactly ONE shuffle Exchange, on
+    pid, AFTER the partial agg collapsed the k fan-out (~N rows), and
+    NO Window. OPT-IN literal path (BENCH/BASELINE.md §10b documents
+    when it wins): zero Exchange, zero joins, zero Window. Both paths
+    must agree row-for-row."""
+    import re
+
     from pyspark.sql import functions as F
 
-    from deepee_spark.operators.similarity import assign_cells, dot
+    from deepee_spark.operators.similarity import (
+        assign_cells,
+        dot,
+        unrolled_dot,
+    )
 
     dim = 4
     base = spark.createDataFrame(
@@ -951,28 +957,30 @@ def test_codebook_assignment_zero_shuffle_and_fallback_parity(spark):
     )
 
     def cdot(v, c):
-        return F.round(dot(v, c, dim), 6)
+        # list on the literal path, Column on the default join path
+        return F.round(
+            unrolled_dot(v, c) if isinstance(c, list) else dot(v, c, dim), 6
+        )
 
-    lit_path = assign_cells(base, cb, cdot)
-    plan = formatted_plan(lit_path)
-    assert "Exchange" not in plan, plan
+    default = assign_cells(base, cb, cdot)
+    plan = formatted_plan(default)
     assert "Window" not in plan, plan
-    assert "NestedLoop" not in plan, plan
-
-    import re
-
-    fb_path = assign_cells(base, cb, cdot, max_literal_elems=1)
-    fb_plan = formatted_plan(fb_path)
-    assert "NestedLoop" in fb_plan, fb_plan  # broadcast cross join
+    assert "NestedLoop" in plan, plan  # broadcast cross join
     # exactly ONE shuffle Exchange (on pid, AFTER the partial max_by
     # collapsed the k fan-out) — BroadcastExchange of the codebook is
     # fine and excluded by the word boundary
-    assert len(re.findall(r"\(\d+\) Exchange\n", fb_plan)) == 1, fb_plan
-    assert "hashpartitioning(pid" in fb_plan, fb_plan
-    assert "partial_max_by" in fb_plan, fb_plan
+    assert len(re.findall(r"\(\d+\) Exchange\n", plan)) == 1, plan
+    assert "hashpartitioning(pid" in plan, plan
+    assert "partial_max_by" in plan, plan
+
+    lit_path = assign_cells(base, cb, cdot, literal_max_elems=65_536)
+    lit_plan = formatted_plan(lit_path)
+    assert "Exchange" not in lit_plan, lit_plan
+    assert "Window" not in lit_plan, lit_plan
+    assert "NestedLoop" not in lit_plan, lit_plan
 
     a = sorted((r["pid"], r["cell"]) for r in lit_path.collect())
-    b = sorted((r["pid"], r["cell"]) for r in fb_path.collect())
+    b = sorted((r["pid"], r["cell"]) for r in default.collect())
     assert a == b
 
 
