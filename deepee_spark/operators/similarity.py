@@ -169,11 +169,15 @@ def pq_encode(emb: DataFrame, codebook: DataFrame, id_col: str,
     The codebook (c_id, c_emb) is a sampled-initialization PQ codebook:
     K seed vectors, no Lloyd iterations — deterministic, so an external
     oracle can replay the exact assignment. It is broadcast (K rows);
-    encoding is corpus x K x n_sub rows, LINEAR in the corpus, one
-    window argmin per (vector, subspace) partitioned by vector id —
-    no global shuffle beyond the explode. Distances round to 6dp before
-    the argmin with ties to the smaller centroid id, so the assignment
-    is engine-independent.
+    the argmin per (vector, subspace) is a partial-agged min_by, so
+    the K fan-out collapses map-side and the one exchange carries
+    N x n_sub rows (the size of the code table itself), never
+    N x n_sub x K — the same no-expanded-shuffle rule as
+    assign_cells (r4 verdict task 2; a row_number window here
+    exchanged the full expansion). Distances round to 6dp before the
+    argmin with ties to the smaller centroid id (min_by over
+    struct(d, c_id) — lexicographic struct order IS that rule), so
+    the assignment is engine-independent.
 
     Returns (id, subspace m 1..n_sub, code).
     """
@@ -184,12 +188,15 @@ def pq_encode(emb: DataFrame, codebook: DataFrame, id_col: str,
     )
     d = F.round(sub_sqdist(F.col(vec_col), F.col("c_emb"), F.col("m"),
                            sub_dim), 6)
-    w = Window.partitionBy(id_col, "m").orderBy(F.asc("d"), F.asc("c_id"))
     return (
         pairs.select(id_col, "m", F.col("c_id"), d.alias("d"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(id_col, "m", F.col("c_id").alias("code"))
+        .groupBy(id_col, "m")
+        .agg(
+            F.min_by(
+                F.col("c_id"), F.struct(F.col("d"), F.col("c_id"))
+            ).alias("code")
+        )
+        .select(id_col, "m", "code")
     )
 
 

@@ -65,8 +65,17 @@ def _pattern_group_fn(pattern: list[str], within_s: int | None):
         frames = [pdf for pdf in pdfs if not pdf.empty]
         if frames:
             batch = pd.concat(frames).sort_values("ts", kind="mergesort")
-            for ts, etype in zip(batch["ts"], batch["event_type"]):
-                ts_us = int(pd.Timestamp(ts).value // 1000)
+            # vectorize the timestamp->microsecond conversion ONCE per
+            # batch: a per-event pd.Timestamp(...).value round-trip was
+            # measured as ~4 s of the 5 s cep_funnel_replay spent at
+            # sf0.1 (the state machine itself is the only inherently
+            # sequential part)
+            ts_us_all = (
+                batch["ts"].to_numpy("datetime64[ns]").astype("int64")
+                // 1000
+            )
+            for ts_us, etype in zip(ts_us_all, batch["event_type"]):
+                ts_us = int(ts_us)
                 if (
                     cursor > 0
                     and within_s is not None

@@ -1030,3 +1030,25 @@ def test_planned_salt_k_flows_from_measured_skew(spark):
     got = sorted(map(tuple, out.collect()))
     want = sorted(map(tuple, ref.collect()))
     assert got == want and len(got) == 125
+
+
+def test_pq_encode_partial_min_by_no_window(spark):
+    """pq_encode's per-(vector, subspace) argmin must follow the same
+    no-expanded-shuffle rule as assign_cells: partial-agged min_by (the
+    K fan-out collapses map-side; the exchange carries the code-table
+    size), never a row_number window over the N x n_sub x K expansion."""
+    from deepee_spark.operators.similarity import pq_encode
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.5, float(i % 2)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    cb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 1.0, 1.0])],
+        "c_id long, c_emb array<float>",
+    )
+    out = pq_encode(emb, cb, "vec_id", "embedding", dim=4, n_sub=2)
+    plan = formatted_plan(out)
+    assert "Window" not in plan, plan
+    assert "partial_min_by" in plan, plan
+    assert out.count() == 40  # N x n_sub codes
