@@ -183,8 +183,6 @@ def repetition_features(df: DataFrame, text_col: str = "text",
     keyed by (doc id, bigram), then one by doc id; both partial-agg
     before exchanging, so skew rides on doc id spread, not corpus size.
     """
-    from pyspark.sql import Window as W
-
     toks = tokens_of(F.col(text_col))
     base = df.select(
         "doc_id",
@@ -203,18 +201,21 @@ def repetition_features(df: DataFrame, text_col: str = "text",
         ).alias("bigram"),
     )
     counts = bigrams.groupBy("doc_id", "bigram").count()
+    # per-doc top-1 as a partial-agged min_by over struct(-count,
+    # bigram): min of the negated count IS the max count, tie to the
+    # lexicographically smallest bigram — same rule as the previous
+    # (desc count, asc bigram) row_number window, without the
+    # per-partition sort the window paid
     top = (
-        counts.withColumn(
-            "rk",
-            F.row_number().over(
-                W.partitionBy("doc_id").orderBy(
-                    F.desc("count"), F.asc("bigram")
-                )
-            ),
+        counts.groupBy("doc_id")
+        .agg(
+            F.min_by(
+                F.struct(F.col("bigram"), F.col("count")),
+                F.struct((-F.col("count")).alias("nc"), F.col("bigram")),
+            ).alias("b")
         )
-        .filter(F.col("rk") == 1)
-        .select("doc_id", F.col("bigram").alias("top_bigram"),
-                F.col("count").alias("top_bigram_n"))
+        .select("doc_id", F.col("b.bigram").alias("top_bigram"),
+                F.col("b.count").alias("top_bigram_n"))
     )
     out = (
         base.drop("toks")
